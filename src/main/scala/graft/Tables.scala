@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Every loader takes the scale-factor directory (e.g.
+  * `/root/testdata/sf0.01`) so the same query code runs at any SF — at
+  * cluster scale these would be catalog tables partitioned on their
+  * natural keys; here they are single parquet files.
+  */
+object Tables {
+
+  private def path(sfDir: String, table: String): String =
+    s"$sfDir/$table.parquet"
+
+  def region(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "region"))
+  def nation(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "nation"))
+  def customer(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "customer"))
+  def supplier(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "supplier"))
+  def part(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "part"))
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "orders"))
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "lineitem"))
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(path(sfDir, "embeddings"))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) (pandas-written). Spark's
+    * vectorized reader cannot map INT64 nanos to TimestampType directly;
+    * `spark.sql.legacy.parquet.nanosAsLong` surfaces it as LongType
+    * nanos which we convert to micros (lossless here — the generator
+    * emits micro-precision values; verified: 0 rows with sub-micro ns).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path(sfDir, "events"))
+    import org.apache.spark.sql.types.LongType
+    // `ts div 1000`: integral division — a double round-trip would lose
+    // precision (epoch-ns ~1.7e18 > 2^53) and shift some rows by 1 µs.
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}
+
+/** Quick manual probe: `sbt "runMain graft.Probe"`. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.001"
+    Tables.events(spark, sf).show(3, false)
+    Tables.events(spark, sf).printSchema()
+    Tables.documents(spark, sf).show(2)
+    spark.stop()
+  }
+}

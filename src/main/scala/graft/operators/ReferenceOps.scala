@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference engine's relational query surface, re-expressed as
+  * composable Spark operators.
+  *
+  * Maps SURVEY.md §2 (ethical_crawler.py:968–1060, 1352–1451) onto the
+  * DataFrame API. Each operator is declarative — Catalyst handles
+  * predicate pushdown, column pruning and join strategy — so the same
+  * code scales from sf0.001 parquet files to a partitioned 100 TB
+  * catalog table.
+  *
+  * Determinism: callers that need oracle-stable output must append a
+  * total-order sort; the helpers here take explicit tiebreaker keys
+  * (the reference's own sorts are tie-ambiguous, SURVEY §2.6 ⚠).
+  */
+object ReferenceOps {
+
+  /** P3+P4+P5+O1 — the `search` verb (ethical_crawler.py:968–1004).
+    *
+    * Dynamic WHERE assembly: only the provided predicates are applied
+    * (reference builds the SQL string conditionally; we fold filters —
+    * Catalyst prunes and pushes each one down to the scan).
+    * `textCols` play the role of title/description/content_summary in
+    * the reference's ILIKE disjunction.
+    */
+  def search(
+      df: DataFrame,
+      query: Option[String],
+      textCols: Seq[String],
+      equalityFilters: Map[String, Any],
+      orderCol: String,
+      tiebreakers: Seq[String],
+      limit: Int): DataFrame = {
+    val withText = query match {
+      case Some(q) =>
+        val pat = s"%$q%"
+        val disj = textCols.map(c => col(c).ilike(pat)).reduce(_ || _)
+        df.filter(disj)
+      case None => df
+    }
+    val filtered = equalityFilters.foldLeft(withText) {
+      case (d, (c, v)) => d.filter(col(c) === lit(v))
+    }
+    // ORDER BY <recency> DESC LIMIT n → planned as TakeOrderedAndProject
+    // (no total sort, no shuffle of the full relation).
+    filtered
+      .orderBy(col(orderCol).desc +: tiebreakers.map(col(_).asc): _*)
+      .limit(limit)
+  }
+
+  /** P6 — raw predicate passthrough (`--where`, ethical_crawler.py:1078).
+    * The reference splices user SQL into the query string; we parse it
+    * with `expr` so it stays inside Catalyst (pushdown still applies)
+    * and can only be a predicate, not arbitrary SQL.
+    */
+  def whereClause(df: DataFrame, predicate: String): DataFrame =
+    df.filter(expr(predicate))
+
+  /** A1 — per-source stats (ethical_crawler.py:1039–1050): count,
+    * distinct types, avg size, first/last ingest. One hash aggregate;
+    * Spark plans partial+final so the shuffle carries one row per
+    * (partition, key).
+    */
+  def sourceStats(
+      df: DataFrame,
+      key: String,
+      distinctCol: String,
+      avgCol: String,
+      spanCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("record_count"),
+        countDistinct(col(distinctCol)).as("distinct_types"),
+        avg(col(avgCol)).as("avg_size"),
+        min(col(spanCol)).as("first_ingested"),
+        max(col(spanCol)).as("last_ingested"))
+      .orderBy(col("record_count").desc, col(key).asc)
+
+  /** A2 — counts by type (ethical_crawler.py:1053–1060). */
+  def typeCounts(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(key).asc)
+
+  /** A3 — two-key stats (`status`, ethical_crawler.py:1425–1434). */
+  def twoKeyStats(df: DataFrame, k1: String, k2: String, maxCol: String)
+      : DataFrame =
+    df.groupBy(col(k1), col(k2))
+      .agg(count(lit(1)).as("cnt"), max(col(maxCol)).as("last_seen"))
+      .orderBy(col(k1).asc, col("cnt").desc, col(k2).asc)
+
+  /** J1 — greatest-n-per-group: latest row per key
+    * (ethical_crawler.py:1437–1451, a correlated scalar subquery in the
+    * reference; authored directly as the window form Catalyst would
+    * decorrelate to). One shuffle on the partition key.
+    */
+  def latestPerKey(
+      df: DataFrame,
+      key: String,
+      orderCol: String,
+      tiebreaker: String): DataFrame = {
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(orderCol).desc, col(tiebreaker).desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** J2/K5 — first-write-wins dedup append (`INSERT OR IGNORE` vs
+    * UNIQUE(source_name, record_id), ethical_crawler.py:909–936, :843).
+    *
+    * Batch semantics: existing rows win; within the incoming batch the
+    * lowest `batchOrder` row per key wins. The anti-join broadcasts the
+    * existing key set when small; at 100 TB the existing side is the big
+    * one, so production layout is: partition both sides on the key and
+    * let AQE pick shuffled hash join — never collect.
+    */
+  def dedupAppend(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      batchOrder: String): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(batchOrder).asc)
+    val dedupedBatch = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val newRows = dedupedBatch.join(existing, keys, "left_anti")
+    existing.unionByName(newRows)
+  }
+
+  /** P9 — distinct values (export attribution footer,
+    * ethical_crawler.py:1383–1388).
+    */
+  def distinctValues(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).distinct().orderBy(col(c).asc)
+
+  /** L3 — popular tags: the reference's only generator-shaped op
+    * (stubbed at ethical_crawler.py:1065). `explode` is Spark's built-in
+    * Generator; the downstream count is a plain hash agg.
+    */
+  def popularTags(df: DataFrame, tagsCol: Column, topK: Int): DataFrame =
+    df.select(explode(tagsCol).as("tag"))
+      .filter(col("tag") =!= "")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("frequency"))
+      .orderBy(col("frequency").desc, col("tag").asc)
+      .limit(topK)
+
+  /** L4 — temporal activity histogram (stub at ethical_crawler.py:1066). */
+  def temporalActivity(df: DataFrame, tsCol: String): DataFrame =
+    df.groupBy(date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("day").asc)
+
+  /** L5 — license distribution (stub at ethical_crawler.py:1067). */
+  def licenseDistribution(df: DataFrame, licenseCol: String): DataFrame =
+    df.groupBy(col(licenseCol))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(licenseCol).asc)
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Star-schema join/aggregate suite over the TPC-H-ish testdata
+  * (SURVEY.md §2.3/§5.2 extension surface; the reference has no explicit
+  * joins, so this is the capability extension the driver's star-schema
+  * testdata exists to exercise).
+  *
+  * Scale notes (100 TB): `lineitem` is the fact table — every query
+  * keeps it on the probe side. `region`/`nation`/`supplier`/`customer`/
+  * `part` are dimensions; they are broadcast (explicitly below, and AQE
+  * would pick the same) so the fact table is never shuffled for a join.
+  * The only shuffles left are the final partial→final aggregations,
+  * which carry one row per group.
+  */
+object StarSchemaOps {
+
+  /** TPC-H Q1-shaped pricing summary: single scan of lineitem, one hash
+    * aggregate, 4-row output. `l_shipdate` filter pushes to parquet
+    * row-group stats.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
+  /** TPC-H Q3-shaped: segment-filtered customer ⨝ orders ⨝ lineitem,
+    * top-10 open orders by revenue. Customer is broadcast; orders⨝
+    * lineitem is the one real join — on a cluster both sides would be
+    * bucketed on the order key to make it shuffle-free.
+    */
+  def topRevenueOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: full six-table star join, revenue by nation within
+    * one region. All five dimension sides broadcast; lineitem streams
+    * through a single stage.
+    */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir)
+      .filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Top-k by price: planned as TakeOrderedAndProject — per-partition
+    * heap of k, no total sort (O1-shaped at fact-table scale).
+    */
+  def topOrdersByPrice(spark: SparkSession, sfDir: String, k: Int)
+      : DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Ranking window: top-3 orders per customer. One shuffle on
+    * o_custkey; rank is computed within each partition.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("o_custkey").asc, col("rank").asc)
+  }
+
+  /** Order-priority histogram with an EXISTS-shaped semi join
+    * (lineitem committed late). Left-semi keeps only order columns
+    * flowing; no row multiplication.
+    */
+  def priorityCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+}
