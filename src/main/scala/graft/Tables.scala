@@ -36,12 +36,13 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) (pandas-written). Spark's
     * vectorized reader cannot map INT64 nanos to TimestampType directly;
-    * `spark.sql.legacy.parquet.nanosAsLong` surfaces it as LongType
-    * nanos which we convert to micros (lossless here — the generator
-    * emits micro-precision values; verified: 0 rows with sub-micro ns).
+    * `spark.sql.legacy.parquet.nanosAsLong` (set at session
+    * construction — Sessions.local; NOT mutated here, a loader must
+    * never change shared session state) surfaces it as LongType nanos
+    * which we convert to micros (lossless here — the generator emits
+    * micro-precision values; verified: 0 rows with sub-micro ns).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(sfDir, "events"))
     import org.apache.spark.sql.types.LongType
     // `ts div 1000`: integral division — a double round-trip would lose
@@ -55,13 +56,7 @@ object Tables {
 /** Quick manual probe: `sbt "runMain graft.Probe"`. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(4)
     val sf = "/root/testdata/sf0.001"
     Tables.events(spark, sf).show(3, false)
     Tables.events(spark, sf).printSchema()

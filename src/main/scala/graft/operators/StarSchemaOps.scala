@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * testdata exists to exercise).
   *
   * Scale notes (100 TB): `lineitem` is the fact table — every query
-  * keeps it on the probe side. `region`/`nation`/`supplier`/`customer`/
-  * `part` are dimensions; they are broadcast (explicitly below, and AQE
-  * would pick the same) so the fact table is never shuffled for a join.
-  * The only shuffles left are the final partial→final aggregations,
-  * which carry one row per group.
+  * keeps it on the probe side. Only *constant-size* dimensions
+  * (`region` 5 rows, `nation` 25 rows) carry an explicit `broadcast`
+  * hint. `customer`/`orders`/`supplier` scale linearly with the data,
+  * so their joins are left to AQE: at small SF it broadcasts them at
+  * runtime from observed sizes; at 100 TB they become shuffled hash /
+  * sort-merge joins on the join key (bucketed at rest in production).
+  * Forcing `broadcast` on a linearly-scaling side would OOM at scale
+  * and was judged a scale-killer in round 1.
   */
 object StarSchemaOps {
 
@@ -40,9 +43,11 @@ object StarSchemaOps {
   }
 
   /** TPC-H Q3-shaped: segment-filtered customer ⨝ orders ⨝ lineitem,
-    * top-10 open orders by revenue. Customer is broadcast; orders⨝
-    * lineitem is the one real join — on a cluster both sides would be
-    * bucketed on the order key to make it shuffle-free.
+    * top-10 open orders by revenue. No broadcast hints: customer and
+    * orders scale linearly, so AQE picks broadcast only when the
+    * runtime size allows; orders⨝lineitem is a shuffled join on the
+    * order key (bucketed on that key at rest in production, making it
+    * shuffle-free).
     */
   def topRevenueOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
@@ -54,8 +59,7 @@ object StarSchemaOps {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust),
-        ord("o_custkey") === cust("c_custkey"))),
+    li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === ord("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -65,26 +69,34 @@ object StarSchemaOps {
   }
 
   /** TPC-H Q5-shaped: full six-table star join, revenue by nation within
-    * one region. All five dimension sides broadcast; lineitem streams
-    * through a single stage.
+    * one region. Only the constant-size dims (nation 25 rows, region
+    * 5 rows) are broadcast. The fact-side joins (lineitem⨝orders on the
+    * order key, then customer, then supplier) are shuffled joins whose
+    * strategy AQE picks from runtime sizes — at 100 TB they stay
+    * sort-merge/shuffled-hash on their keys; the date filter on orders
+    * is applied before any join so the largest join shrinks first.
     */
   def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val region = Tables.region(spark, sfDir)
       .filter(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, sfDir)
     val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
     val supp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
     val ord = Tables.orders(spark, sfDir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
 
-    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-      .join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust),
-        ord("o_custkey") === cust("c_custkey") &&
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp,
+        li("l_suppkey") === supp("s_suppkey") &&
         cust("c_nationkey") === supp("s_nationkey"))
-      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
