@@ -91,6 +91,66 @@ object SparkEntry {
     "l5_license_distribution" -> ((s, dir) =>
       ReferenceOps.licenseDistribution(Tables.documents(s, dir), "lang")),
 
+    // ---- north-star: similarity search over embeddings (L1) ----
+    "n1_cosine_topk" -> ((s, dir) =>
+      SimilarityOps.cosineTopK(Tables.embeddings(s, dir), 0L, 20)),
+    "n5_label_top_pairs" -> ((s, dir) =>
+      SimilarityOps.labelTopPairs(Tables.embeddings(s, dir), 20)),
+    "n6_ann_lsh_topk" -> ((s, dir) =>  // approximate → rows-only gate
+      SimilarityOps.annTopK(Tables.embeddings(s, dir), 0L, 10)),
+
+    // ---- north-star: content dedup over documents ----
+    "n2_exact_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      val dup = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      DedupOps.exactDedup(dup, "text", "doc_id")
+        .select(col("doc_id"), col("source"),
+          DedupOps.contentKey(col("text")).as("content_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+    "n3_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.jaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", minJaccard = 0.8)),
+    "n4_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashPairs(Tables.documents(s, dir),
+        "doc_id", "text", minJaccard = 0.8)),
+
+    // ---- north-star: text analysis ----
+    "t1_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(Tables.documents(s, dir),
+        "lang", "text", "n_chars")),
+    "t2_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(Tables.documents(s, dir),
+        "doc_id", "text", "n_chars", k = 50)),
+    "t3_langid" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir), "lang", "text")),
+    "t4_simhash" -> ((s, dir) =>
+      DedupOps.simhash(Tables.documents(s, dir), "doc_id", "text")),
+    "t5_fingerprints" -> ((s, dir) =>
+      TextOps.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- JSON / predicate / status / multimodal surface ----
+    "f4_json_extract" -> ((s, dir) =>
+      ReferenceOps.jsonExtractStats(Tables.events(s, dir),
+        "event_type", "props", "$.k")),
+    "p7_array_contains" -> ((s, dir) =>
+      ReferenceOps.arrayContainsCount(Tables.documents(s, dir),
+        "source", "text", "spark")),
+    "p8_ts_filter" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-02").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .orderBy(col("event_type").asc)),
+    "status_rollup" -> ((s, dir) =>
+      ReferenceOps.statusRollup(Tables.documents(s, dir),
+        "source", "lang", "doc_id")),
+    "m1_binary_meta" -> ((s, dir) =>
+      ReferenceOps.binaryMeta(Tables.documents(s, dir),
+        "doc_id", "text", "source")),
+
     // ---- star-schema join/agg extension suite ----
     "q1_pricing_summary" -> ((s, dir) =>
       StarSchemaOps.pricingSummary(s, dir)),
@@ -107,6 +167,133 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // n6_ann_lsh_topk intentionally omitted: LSH is approximate →
+    // driver records the weaker rows-only check; ScalaTest cross-checks
+    // it against the brute-force cosine answer instead.
+    "n1_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+        |    6) AS score
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "n5_label_top_pairs" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |ORDER BY score DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
+    "n2_exact_dedup" ->
+      """WITH dup AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      AS content_md5,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id ASC) AS rn
+        |  FROM dup)
+        |SELECT doc_id, source, content_md5 FROM r WHERE rn = 1
+        |ORDER BY doc_id ASC""".stripMargin,
+    "n3_ngram_jaccard" ->
+      operators.DedupOps.jaccardPairsSql("documents", "doc_id", "text", 0.8),
+    "n4_minhash_lsh" ->
+      operators.DedupOps.minhashPairsSql("documents", "doc_id", "text", 0.8),
+    "t1_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+        |  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+        |  round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "t2_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w, n_chars
+        |  FROM documents),
+        |c AS (SELECT doc_id, len(w) AS n_tok,
+        |    len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+        |    len(list_filter(w,
+        |      x -> x IN ('the','a','of','and','is','in'))) * 1.0 / len(w)
+        |      AS stop_ratio,
+        |    (n_chars * 1.0 - (len(w) - 1)) / len(w) AS awl
+        |  FROM t)
+        |SELECT doc_id, n_tok, round(ttr, 6) AS ttr,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(ttr * 0.5 + (1.0 - stop_ratio) * 0.3 +
+        |        least(awl / 8.0, 1.0) * 0.2, 6) AS quality
+        |FROM c ORDER BY quality DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "t3_langid" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |h AS (SELECT lang,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS hde,
+        |    len(list_filter(w, x -> x IN ('le','la','et','est','les'))) AS hfr,
+        |    len(list_filter(w, x -> x IN ('el','los','y','es','una'))) AS hes,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','is','in'))) AS hen
+        |  FROM t)
+        |SELECT lang,
+        |  CASE WHEN hde > 0 AND hde >= hfr AND hde >= hes AND hde >= hen THEN 'de'
+        |       WHEN hfr > 0 AND hfr >= hes AND hfr >= hen THEN 'fr'
+        |       WHEN hes > 0 AND hes >= hen THEN 'es'
+        |       WHEN hen > 0 THEN 'en'
+        |       ELSE 'und' END AS predicted,
+        |  count(*) AS n_docs
+        |FROM h GROUP BY 1, 2
+        |ORDER BY lang ASC, predicted ASC""".stripMargin,
+    "t4_simhash" ->
+      operators.DedupOps.simhashSql("documents", "doc_id", "text"),
+    "t5_fingerprints" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |    AS content_md5,
+        |  md5(array_to_string(list_slice(
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+        |      ' '), 1, 8), ' ')) AS prefix_md5
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "f4_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round(avg(json_extract_string(props, '$.k')::INT), 6) AS avg_v,
+        |  min(json_extract_string(props, '$.k')::INT) AS min_v,
+        |  max(json_extract_string(props, '$.k')::INT) AS max_v
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
+    "p7_array_contains" ->
+      """SELECT source, count(*) AS cnt FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'spark')
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
+    "p8_ts_filter" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-02'
+        |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "status_rollup" ->
+      """WITH rollup AS (
+        |  SELECT source, count(*) AS n_records,
+        |    count(DISTINCT lang) AS n_kinds, max(doc_id) AS last_seen
+        |  FROM documents GROUP BY source),
+        |latest AS (
+        |  SELECT source, lang AS latest_kind FROM (
+        |    SELECT source, lang,
+        |      row_number() OVER (PARTITION BY source
+        |                         ORDER BY doc_id DESC) AS rn
+        |    FROM documents) WHERE rn = 1)
+        |SELECT source, n_records, n_kinds, last_seen, latest_kind
+        |FROM rollup JOIN latest USING (source)
+        |ORDER BY n_records DESC, source ASC""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT source, count(*) AS n_assets,
+        |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+        |  min(octet_length(encode(text))) AS min_bytes,
+        |  max(octet_length(encode(text))) AS max_bytes
+        |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
     "p3_search_ilike" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE (text ILIKE '%window%' OR source ILIKE '%window%')

@@ -1,0 +1,341 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Content-based deduplication over the `documents` table — the
+  * training-data-pipeline extension surface (reference intent:
+  * `hashlib` imported and never used, ethical_crawler.py:16; UNIQUE
+  * key dedup at :843 is the only dedup the reference ships).
+  *
+  * Four tiers:
+  *  1. [[exactDedup]] — hash of normalized text, keep-first. One
+  *     shuffle on the 128-bit key; at 100 TB this is the standard
+  *     hash-partitioned exact dedup.
+  *  2. [[jaccardPairs]] — EXACT n-gram-shingle Jaccard via a
+  *     shared-shingle equi-join (never all-pairs: only documents
+  *     sharing at least one shingle are paired). Ground truth for 3.
+  *  3. [[minhashPairs]] — MinHash signatures + banded LSH: candidates
+  *     come from an equi-join on (band, band-signature), then are
+  *     verified with exact Jaccard. This is the 100 TB path — the
+  *     shared-shingle join of tier 2 degrades as shingle document
+  *     frequency grows, while band buckets stay O(dups + ε).
+  *  4. [[simhash]] — 60-bit SimHash fingerprints (near-dup candidates
+  *     = small Hamming distance; banding over bit-ranges at scale).
+  *
+  * Every hash here is an arithmetic composition over md5 hex —
+  * expressible identically in ANSI SQL — so even the MinHash/LSH
+  * pipeline hash-matches the DuckDB oracle, band for band.
+  */
+object DedupOps {
+
+  /** Mersenne prime 2^31−1: the universal-hash modulus. a·x+b stays
+    * under 2^62 for a,b,x < P, so the arithmetic never overflows a
+    * signed 64-bit in either engine.
+    */
+  val P: Long = 2147483647L
+
+  /** Fixed universal-hash family (a_i, b_i) for MinHash. Constants are
+    * arbitrary odd numbers < P, pinned for determinism and shared with
+    * the oracle-SQL generator.
+    */
+  val MinhashSeeds: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1588635695L, 1117695901L),
+    (784588716L, 805306457L), (387420489L, 268435399L),
+    (1259921049L, 1500450271L), (1882436117L, 715225739L),
+    (1642261667L, 97612893L), (1171077619L, 865018571L),
+    (2097152993L, 492876847L), (1325401057L, 967739369L),
+    (1979339333L, 52361087L), (1564116521L, 1412858213L),
+    (1866894511L, 179424673L), (1047297989L, 373587883L),
+    (1711655837L, 15485863L), (1446968261L, 982451653L))
+
+  /** Bands of `bandRows` consecutive signature rows each. 8×2 over 16
+    * hashes: P(candidate | J=0.8) ≈ 1−(1−0.8²)^8 ≈ 0.9998.
+    */
+  val BandRows = 2
+  val NumBands: Int = MinhashSeeds.size / BandRows
+
+  /** Whitespace-collapsed, trimmed, lowercased text (the normalization
+    * under the content hash).
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** 128-bit content key of the normalized text. */
+  def contentKey(text: Column): Column = md5(normalized(text))
+
+  /** Exact content dedup, first-write-wins by `orderCol` (same batch
+    * semantics as the key-based K5 dedup — ethical_crawler.py:915).
+    */
+  def exactDedup(df: DataFrame, textCol: String, orderCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol)))
+      .orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles per document: (idCol, shingle).
+    * Words are split on single spaces (the corpus is single-spaced;
+    * the oracle splits identically). Guarded for docs shorter than n
+    * (Spark's `sequence(1, k)` counts DOWN when k < 1).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3)
+      : DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = transform(
+      sequence(lit(1), size(words) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(words, i + o)): _*))
+    val guarded = when(size(words) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(guarded).as("shingle"))
+  }
+
+  /** EXACT Jaccard near-dup pairs (tier 2). Candidates = pairs sharing
+    * ≥1 shingle (equi-join on the shingle), intersection counted from
+    * that same join, union by |A|+|B|−|A∩B|. Returns
+    * (id_a, id_b, jaccard) with jaccard ≥ `minJaccard`, rounded 6 dp.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, n: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("n_sh", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("n_sh", "nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  /** Universal hash of a shingle: md5-hex → 60-bit int → mod-P affine.
+    * `conv(hex,16,10)` and DuckDB's `('0x'||hex)::BIGINT` agree exactly
+    * (both unsigned-decode 15 hex chars = 60 bits < 2^63).
+    */
+  private def shingleBase(sh: Column): Column =
+    pmod(conv(substring(md5(sh), 1, 15), 16, 10).cast("long"), lit(P))
+
+  private def minhashExpr(x: Column, a: Long, b: Long): Column =
+    pmod(lit(a) * x + lit(b), lit(P))
+
+  /** MinHash signatures: one row per doc, columns h0..h{m−1}. Single
+    * shuffle (groupBy doc) carrying m running minima — map-side
+    * partial aggregation keeps the shuffle tiny.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
+    val x = shingleBase(col("shingle"))
+    val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      min(minhashExpr(x, a, b)).as(s"h$i")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded-LSH near-dup pairs, exact-verified (tier 3).
+    * Candidates: equi-join on (band index, band signature) — never
+    * all-pairs. Each candidate pair is then verified with exact
+    * Jaccard computed from the shingle sets, so the output is a
+    * (possibly proper, with vanishing probability) subset of
+    * [[jaccardPairs]] and is fully deterministic.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, n: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sigs = minhashSignatures(sh, idCol)
+    val bands = sigs.select(
+      col(idCol),
+      explode(array((0 until NumBands).map { k =>
+        struct(
+          lit(k).as("band"),
+          concat_ws("_",
+            (0 until BandRows).map(r => col(s"h${k * BandRows + r}")): _*)
+            .as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("bs.band"), col("bs.sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    // Exact verify on candidates only.
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"))
+    cand.join(inter, Seq("id_a", "id_b"))
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("n_sh", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("n_sh", "nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  /** 60-bit SimHash fingerprint per document (tier 4). Token hash =
+    * md5-hex 60 bits; bit i of the fingerprint is set iff
+    * Σ_tokens (2·bit_i(h(token)) − 1) ≥ 0. Tokens keep multiplicity
+    * (standard SimHash term weighting by frequency).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val x = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val bitSums = (0 until 60).map { i =>
+      sum(shiftright(x, i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
+    }
+    val fp = (0 until 60).map { i =>
+      when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
+      .orderBy(col(idCol).asc)
+  }
+
+  /** SimHash near-dup pairs among a candidate set: Hamming distance of
+    * fingerprints ≤ maxDist. Candidates via band-equality on 4 15-bit
+    * bands (a pair within distance 3 shares ≥1 exact band) — the same
+    * LSH-not-all-pairs shape as [[minhashPairs]].
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val fps = simhash(df, idCol, textCol)
+    val bands = fps.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map { k =>
+        struct(lit(k).as("band"),
+          shiftright(col("simhash"), k * 15).bitwiseAND(lit(0x7fffL))
+            .as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("simhash"), col("bs.band"), col("bs.sig"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col("x.simhash").as("fa"), col("y.simhash").as("fb"))
+      .distinct()
+      .withColumn("dist", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  // ------------------------------------------------------------------
+  // Oracle-SQL generators (ANSI SQL for DuckDB) sharing the constants
+  // above, so Spark and oracle compute the same algorithm.
+  // ------------------------------------------------------------------
+
+  /** DuckDB CTE producing (doc_id, shingle) — mirror of [[shingles]]. */
+  def shinglesSql(table: String, idCol: String, textCol: String,
+      n: Int = 3): String = {
+    val parts = (0 until n).map(o => s"words[i${if (o > 0) s"+$o" else ""}]")
+      .mkString(" || ' ' || ")
+    s"""SELECT $idCol, unnest(list_distinct([ $parts
+       |    for i in range(1, len(words) - ${n - 2}) ])) AS shingle
+       |  FROM (SELECT $idCol, string_split($textCol, ' ') AS words
+       |        FROM $table)""".stripMargin
+  }
+
+  /** Full [[jaccardPairs]] oracle query. */
+  def jaccardPairsSql(table: String, idCol: String, textCol: String,
+      minJaccard: Double, n: Int = 3): String =
+    s"""WITH sh AS (
+       |${shinglesSql(table, idCol, textCol, n)}),
+       |sizes AS (SELECT $idCol, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |    AND a.$idCol < b.$idCol
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.$idCol = id_a
+       |JOIN sizes sb ON sb.$idCol = id_b
+       |WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= $minJaccard
+       |ORDER BY id_a ASC, id_b ASC""".stripMargin
+
+  /** Full [[minhashPairs]] oracle query — same seeds, same bands, same
+    * verification, in SQL.
+    */
+  def minhashPairsSql(table: String, idCol: String, textCol: String,
+      minJaccard: Double, n: Int = 3): String = {
+    val xExpr =
+      s"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P)"
+    val minExprs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $P) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { k =>
+      val sig = (0 until BandRows).map(r => s"h${k * BandRows + r}")
+        .mkString(", ")
+      s"SELECT $idCol, $k AS band, concat_ws('_', $sig) AS sig FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+       |${shinglesSql(table, idCol, textCol, n)}),
+       |hx AS (SELECT $idCol, shingle, $xExpr AS x FROM sh),
+       |sigs AS (
+       |  SELECT $idCol,
+       |    $minExprs
+       |  FROM hx GROUP BY $idCol),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.$idCol AS id_a, y.$idCol AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.$idCol < y.$idCol),
+       |sizes AS (SELECT $idCol, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |    AND a.$idCol < b.$idCol
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |  round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+       |FROM cand c
+       |JOIN inter USING (id_a, id_b)
+       |JOIN sizes sa ON sa.$idCol = c.id_a
+       |JOIN sizes sb ON sb.$idCol = c.id_b
+       |WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= $minJaccard
+       |ORDER BY id_a ASC, id_b ASC""".stripMargin
+  }
+
+  /** [[simhash]] oracle query. */
+  def simhashSql(table: String, idCol: String, textCol: String): String = {
+    val bitSums = (0 until 60).map { i =>
+      s"sum(((x >> $i) & 1) * 2 - 1) AS s$i"
+    }.mkString(",\n    ")
+    val fp = (0 until 60).map { i =>
+      s"CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT $idCol, unnest(string_split($textCol, ' ')) AS tok
+       |  FROM $table),
+       |hx AS (
+       |  SELECT $idCol,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x
+       |  FROM tok WHERE tok <> ''),
+       |sums AS (
+       |  SELECT $idCol,
+       |    $bitSums
+       |  FROM hx GROUP BY $idCol)
+       |SELECT $idCol, $fp AS simhash
+       |FROM sums ORDER BY $idCol ASC""".stripMargin
+  }
+}

@@ -165,4 +165,72 @@ object ReferenceOps {
     df.groupBy(col(licenseCol))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(licenseCol).asc)
+
+  /** F4/F13 — JSON metadata extraction + aggregation (the reference's
+    * `json.dumps`/`json.loads` boundary, ethical_crawler.py:928, :1022;
+    * NYC `metadata.columns` :394). `get_json_object` stays a pushed
+    * column expression — the JSON string column is scanned once, no
+    * UDF.
+    */
+  def jsonExtractStats(df: DataFrame, keyCol: String, jsonCol: String,
+      jsonPath: String): DataFrame = {
+    val v = get_json_object(col(jsonCol), jsonPath).cast("int")
+    df.select(col(keyCol), v.as("v"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg(col("v")), 6).as("avg_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col(keyCol).asc)
+  }
+
+  /** P7 — array-contains predicate (README.txt:222 `tags @>`), counted
+    * per source. The array is derived (tokenized text) since the
+    * testdata has no array column; the predicate shape is the point.
+    */
+  def arrayContainsCount(df: DataFrame, keyCol: String, textCol: String,
+      needle: String): DataFrame =
+    df.filter(array_contains(split(col(textCol), " "), needle))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col(keyCol).asc)
+
+  /** The `status` verb end-to-end (ethical_crawler.py:1416–1529):
+    * two-key stats (A3) → per-key rollup (A6, folded into one Spark
+    * agg) → join with the latest row per key (J1) — the reference does
+    * the rollup in pandas and the join as a dict probe; here both fold
+    * into the plan and AQE broadcasts the post-aggregate sides.
+    */
+  def statusRollup(df: DataFrame, keyCol: String, subCol: String,
+      orderCol: String): DataFrame = {
+    val rollup = df.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col(subCol)).as("n_kinds"),
+        max(col(orderCol)).as("last_seen"))
+    val latest = latestPerKey(df, keyCol, orderCol, orderCol)
+      .select(col(keyCol), col(subCol).as("latest_kind"))
+    rollup.join(latest, Seq(keyCol))
+      .orderBy(col("n_records").desc, col(keyCol).asc)
+  }
+
+  /** Multimodal plumbing, relational half: treat content as an opaque
+    * binary column with typed metadata (byte length, content hash).
+    * The binary here is utf-8 encoded text (the container ships no
+    * image/audio codecs); the schema/partitioning/aggregation shape is
+    * what carries to real media bytes. See MultimodalOps for the
+    * feature-extraction half.
+    */
+  def binaryMeta(df: DataFrame, idCol: String, textCol: String,
+      keyCol: String): DataFrame =
+    df.select(col(keyCol),
+        octet_length(encode(col(textCol), "UTF-8")).as("n_bytes"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .orderBy(col(keyCol).asc)
 }

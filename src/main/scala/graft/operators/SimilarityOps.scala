@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table — the reference's
+  * north-star latent capability (L1: `embedding FLOAT[]`
+  * ethical_crawler.py:842, dead ML imports :31–34, README.txt:313).
+  *
+  * Three tiers, by scale:
+  *  1. [[cosineTopK]] — brute-force scan vs one query vector. O(N·d);
+  *     at 100 TB this is a single map + TakeOrderedAndProject (no
+  *     shuffle of the data, per-partition top-k heaps) — the correct
+  *     baseline and the oracle-checkable one.
+  *  2. [[labelTopPairs]] — IVF-style: pairs are only formed INSIDE a
+  *     coarse partition (the `label` column stands in for a cluster
+  *     assignment). The pair join is an equi-join on the partition key,
+  *     never all-pairs; norms are precomputed once per vector.
+  *  3. [[annTopK]] — `BucketedRandomProjectionLSH` (MLlib): sub-linear
+  *     candidate generation via hash buckets; approximate, seeded for
+  *     determinism. The 100 TB path when even one full scan per query
+  *     is too much.
+  */
+object SimilarityOps {
+
+  /** Brute-force cosine top-k against the vector with id `queryId`.
+    * The single query row is broadcast; the scan side never shuffles.
+    * Scores are rounded to 6 dp so the oracle hash compare and the
+    * ordering are immune to last-ulp float differences across engines.
+    */
+  def cosineTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(toDoubleArray(col("embedding")).as("qvec"))
+    embeddings
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"), col("label"),
+        round(cosine(toDoubleArray(col("embedding")), col("qvec")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Top-k most-similar pairs within each coarse partition (`label`),
+    * globally ranked. Equi-join on the partition key = candidate set is
+    * Σ|cluster|², not N²; at scale the clusters come from k-means
+    * centroids and the same plan holds (shuffle both sides on the
+    * cluster id, pair within partitions).
+    */
+  def labelTopPairs(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col("label"),
+      toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = e.select(
+      col("vec_id").as("vec_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(
+      col("vec_id").as("vec_b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(
+        col("label"), col("vec_a"), col("vec_b"),
+        round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(k)
+  }
+
+  /** Approximate nearest neighbours via random-hyperplane bucketing
+    * (MLlib BucketedRandomProjectionLSH). Returns (vec_id, dist) for
+    * the k nearest to `queryId` by euclidean distance among LSH
+    * candidates. Seeded → deterministic, but approximate: not
+    * oracle-SQL-expressible, covered by the rows-only gate + ScalaTest
+    * against the brute-force answer.
+    */
+  def annTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val df = embeddings
+      .withColumn("features", array_to_vector(col("embedding")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(df)
+    // Single-row driver fetch of the query vector — O(d), not a
+    // driver-side loop over data.
+    val qArr = df.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val key = Vectors.dense(qArr.map(_.toDouble))
+    model.approxNearestNeighbors(df, key, k + 1)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), round(col("distCol"), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+}

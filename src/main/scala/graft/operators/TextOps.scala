@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table — the training-data
+  * pipeline surface (reference intent: `tiktoken`/`BeautifulSoup`
+  * imported, never used — ethical_crawler.py:30, :34; content_summary
+  * synthesis at :453–470 is its only real text op).
+  *
+  * All ops are pure Column expressions over a single scan — no UDFs,
+  * no shuffle except the final aggregate — so each runs as one
+  * codegen'd stage at any scale.
+  */
+object TextOps {
+
+  /** Tokens = split on single space (the corpus is single-spaced; the
+    * DuckDB oracle splits identically).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-language corpus stats: doc count, token sum, mean tokens,
+    * mean chars. The "token counting" analytics slice.
+    */
+  def tokenStats(df: DataFrame, langCol: String, textCol: String,
+      charsCol: String): DataFrame =
+    df.select(col(langCol),
+        size(tokens(col(textCol))).as("n_tok"), col(charsCol))
+      .groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(avg(col("n_tok")), 6).as("avg_tokens"),
+        round(avg(col(charsCol)), 6).as("avg_chars"))
+      .orderBy(col(langCol).asc)
+
+  /** Function-word list for quality scoring / language ID. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "in")
+
+  private def countIn(words: Column, set: Seq[String]): Column =
+    size(filter(words, w => w.isInCollection(set)))
+
+  /** Heuristic document quality score in [0,1]:
+    * type-token ratio (lexical diversity) ·0.5 +
+    * (1 − stopword ratio) ·0.3 + capped mean word length ·0.2.
+    * Deterministic double arithmetic, same operation order as the
+    * oracle SQL.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      charsCol: String, k: Int): DataFrame = {
+    val w = tokens(col(textCol))
+    val nTok = size(w).cast("double")
+    val ttr = size(array_distinct(w)).cast("double") / nTok
+    val stopRatio = countIn(w, EnStopwords).cast("double") / nTok
+    val avgWordLen =
+      (col(charsCol).cast("double") - (nTok - 1)) / nTok
+    val score =
+      ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+        least(avgWordLen / 8.0, lit(1.0)) * 0.2
+    df.select(
+        col(idCol),
+        size(w).as("n_tok"),
+        round(ttr, 6).as("ttr"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(score, 6).as("quality"))
+      .orderBy(col("quality").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Stopword profiles per language for the n-gram-free language-ID
+    * heuristic. (The corpus vocabulary is English-domain words, so the
+    * interesting output is the confusion matrix against the labeled
+    * `lang` column.)
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "en" -> EnStopwords)
+
+  /** Language-ID confusion matrix: (labeled lang, predicted lang,
+    * docs). Prediction = first profile in [[LangProfiles]] order whose
+    * hit count strictly exceeds every later profile's (deterministic
+    * argmax), else "und" when nothing hits.
+    */
+  def langId(df: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val hits = LangProfiles.map { case (l, set) => l -> countIn(w, set) }
+    // argmax with ties resolved by profile order: chain of CASE WHEN
+    // hit(l) > 0 AND hit(l) >= max(later hits).
+    val pred = hits.zipWithIndex.foldRight(lit("und")) {
+      case (((l, h), i), elseExpr) =>
+        val later = hits.drop(i + 1).map(_._2)
+        val geLater =
+          if (later.isEmpty) h > 0
+          else h > 0 && later.map(h >= _).reduce(_ && _)
+        when(geLater, lit(l)).otherwise(elseExpr)
+    }
+    df.select(col(langCol), pred.as("predicted"))
+      .groupBy(col(langCol), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col(langCol).asc, col("predicted").asc)
+  }
+
+  /** Document fingerprints: 128-bit content hash of normalized text
+    * plus a locality-carrying prefix hash (first `prefixTokens`
+    * tokens) — the cheap "same head, edited tail" detector.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      prefixTokens: Int = 8): DataFrame = {
+    val w = tokens(DedupOps.normalized(col(textCol)))
+    df.select(
+        col(idCol),
+        DedupOps.contentKey(col(textCol)).as("content_md5"),
+        md5(concat_ws(" ",
+          slice(w, 1, prefixTokens))).as("prefix_md5"))
+      .orderBy(col(idCol).asc)
+  }
+}
