@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Table layer (K6/K7/S2 — ethical_crawler.py:817–889, :100–137):
+  * existence probe, overwrite/append, partitioned layout. Tables are
+  * plain Parquet directories; the reference's secondary indexes
+  * (:884–886) map to partition pruning + Parquet min/max stats
+  * (SURVEY §4.2), its sequences are dropped (§2.8 F2).
+  */
+object Catalog {
+
+  /** S2 — table-existence probe (`information_schema.tables`,
+    * ethical_crawler.py:127–137) for path-based tables.
+    */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** K6 overwrite (`CREATE TABLE AS` / replace, ethical_crawler.py:
+    * 115–121).
+    */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** K4/K6 append (`INSERT INTO ... SELECT`, ethical_crawler.py:123). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** K7 — partitioned table layout. `partitionBy("source_name")`
+    * replaces `idx_source_name` (ethical_crawler.py:884): an equality
+    * filter on the partition column prunes directories before any IO.
+    */
+  def overwritePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  def appendPartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** Atomic-ish table swap: move `tmpPath` over `path` (the
+    * write-temp-then-rename pattern for rewrites that read their own
+    * target; a transactional table format subsumes this at scale).
+    */
+  def replace(spark: SparkSession, tmpPath: String, path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(tmpPath), new Path(path))
+  }
+}

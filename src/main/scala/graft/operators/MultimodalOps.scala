@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed per-partition in batches.
+  *
+  * The container ships no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[decodeStub]]); everything
+  * around it — schema, batch iteration, partition-parallel execution,
+  * feature schema — is real and is exactly what a real decoder drops
+  * into. (A PySpark deployment would use `mapInPandas` with the same
+  * batch shape; in Scala the idiom is typed `mapPartitions`.)
+  *
+  * Scale notes: assets are processed with `mapPartitions` so decoder
+  * init (model load, codec setup) happens once per PARTITION, not per
+  * row; binary payloads never shuffle (feature extraction precedes
+  * any join/agg); output features are fixed-width arrays — columnar,
+  * compressible, join-ready for [[SimilarityOps]].
+  */
+object MultimodalOps {
+
+  /** An opaque media asset: bytes + minimal typed metadata. */
+  final case class MediaAsset(
+      asset_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      bytes: Array[Byte],
+      width: Option[Int],
+      height: Option[Int],
+      duration_ms: Option[Long])
+
+  final case class MediaFeatures(
+      asset_id: Long,
+      kind: String,
+      n_bytes: Long,
+      /** 16-bin byte histogram, L1-normalized — the deterministic
+        * stand-in for a real embedding.
+        */
+      features: Array[Float])
+
+  /** Build a deterministic asset table from the documents corpus
+    * (text bytes as the payload) — the fixture generator for tests
+    * and the `m1` query family.
+    */
+  def assetsFromDocuments(spark: SparkSession, docs: DataFrame)
+      : Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("asset_id"),
+        // kind cycles deterministically so group-bys have variety
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("bigint").as("duration_ms"))
+      .as[MediaAsset]
+  }
+
+  /** DECODE STUB — deterministic fake for the codec step. A real
+    * deployment replaces ONLY this function (e.g. JPEG decode +
+    * CNN features); signature and batch shape stay.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    val n = math.max(1, bytes.length).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Feature extraction over asset batches: one decoder init per
+    * partition, streaming iteration (no per-partition materialization
+    * of all bytes).
+    */
+  def extractFeatures(assets: Dataset[MediaAsset])
+      : Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition decoder init would go here (codec/model load)
+      it.map { a =>
+        MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong,
+          decodeStub(a.bytes))
+      }
+    }
+  }
+
+  /** Frame sampling stub for video-kind assets: pick every `stride`-th
+    * byte-block as a "frame" — the partitioning/explode shape of real
+    * frame extraction (one row per sampled frame, frame index carried).
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], stride: Int)
+      : DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video")
+      .flatMap { a =>
+        val nFrames = math.max(1, a.bytes.length / stride)
+        (0 until nFrames).map { f =>
+          val from = f * stride
+          val until = math.min(a.bytes.length, from + stride)
+          (a.asset_id, f, a.bytes.slice(from, until))
+        }
+      }
+      .toDF("asset_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Typed metadata rollup per kind over extracted features. */
+  def featureStats(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+      .orderBy(col("kind").asc)
+}

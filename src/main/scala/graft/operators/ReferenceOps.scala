@@ -124,6 +124,18 @@ object ReferenceOps {
       existing: DataFrame,
       incoming: DataFrame,
       keys: Seq[String],
+      batchOrder: String): DataFrame =
+    existing.unionByName(newRowsOnly(existing, incoming, keys, batchOrder))
+
+  /** The rows of `incoming` that survive K5 dedup: first-in-batch per
+    * key (by `batchOrder`), minus keys already in `existing`. This is
+    * the append-set for a physical write path (the table itself is
+    * never rewritten — existing rows win by construction).
+    */
+  def newRowsOnly(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
       batchOrder: String): DataFrame = {
     val w = Window
       .partitionBy(keys.map(col): _*)
@@ -132,8 +144,7 @@ object ReferenceOps {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val newRows = dedupedBatch.join(existing, keys, "left_anti")
-    existing.unionByName(newRows)
+    dedupedBatch.join(existing, keys, "left_anti")
   }
 
   /** P9 — distinct values (export attribution footer,

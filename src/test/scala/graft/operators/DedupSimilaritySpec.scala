@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- content dedup ---
+
+  test("exactDedup keeps first by order among identical normalized text") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different"),
+      (4L, "HELLO WORLD ")).toDF("id", "text")
+    val out = DedupOps.exactDedup(df, "text", "id")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("exactDedup is idempotent") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("id", "text")
+    val once = DedupOps.exactDedup(df, "text", "id")
+    val twice = DedupOps.exactDedup(once, "text", "id")
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("shingles: 3-grams, distinct, short docs yield none") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+    val sh = DedupOps.shingles(df, "id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("jaccardPairs: identical docs score 1.0, disjoint absent") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different words in this one here now"))
+      .toDF("id", "text")
+    val pairs = DedupOps.jaccardPairs(df, "id", "text", 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhashPairs agrees with exact jaccardPairs on real docs") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "smoke corpus should contain planted dups")
+    assert(lsh == exact) // 8 bands × 2 rows: recall ≈ 1 at J ≥ 0.8
+  }
+
+  test("simhash: identical text → identical fingerprint; near text → close") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("id", "text")
+    val fps = DedupOps.simhash(df, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    val dist = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(dist > 0 && dist <= 20, s"one-word edit moved $dist bits")
+  }
+
+  test("simhashPairs finds exact duplicates at distance 0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated content entirely about other things today"))
+      .toDF("id", "text")
+    val pairs = DedupOps.simhashPairs(df, "id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("dedupAppend idempotence and first-write-wins (K5 property)") {
+    val existing = Seq((1L, "v1"), (2L, "v2")).toDF("k", "v")
+    val batch = Seq((2L, "CHANGED"), (3L, "a-first"), (3L, "b-second"))
+      .toDF("k", "v")
+    val once = ReferenceOps.dedupAppend(existing, batch,
+      Seq("k"), "v")
+    val rows = once.as[(Long, String)].collect().toMap
+    // existing wins for k=2; first-in-batch (by batchOrder) wins for k=3
+    assert(rows == Map(1L -> "v1", 2L -> "v2", 3L -> "a-first"))
+    val twice = ReferenceOps.dedupAppend(once, batch, Seq("k"), "v")
+    assert(twice.collect().toSet == once.collect().toSet)
+  }
+
+  // --- similarity ---
+
+  test("cosine: known vectors") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 1f), Array(1f, 0f)))
+      .toDF("a", "b")
+    val scores = df.select(
+      round(VectorFunctions.cosine(
+        VectorFunctions.toDoubleArray(col("a")),
+        VectorFunctions.toDoubleArray(col("b"))), 6).as("c"))
+      .as[Double].collect()
+    assert(scores(0) == 1.0)
+    assert(scores(1) == 0.0)
+    assert(math.abs(scores(2) - 0.707107) < 1e-6)
+  }
+
+  test("cosineTopK: self-similar planted vector ranks first") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val k = SimilarityOps.cosineTopK(emb, 0L, 5).collect()
+    assert(k.length == 5)
+    val scores = k.map(_.getDouble(2))
+    assert(scores.toSeq == scores.sorted.reverse.toSeq)
+    assert(scores.forall(s => s <= 1.0 && s >= -1.0))
+  }
+
+  test("annTopK: LSH candidates overlap brute-force neighbours") {
+    val emb = Tables.embeddings(spark, sfSmoke).cache()
+    val ann = SimilarityOps.annTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // brute-force top-10 by euclidean distance
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(VectorFunctions.toDoubleArray(col("embedding")).as("qv"))
+    val brute = emb.filter(col("vec_id") =!= 0L).crossJoin(q)
+      .select(col("vec_id"),
+        sqrt(aggregate(
+          zip_with(VectorFunctions.toDoubleArray(col("embedding")),
+            col("qv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10).select("vec_id").as[Long].collect().toSet
+    // LSH with 4 tables on random data: expect meaningful overlap,
+    // not exactness (it prunes buckets by design)
+    assert(ann.intersect(brute).size >= 3,
+      s"ann=$ann brute=$brute overlap too small")
+  }
+
+  test("labelTopPairs only pairs within a label") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val pairs = SimilarityOps.labelTopPairs(emb, 20).collect()
+    assert(pairs.length == 20)
+    val byId = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    pairs.foreach { r =>
+      assert(byId(r.getLong(1)) == byId(r.getLong(2)))
+    }
+  }
+}

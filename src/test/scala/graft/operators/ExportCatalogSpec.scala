@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Catalog, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ExportCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("export parquet round-trips exactly (K1)") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val dir = tmpDir("exp") + "/docs_parquet"
+    val exported = ExportOps.export(docs,
+      Some("lang = 'en'"), "parquet", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == exported.count())
+    assert(back.schema == docs.schema)
+    assert(back.agg(sum("n_chars")).head.getLong(0) ==
+      exported.agg(sum("n_chars")).head.getLong(0))
+  }
+
+  test("export csv with header round-trips counts (K2)") {
+    val docs = Tables.documents(spark, sfSmoke)
+      .select("doc_id", "lang", "source", "n_chars")
+    val dir = tmpDir("exp") + "/docs_csv"
+    ExportOps.export(docs, None, "csv", dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == docs.count())
+    assert(back.columns.toSeq == docs.columns.toSeq)
+  }
+
+  test("export json round-trips values (K3)") {
+    val docs = Tables.documents(spark, sfSmoke)
+      .select("doc_id", "source")
+    val dir = tmpDir("exp") + "/docs_json"
+    ExportOps.export(docs, Some("doc_id < 10"), "json", dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.filter("doc_id < 10").count())
+  }
+
+  test("export rejects unknown format") {
+    val docs = Tables.documents(spark, sfSmoke)
+    intercept[IllegalArgumentException] {
+      ExportOps.export(docs, None, "xml", tmpDir("exp"))
+    }
+  }
+
+  test("export where-clause is a predicate, not arbitrary SQL (P6)") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val n = ExportOps.export(docs, Some("n_chars >= 100 AND lang = 'en'"),
+      "parquet", tmpDir("exp") + "/p").count()
+    assert(n == docs.filter(col("n_chars") >= 100 &&
+      col("lang") === "en").count())
+    intercept[Exception] {
+      ExportOps.export(docs, Some("1; DROP TABLE documents"),
+        "parquet", tmpDir("exp") + "/inj").count()
+    }
+  }
+
+  test("attribution footer lists distinct sources of the slice (P9)") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val att = ExportOps.attribution(docs, "source", Some("doc_id < 5"))
+      .as[String].collect()
+    assert(att.toSeq == att.sorted.toSeq)
+    assert(att.length ==
+      docs.filter("doc_id < 5").select("source").distinct().count())
+  }
+
+  test("catalog: tableExists probe (S2)") {
+    val dir = tmpDir("cat") + "/t"
+    assert(!Catalog.tableExists(spark, dir))
+    Catalog.overwrite(Seq((1, "a")).toDF("k", "v"), dir)
+    assert(Catalog.tableExists(spark, dir))
+  }
+
+  test("catalog: overwrite replaces, append adds (K6)") {
+    val dir = tmpDir("cat") + "/t2"
+    Catalog.overwrite(Seq((1, "a")).toDF("k", "v"), dir)
+    Catalog.overwrite(Seq((2, "b")).toDF("k", "v"), dir)
+    assert(Catalog.load(spark, dir).as[(Int, String)].collect().toSeq ==
+      Seq((2, "b")))
+    Catalog.append(Seq((3, "c")).toDF("k", "v"), dir)
+    assert(Catalog.load(spark, dir).count() == 2)
+  }
+
+  test("catalog: partitioned layout prunes on the partition key (K7)") {
+    val dir = tmpDir("cat") + "/part"
+    val df = Seq(("s1", 1L), ("s1", 2L), ("s2", 3L))
+      .toDF("source_name", "id")
+    Catalog.overwritePartitioned(df, dir, Seq("source_name"))
+    // physical layout: one directory per source
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("source_name=s1", "source_name=s2"))
+    val pruned = Catalog.load(spark, dir)
+      .filter(col("source_name") === "s1")
+    assert(pruned.count() == 2)
+    // partition filter must appear as such in the plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
+  test("statusRollup composes stats + latest (reference status verb)") {
+    val df = Seq(
+      ("s1", "en", 1L), ("s1", "de", 2L), ("s1", "en", 5L),
+      ("s2", "fr", 3L)).toDF("source", "lang", "doc_id")
+    val out = ReferenceOps.statusRollup(df, "source", "lang", "doc_id")
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      ("s1", 3L, 2L, 5L, "en"), ("s2", 1L, 1L, 3L, "fr")))
+  }
+
+  test("search with empty query returns all rows sorted+limited (:978)") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val out = ReferenceOps.search(docs, None, Seq.empty, Map.empty,
+      "doc_id", Seq.empty, 7)
+    assert(out.count() == 7)
+    val ids = out.select("doc_id").as[Long].collect()
+    assert(ids.toSeq == ids.sorted.reverse.toSeq)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats: counts and means per lang") {
+    val df = Seq(
+      (1L, "a b c", "en", 5L), (2L, "d e", "en", 3L),
+      (3L, "x y z w", "de", 7L)).toDF("doc_id", "text", "lang", "n_chars")
+    val out = TextOps.tokenStats(df, "lang", "text", "n_chars")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq(
+      ("de", 1L, 4L, 4.0, 7.0), ("en", 2L, 5L, 2.5, 4.0)))
+  }
+
+  test("qualityScore: bounded, diverse text beats repetitive text") {
+    val df = Seq(
+      (1L, "unique words every single token here", 36L),
+      (2L, "the the the the the the", 23L)).toDF("doc_id", "text", "n_chars")
+    val out = TextOps.qualityScore(df, "doc_id", "text", "n_chars", 10)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(1L) > out(2L))
+  }
+
+  test("langId: stopword profiles route predictions deterministically") {
+    val df = Seq(
+      ("en", "the cat sat on a mat"),
+      ("de", "der hund und die katze"),
+      ("fr", "le chat et la souris"),
+      ("zz", "xyzzy plugh")).toDF("lang", "text")
+    val preds = TextOps.langId(df, "lang", "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(preds("en") == "en")
+    assert(preds("de") == "de")
+    assert(preds("fr") == "fr")
+    assert(preds("zz") == "und")
+  }
+
+  test("fingerprints: stable under whitespace/case noise") {
+    val df = Seq(
+      (1L, "Alpha Beta  Gamma Delta Epsilon Zeta Eta Theta Iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.fingerprints(df, "doc_id", "text")
+      .as[(Long, String, String)].collect()
+    assert(fp(0)._2 == fp(1)._2) // content hash identical
+    assert(fp(0)._3 == fp(1)._3) // prefix hash identical
+  }
+
+  test("decodeStub: deterministic, L1-normalized histogram") {
+    val bytes = "hello multimodal world".getBytes("UTF-8")
+    val f1 = MultimodalOps.decodeStub(bytes)
+    val f2 = MultimodalOps.decodeStub(bytes)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == 16)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5)
+  }
+
+  test("extractFeatures: one feature row per asset, bytes preserved") {
+    val docs = Tables.documents(spark, sfSmoke).limit(50)
+    val assets = MultimodalOps.assetsFromDocuments(spark, docs)
+    val feats = MultimodalOps.extractFeatures(assets)
+    assert(feats.count() == 50)
+    val row = feats.filter(_.asset_id == 0L).head()
+    val expectedLen = docs.filter(col("doc_id") === 0L)
+      .select(octet_length(encode(col("text"), "UTF-8")))
+      .head().getInt(0)
+    assert(row.n_bytes == expectedLen.toLong)
+    assert(row.features.length == 16)
+  }
+
+  test("sampleFrames: video assets explode into strided frames") {
+    val docs = Tables.documents(spark, sfSmoke).limit(30)
+    val assets = MultimodalOps.assetsFromDocuments(spark, docs)
+    val frames = MultimodalOps.sampleFrames(assets, stride = 64)
+    val videos = assets.filter(_.kind == "video").collect()
+    assert(videos.nonEmpty)
+    val expected = videos.map(a => math.max(1, a.bytes.length / 64)).sum
+    assert(frames.count() == expected.toLong)
+    // frame indices are dense from 0 per asset
+    val byAsset = frames.groupBy("asset_id")
+      .agg(count(lit(1)).as("n"), min("frame_idx").as("mn"),
+        max("frame_idx").as("mx")).collect()
+    byAsset.foreach { r =>
+      assert(r.getInt(2) == 0 && r.getInt(3) == r.getLong(1) - 1)
+    }
+  }
+
+  test("featureStats: typed rollup per kind") {
+    val docs = Tables.documents(spark, sfSmoke).limit(30)
+    val feats = MultimodalOps.extractFeatures(
+      MultimodalOps.assetsFromDocuments(spark, docs))
+    val stats = MultimodalOps.featureStats(feats).collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(stats.map(_.getLong(1)).sum == 30L)
+  }
+}
