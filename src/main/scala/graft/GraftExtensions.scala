@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring for the engine's custom expressions
+  * (`SparkSessionExtensions` is the sanctioned extension point — no
+  * fork, no private API). Registered functions are callable from SQL
+  * and via `functions.call_function`, and participate fully in
+  * whole-stage codegen.
+  *
+  * Registry:
+  *  - `graft_dot(array<double>, array<double>) → double` — codegen
+  *    dot product ([[graft.functions.DotProduct]]); the kernel under
+  *    every cosine-similarity operator.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct.withCasts(children.head, children(1))
+      }))
+  }
+}

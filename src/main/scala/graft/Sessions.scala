@@ -26,6 +26,7 @@ object Sessions {
   def local(cores: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -151,6 +151,31 @@ object SparkEntry {
       ReferenceOps.binaryMeta(Tables.documents(s, dir),
         "doc_id", "text", "source")),
 
+    // ---- L2 v2: tokenized inverted-index full-text search ----
+    "l2_fts_search" -> ((s, dir) =>
+      FtsOps.searchDocs(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "window"), k = 50)),
+
+    // ---- remaining §2 aggregate/sort shapes ----
+    "a5_filtered_agg" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("n_chars") >= 200)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("n_docs").desc, col("source").asc)),
+    "a7_totals" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))),
+    "o4_truncate" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.Render.truncated(col("text"), 200).as("preview"))
+        .orderBy(col("doc_id").asc)
+        .limit(50)),
+
     // ---- star-schema join/agg extension suite ----
     "q1_pricing_summary" -> ((s, dir) =>
       StarSchemaOps.pricingSummary(s, dir)),
@@ -294,6 +319,24 @@ object SparkEntry {
         |  min(octet_length(encode(text))) AS min_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
+    "l2_fts_search" ->
+      operators.FtsOps.searchDocsSql("documents", "doc_id", "text",
+        Seq("spark", "window"), 50),
+    "a5_filtered_agg" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY source
+        |ORDER BY n_docs DESC, source ASC""".stripMargin,
+    "a7_totals" ->
+      """SELECT count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+        |  count(DISTINCT source) AS n_sources FROM documents""".stripMargin,
+    "o4_truncate" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) > 200
+        |       THEN substr(text, 1, 200) || '...'
+        |       ELSE text END AS preview
+        |FROM documents ORDER BY doc_id ASC LIMIT 50""".stripMargin,
     "p3_search_ilike" ->
       """SELECT doc_id, source, lang, n_chars FROM documents
         |WHERE (text ILIKE '%window%' OR source ILIKE '%window%')

@@ -16,12 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Exact float→double promotion of an `array<float>` column. */
+  /** Exact float→double promotion of an `array<float>` column. A
+    * Cast, NOT `transform(_, cast)`: higher-order functions are
+    * CodegenFallback and evict the whole projection from
+    * whole-stage codegen; Cast stays inside it. Element-wise result
+    * is identical.
+    */
   def toDoubleArray(a: Column): Column =
-    transform(a, x => x.cast("double"))
+    a.cast("array<double>")
 
-  /** Sequential-order dot product of two double-array columns. */
+  /** Sequential-order dot product of two double-array columns, as the
+    * codegen [[DotProduct]] expression (registered by
+    * [[graft.GraftExtensions]]; every session built via
+    * `graft.Sessions` has it). Bit-identical to [[dotHof]].
+    */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Higher-order-function formulation of the same dot product
+    * (`zip_with` + `aggregate`): pure built-ins, runs on ANY session,
+    * but CodegenFallback — kept as the reference implementation the
+    * codegen path is differential-tested against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm. */

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text search v2 (L2): a tokenized inverted index as ordinary
+  * tables — the scale path the reference skipped ("Skip FTS for now
+  * since it's causing issues", ethical_crawler.py:888; README.txt:235
+  * claims it anyway).
+  *
+  * v1 (`ReferenceOps.search` ILIKE) scans every text byte per query —
+  * the round-1 plan audit flagged exactly that as the 100 TB weakness.
+  * Here the scan cost is paid ONCE at index-build; each query then
+  * touches only the posting lists of its terms:
+  *
+  *  - index build: one explode + one hash agg, partitioned (bucketed
+  *    at rest) by token — postings for one term are one partition
+  *    probe, not a corpus scan;
+  *  - search: an IN-list filter on the token column (partition/row-
+  *    group prunable), a doc-level agg, AND-semantics via distinct
+  *    term count, rank by summed term frequency.
+  */
+object FtsOps {
+
+  /** Build the inverted index: one row per (token, doc) with term
+    * frequency. At rest this is written
+    * `partitionBy/bucketBy(token)` so a term lookup prunes to one
+    * bucket.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** AND-semantics ranked search over the inverted index: documents
+    * containing ALL `terms`, ranked by total term frequency.
+    * Deterministic total order (score desc, id asc).
+    */
+  def search(index: DataFrame, idCol: String, terms: Seq[String], k: Int)
+      : DataFrame = {
+    require(terms.nonEmpty, "at least one search term")
+    index
+      .filter(col("token").isInCollection(terms))
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("token")).as("n_terms"),
+        sum(col("tf")).as("score"))
+      .filter(col("n_terms") === terms.distinct.size)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Index + search in one go (what a query without a persisted index
+    * pays; with the index at rest only [[search]] runs).
+    */
+  def searchDocs(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame =
+    search(buildIndex(docs, idCol, textCol), idCol, terms, k)
+
+  /** Oracle SQL twin of [[searchDocs]]. */
+  def searchDocsSql(table: String, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH idx AS (
+       |  SELECT token, $idCol, count(*) AS tf FROM (
+       |    SELECT $idCol, unnest(string_split($textCol, ' ')) AS token
+       |    FROM $table)
+       |  WHERE token <> '' GROUP BY token, $idCol)
+       |SELECT $idCol, sum(tf)::BIGINT AS score
+       |FROM idx WHERE token IN ($inList)
+       |GROUP BY $idCol
+       |HAVING count(DISTINCT token) = ${terms.distinct.size}
+       |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
+  }
+}

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot equals the higher-order formulation bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val pairs = emb.select(
+      VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      .crossJoin(emb.limit(3).select(
+        VectorFunctions.toDoubleArray(col("embedding")).as("w")))
+    val diff = pairs.select(
+      (VectorFunctions.dot(col("v"), col("w")) -
+        VectorFunctions.dotHof(col("v"), col("w"))).as("d"))
+      .agg(max(abs(col("d"))))
+      .head.getDouble(0)
+    assert(diff == 0.0, "codegen and HOF dot products must be identical")
+  }
+
+  test("graft_dot: known values, implicit float→double cast, SQL call") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b")))
+      .head.getDouble(0) == 32.0)
+    df.createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT graft_dot(a, b) FROM vecs")
+      .head.getDouble(0) == 32.0)
+    spark.catalog.dropTempView("vecs")
+  }
+
+  test("graft_dot: null array → null result") {
+    val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b")))
+      .head.isNullAt(0))
+  }
+
+  test("graft_dot participates in whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val q = emb.select(VectorFunctions.dot(
+      VectorFunctions.toDoubleArray(col("embedding")),
+      VectorFunctions.toDoubleArray(col("embedding"))).as("d"))
+    // `*(n)` is the whole-stage-codegen marker in plan text; the
+    // projection containing graft_dot must carry it
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}

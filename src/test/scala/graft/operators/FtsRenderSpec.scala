@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.{Render, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class FtsRenderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inverted index: one row per (token, doc) with tf") {
+    val df = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val idx = FtsOps.buildIndex(df, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(idx == Set(("a", 1L, 2L), ("b", 1L, 1L),
+      ("b", 2L, 1L), ("c", 2L, 1L)))
+  }
+
+  test("fts search: AND semantics, tf-ranked, deterministic order") {
+    val df = Seq(
+      (1L, "spark window spark"), // both terms, tf sum 3
+      (2L, "spark window window window"), // both, tf sum 4
+      (3L, "spark only here"), // missing 'window' → excluded
+      (4L, "window alone")).toDF("doc_id", "text")
+    val out = FtsOps.searchDocs(df, "doc_id", "text",
+      Seq("spark", "window"), 10).as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((2L, 4L), (1L, 3L)))
+  }
+
+  test("fts search agrees with ILIKE search on real corpus") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val fts = FtsOps.searchDocs(docs, "doc_id", "text",
+      Seq("window"), 1000).select("doc_id").as[Long].collect().toSet
+    // token match implies substring match (the corpus is
+    // space-separated words, so the sets coincide)
+    val ilike = docs.filter(col("text").ilike("%window%"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fts == ilike)
+  }
+
+  test("fts search: duplicate terms count once for AND semantics") {
+    val df = Seq((1L, "x y")).toDF("doc_id", "text")
+    val out = FtsOps.searchDocs(df, "doc_id", "text",
+      Seq("x", "x", "y"), 10).count()
+    assert(out == 1)
+  }
+
+  test("S3 — DataFrame registration scan via temp view") {
+    val ds = spark.createDataFrame(Seq((1L, "a"), (2L, "b")))
+      .toDF("id", "v")
+    ds.createOrReplaceTempView("temp_df")
+    val back = spark.sql("SELECT id, v FROM temp_df ORDER BY id")
+      .as[(Long, String)].collect()
+    assert(back.toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(spark.catalog.tableExists("temp_df"))
+    spark.catalog.dropTempView("temp_df")
+  }
+
+  test("K8 — console render: aligned table with truncation and nulls") {
+    val df = Seq(
+      (1L, Some("short"), "x" * 60),
+      (2L, None, "y")).toDF("id", "opt", "long_text")
+    val out = Render.table(df.orderBy("id"), maxRows = 10,
+      maxColWidth = 20)
+    val lines = out.split("\n")
+    assert(lines.head.startsWith("+-"))
+    assert(lines(1).contains("id") && lines(1).contains("long_text"))
+    assert(out.contains("NULL"))
+    assert(out.contains("x" * 20 + "..."))
+    // all body lines equal width
+    assert(lines.map(_.length).toSet.size == 1)
+  }
+
+  test("O4/F10 — truncated column expression") {
+    val df = Seq(("a" * 250), ("b" * 10)).toDF("t")
+    val out = df.select(Render.truncated(col("t"), 200).as("p"))
+      .as[String].collect()
+    assert(out(0) == "a" * 200 + "...")
+    assert(out(1) == "b" * 10)
+  }
+}
