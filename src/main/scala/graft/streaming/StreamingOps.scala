@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.Row
 
 /** Structured Streaming slice over the `events` stream (SURVEY §2.9
   * extension — the reference is batch-only; this is the capability a
@@ -47,6 +48,70 @@ object StreamingOps {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  final case class UserSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState`: events
+    * per user are folded into sessions split wherever the gap between
+    * consecutive events exceeds `gapMillis`. Emits every CLOSED
+    * session; the open tail stays in the state store (bounded by the
+    * per-key single-session state + event-time timeout, so state
+    * never grows with history — the 100 TB requirement for stateful
+    * streams).
+    *
+    * Works identically over a batch Dataset (Spark runs the same
+    * function once per whole group) — the batch run is the test
+    * oracle; `emitOpen` additionally flushes the trailing open
+    * session for that case.
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long,
+      emitOpen: Boolean): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+
+    def fold(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      val closed = Seq.newBuilder[UserSession]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMillis =>
+            cur = Some(s.copy(last = t, n = s.n + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            closed += UserSession(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(s) if emitOpen =>
+          state.remove()
+          closed += UserSession(userId, new Timestamp(s.start),
+            new Timestamp(s.last), s.n, s.total)
+        case Some(s) =>
+          state.update(s)
+        case None => ()
+      }
+      closed.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fold)
+  }
 
   /** Run a streaming aggregation to completion against a memory sink
     * and return the result table. `Complete` output mode (the test

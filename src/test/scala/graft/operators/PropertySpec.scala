@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based suite (SURVEY §5.2(3)): algebraic laws of the core
+  * operators over ScalaCheck-generated data. The scalatest–scalacheck
+  * bridge isn't resolvable offline, so sampling is hand-rolled with
+  * fixed seeds — deterministic AND property-shaped. Spark jobs per
+  * case are expensive; 5 samples per law.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).flatMap { i =>
+      gen.apply(Gen.Parameters.default.withSize(30), Seed(42L + i))
+    }
+
+  private val keyGen = Gen.chooseNum(0L, 12L)
+  private val valGen = Gen.alphaNumStr.map(_.take(8))
+  private val batchGen = Gen.listOf(Gen.zip(keyGen, valGen))
+  private val twoBatches = Gen.zip(batchGen, batchGen)
+
+  test("property: dedupAppend is idempotent — append(append(t,b),b) == append(t,b)") {
+    samples(twoBatches).foreach { case (existingRows, batchRows) =>
+      val existing = ReferenceOps.dedupAppend(
+        Seq.empty[(Long, String)].toDF("k", "v"),
+        existingRows.toDF("k", "v"), Seq("k"), "v")
+      val batch = batchRows.toDF("k", "v")
+      val once = ReferenceOps.dedupAppend(existing, batch, Seq("k"), "v")
+      val twice = ReferenceOps.dedupAppend(once, batch, Seq("k"), "v")
+      assert(twice.collect().toSet == once.collect().toSet)
+    }
+  }
+
+  test("property: dedupAppend keys unique; existing rows never change") {
+    samples(twoBatches).foreach { case (existingRows, batchRows) =>
+      val existing = ReferenceOps.dedupAppend(
+        Seq.empty[(Long, String)].toDF("k", "v"),
+        existingRows.toDF("k", "v"), Seq("k"), "v")
+      val out = ReferenceOps.dedupAppend(existing,
+        batchRows.toDF("k", "v"), Seq("k"), "v")
+        .as[(Long, String)].collect()
+      assert(out.map(_._1).distinct.length == out.length)
+      existing.as[(Long, String)].collect().foreach { case (k, v) =>
+        assert(out.toMap.apply(k) == v)
+      }
+    }
+  }
+
+  test("property: search filter monotonicity — more predicates, never more rows") {
+    val docGen = Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 100L),
+      Gen.oneOf("alpha beta", "gamma delta", "alpha gamma"),
+      Gen.oneOf("en", "de")))
+    samples(docGen).foreach { rows =>
+      val df = rows.toDF("doc_id", "text", "lang")
+      val unfiltered = ReferenceOps.search(df, Some("alpha"),
+        Seq("text"), Map.empty, "doc_id", Seq.empty, 1000).count()
+      val filtered = ReferenceOps.search(df, Some("alpha"),
+        Seq("text"), Map("lang" -> "en"), "doc_id", Seq.empty, 1000)
+        .count()
+      assert(filtered <= unfiltered)
+    }
+  }
+
+  test("property: jaccard pairs bounded in (0,1], ordered id_a < id_b") {
+    val textGen = Gen.listOfN(8,
+      Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(8, textGen).map(_.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) })
+    samples(docsGen).foreach { rows =>
+      val pairs = DedupOps.jaccardPairs(rows.toDF("id", "text"),
+        "id", "text", minJaccard = 0.1)
+        .as[(Long, Long, Double)].collect()
+      pairs.foreach { case (a, b, j) =>
+        assert(a < b)
+        assert(j > 0.0 && j <= 1.0)
+      }
+    }
+  }
+
+  test("property: exactDedup output has unique content keys, is a subset") {
+    samples(batchGen).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }.toDF("id", "text")
+      val out = DedupOps.exactDedup(df, "text", "id")
+        .as[(Long, String)].collect()
+      val norm = (s: String) => s.toLowerCase.trim.replaceAll("\\s+", " ")
+      assert(out.map(r => norm(r._2)).distinct.length == out.length)
+      assert(out.toSet.subsetOf(df.as[(Long, String)].collect().toSet))
+    }
+  }
+
+  test("property: robots parse — disallowed paths deny (incl. subpaths)") {
+    val pathGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map("/" + _.mkString))
+      .map(_.distinct)
+    samples(pathGen).foreach { paths =>
+      val txt = "User-agent: *\n" +
+        paths.map(p => s"Disallow: $p").mkString("\n")
+      val rules = graft.ingest.RobotsChecker.parse(txt)
+      paths.foreach { p =>
+        assert(!rules.canFetch("AnyBot", p))
+        assert(!rules.canFetch("AnyBot", p + "/sub"))
+      }
+      // digit-leading path can't prefix-match letter-only rules
+      assert(rules.canFetch("AnyBot", "/0"))
+    }
+  }
+}

@@ -31,6 +31,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum == batchEvents.count())
   }
 
+  test("sessionize: gap splits, ordering, totals (batch oracle)") {
+    import spark.implicits._
+    def ev(id: Long, t: Long, u: Long, v: Double) =
+      StreamingOps.Event(id, new java.sql.Timestamp(t), u, "click", v)
+    val events = Seq(
+      // user 1: two sessions split by a 10-minute gap
+      ev(1, 0L, 1L, 1.0), ev(2, 60000L, 1L, 2.0),
+      ev(3, 660000L, 1L, 4.0),
+      // user 2: one session, out-of-order arrival
+      ev(5, 120000L, 2L, 8.0), ev(4, 100000L, 2L, 16.0)).toDS
+    val sessions = StreamingOps.sessionize(events,
+        gapMillis = 5 * 60 * 1000, emitOpen = true)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length == 3)
+    val Seq(s1a, s1b, s2) = sessions.toSeq
+    assert(s1a.user_id == 1 && s1a.n_events == 2 && s1a.total_value == 3.0)
+    assert(s1a.session_start.getTime == 0L &&
+      s1a.session_end.getTime == 60000L)
+    assert(s1b.n_events == 1 && s1b.total_value == 4.0)
+    assert(s2.user_id == 2 && s2.n_events == 2 && s2.total_value == 24.0)
+    assert(s2.session_start.getTime == 100000L)
+  }
+
+  test("sessionize on the real events table: conservation of events") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfSmoke)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[StreamingOps.Event]
+    val sessions = StreamingOps.sessionize(events,
+      gapMillis = 30 * 60 * 1000, emitOpen = true).cache()
+    assert(sessions.agg(sum("n_events")).head.getLong(0) ==
+      events.count())
+    // sessions of one user never overlap
+    val byUser = sessions.collect().groupBy(_.user_id)
+    byUser.values.foreach { ss =>
+      val sorted = ss.sortBy(_.session_start.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.session_end.getTime < b.session_start.getTime)
+        case _ => ()
+      }
+    }
+  }
+
   test("tumblingCounts on a batch frame degrades to a plain windowed agg") {
     val ev = Tables.events(spark, sfSmoke)
     val agg = StreamingOps.tumblingCounts(ev, "ts", "1 hour", "10 minutes")
