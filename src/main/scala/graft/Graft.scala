@@ -1,0 +1,100 @@
+package graft
+
+import graft.ingest.{Adapter, ComplianceCheck, DataRecord, Pipeline}
+import graft.operators.{ExportOps, FtsOps, ReferenceOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing client: the reference CLI's five verbs
+  * (`setup`/`collect`/`search`/`analytics`/`status`/`export`,
+  * ethical_crawler.py:1110–1533) over a catalog directory. A user of
+  * the reference switches by pointing this at a table directory; each
+  * verb composes the operator layer (ReferenceOps/ExportOps/FtsOps/
+  * Pipeline) and returns DataFrames (render with [[Render.table]]).
+  */
+final class Graft(spark: SparkSession, tableDir: String) {
+
+  private val pipeline = new Pipeline(spark, tableDir)
+
+  def records: DataFrame = Catalog.load(spark, pipeline.recordsPath)
+
+  /** `setup` — persist compliance checks for the given adapters
+    * (ethical_crawler.py:1116–1154). Returns the checks run.
+    */
+  def setup(adapters: Seq[Adapter]): Seq[ComplianceCheck] = {
+    val (_, checks) = pipeline.compliantAdapters(adapters)
+    import spark.implicits._
+    Catalog.append(checks.toDS.toDF, pipeline.checksPath)
+    checks
+  }
+
+  /** `collect` — gate, discover, dedup-append
+    * (ethical_crawler.py:1157–1203). Returns new-record count.
+    */
+  def collect(adapters: Seq[Adapter]): Long =
+    pipeline.collectAll(adapters)._1
+
+  /** `search` — ILIKE disjunction over title/description/summary +
+    * optional source/type equality filters + recency top-k
+    * (ethical_crawler.py:1206–1270).
+    */
+  def search(query: Option[String], source: Option[String] = None,
+      dataType: Option[String] = None, limit: Int = 10): DataFrame =
+    ReferenceOps.search(records, query,
+      textCols = Seq("title", "description", "content_summary"),
+      equalityFilters =
+        source.map("source_name" -> _).toMap ++
+          dataType.map("data_type" -> _).toMap,
+      orderCol = "ingested_at", tiebreakers = Seq("record_id"),
+      limit = limit)
+
+  /** Full-text variant of search over the inverted index (L2 v2). */
+  def searchFts(terms: Seq[String], limit: Int = 10): DataFrame =
+    FtsOps.searchDocs(
+      records.select(col("record_id"),
+        concat_ws(" ", col("title"), col("description")).as("text")),
+      "record_id", "text", terms, limit)
+
+  /** `analytics` — per-source stats, type counts, and the three
+    * reference-stubbed analytics (tags/temporal/license)
+    * (ethical_crawler.py:1274–1349).
+    */
+  def analytics(): Map[String, DataFrame] = Map(
+    "source_stats" -> ReferenceOps.sourceStats(records,
+      key = "source_name", distinctCol = "data_type",
+      avgCol = "size_bytes", spanCol = "ingested_at"),
+    "type_counts" -> ReferenceOps.typeCounts(records, "data_type"),
+    "popular_tags" -> ReferenceOps.popularTags(records, col("tags"), 20),
+    "temporal_activity" ->
+      ReferenceOps.temporalActivity(records, "ingested_at"),
+    "license_distribution" ->
+      ReferenceOps.licenseDistribution(records, "license_info"))
+
+  /** `status` — two-key stats rolled up per source joined with the
+    * latest compliance check (ethical_crawler.py:1416–1529).
+    */
+  def status(): DataFrame = {
+    val stats = records
+      .groupBy(col("source_name"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("data_type")).as("n_types"),
+        max(col("ingested_at")).as("last_ingested"))
+    val latestCheck = ReferenceOps.latestPerKey(
+      Catalog.load(spark, pipeline.checksPath),
+      key = "source_name", orderCol = "last_check",
+      tiebreaker = "last_check")
+      .select(col("source_name"), col("robots_txt_compliant"),
+        col("api_key_valid"), col("last_check"))
+    stats.join(latestCheck, Seq("source_name"), "left")
+      .orderBy(col("n_records").desc, col("source_name").asc)
+  }
+
+  /** `export` — predicate + format + path, returns the attribution
+    * footer frame (ethical_crawler.py:1352–1413).
+    */
+  def export(whereClause: Option[String], format: String, path: String)
+      : DataFrame = {
+    ExportOps.export(records, whereClause, format, path)
+    ExportOps.attribution(records, "source_name", whereClause)
+  }
+}

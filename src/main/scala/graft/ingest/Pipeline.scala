@@ -3,6 +3,7 @@ package graft.ingest
 import graft.Catalog
 import graft.operators.ReferenceOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{lit, monotonically_increasing_id}
 
 /** The `collect` verb end-to-end (ethical_crawler.py:938–966 + CLI
   * :1157–1203): compliance-gate each registered adapter (R2,
@@ -49,17 +50,26 @@ final class Pipeline(spark: SparkSession, tableDir: String) {
     */
   def appendRecords(records: Seq[DataRecord]): Long = {
     if (records.isEmpty) return 0L
+    // Arrival index pins within-batch first-write-wins to the
+    // reference's iteration order (ethical_crawler.py:914's row loop);
+    // ordering the dedup window by the key itself would tie on
+    // duplicates and pick nondeterministically.
     val incoming = spark.createDataset(records).toDF
+      .withColumn("__batch_idx",
+        monotonically_increasing_id())
     val existing: DataFrame =
       if (Catalog.tableExists(spark, recordsPath))
         Catalog.load(spark, recordsPath)
-          .select(incoming.columns.head, incoming.columns.tail: _*)
+          .select(incoming.columns.filterNot(_ == "__batch_idx").head,
+            incoming.columns.filterNot(_ == "__batch_idx").tail: _*)
+          .withColumn("__batch_idx", lit(-1L))
       else incoming.limit(0)
     val newRows = ReferenceOps.newRowsOnly(
       existing,
       incoming,
       keys = Seq("source_name", "record_id"),
-      batchOrder = "record_id")
+      batchOrder = "__batch_idx")
+      .drop("__batch_idx")
       .cache()
     val n = newRows.count()
     if (n > 0)

@@ -30,7 +30,7 @@ object FtsOps {
   def buildIndex(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame =
     docs.select(col(idCol),
-        explode(split(col(textCol), " ")).as("token"))
+        explode(split(lower(col(textCol)), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"), col(idCol))
       .agg(count(lit(1)).as("tf"))
@@ -42,13 +42,14 @@ object FtsOps {
   def search(index: DataFrame, idCol: String, terms: Seq[String], k: Int)
       : DataFrame = {
     require(terms.nonEmpty, "at least one search term")
+    val normTerms = terms.map(_.toLowerCase)
     index
-      .filter(col("token").isInCollection(terms))
+      .filter(col("token").isInCollection(normTerms))
       .groupBy(col(idCol))
       .agg(
         countDistinct(col("token")).as("n_terms"),
         sum(col("tf")).as("score"))
-      .filter(col("n_terms") === terms.distinct.size)
+      .filter(col("n_terms") === normTerms.distinct.size)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -64,16 +65,18 @@ object FtsOps {
   /** Oracle SQL twin of [[searchDocs]]. */
   def searchDocsSql(table: String, idCol: String, textCol: String,
       terms: Seq[String], k: Int): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val normTerms = terms.map(_.toLowerCase)
+    val inList = normTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH idx AS (
        |  SELECT token, $idCol, count(*) AS tf FROM (
-       |    SELECT $idCol, unnest(string_split($textCol, ' ')) AS token
+       |    SELECT $idCol, unnest(string_split(lower($textCol), ' '))
+       |      AS token
        |    FROM $table)
        |  WHERE token <> '' GROUP BY token, $idCol)
        |SELECT $idCol, sum(tf)::BIGINT AS score
        |FROM idx WHERE token IN ($inList)
        |GROUP BY $idCol
-       |HAVING count(DISTINCT token) = ${terms.distinct.size}
+       |HAVING count(DISTINCT token) = ${normTerms.distinct.size}
        |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ingest._
+import java.time.{Clock, Instant, ZoneOffset}
+
+/** End-to-end verb tests: the reference CLI surface over a fresh
+  * catalog dir using offline fixture adapters (SURVEY §5.2(4) golden
+  * pipeline shape).
+  */
+class GraftSpec extends SparkSpec {
+
+  val clock: Clock =
+    Clock.fixed(Instant.parse("2026-01-01T00:00:00Z"), ZoneOffset.UTC)
+
+  def nycFixture(items: String*): NycOpenDataAdapter = {
+    val base = "https://data.cityofnewyork.us"
+    new NycOpenDataAdapter(new FixtureFetcher(Map(
+      s"$base/robots.txt" -> (404, ""),
+      s"$base/api/views/metadata/v1?limit=5000&offset=0" ->
+        (200, items.mkString("[", ",", "]")))), None, clock)
+  }
+
+  def item(id: String, name: String, views: Int): String =
+    s"""{"id": "$id", "name": "$name", "description": "about $name",
+       |"category": "Transport", "tags": ["traffic"],
+       |"viewCount": $views, "rowsUpdatedAt": "1718000000"}""".stripMargin
+
+  test("collect → search → analytics → status → export, end to end") {
+    val g = new Graft(spark, tmpDir("graft"))
+    val ad = nycFixture(
+      item("aa-1", "Traffic Volume", 10),
+      item("bb-2", "Bike Counts", 20),
+      item("aa-1", "Traffic Volume DUP", 30)) // dup key in batch
+
+    // setup: compliance audit persisted
+    val checks = g.setup(Seq(ad))
+    assert(checks.size == 1 && checks.head.issues.isEmpty)
+
+    // collect: first write wins on the duplicate
+    assert(g.collect(Seq(ad)) == 2)
+    assert(g.records.count() == 2)
+
+    // search: ilike over title, recency order
+    val hits = g.search(Some("traffic"), limit = 10).collect()
+    assert(hits.length == 1)
+    assert(hits.head.getAs[String]("record_id") == "aa-1")
+    assert(hits.head.getAs[String]("title") == "Traffic Volume")
+    // empty query = all records
+    assert(g.search(None, limit = 10).count() == 2)
+    // equality filter narrows
+    assert(g.search(None, dataType = Some("dataset")).count() == 2)
+    assert(g.search(None, source = Some("nope")).count() == 0)
+
+    // fts search over the records' own text
+    val fts = g.searchFts(Seq("bike"), 5).collect()
+    assert(fts.length == 1 && fts.head.getString(0) == "bb-2")
+
+    // analytics: all five frames materialize
+    val a = g.analytics()
+    assert(a("source_stats").count() == 1)
+    assert(a("type_counts").head.getLong(1) == 2L)
+    assert(a("popular_tags").head.getString(0) == "traffic")
+    assert(a("temporal_activity").count() == 1)
+    assert(a("license_distribution").count() == 1)
+
+    // status: rollup joined with latest compliance
+    val st = g.status().collect()
+    assert(st.length == 1)
+    assert(st.head.getAs[Long]("n_records") == 2L)
+    assert(st.head.getAs[Boolean]("robots_txt_compliant"))
+
+    // export: parquet + attribution footer
+    val out = tmpDir("graft") + "/export"
+    val att = g.export(Some("data_type = 'dataset'"), "parquet", out)
+      .collect()
+    assert(att.map(_.getString(0)).toSeq == Seq("NYC Open Data"))
+    assert(spark.read.parquet(out).count() == 2)
+
+    // collect again: idempotent
+    assert(g.collect(Seq(ad)) == 0)
+  }
+}
