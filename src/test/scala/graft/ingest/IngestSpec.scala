@@ -88,6 +88,30 @@ class IngestSpec extends SparkSpec {
     assert(!f.requested.exists(_.contains("metadata/v1")))
   }
 
+  test("NYC per-dataset refresh (S5/L6): whole payload becomes metadata") {
+    val base = "https://data.cityofnewyork.us"
+    val detail =
+      """{"id": "abcd-1234", "name": "Traffic Volume Counts",
+        |"description": "refreshed", "category": "Transportation",
+        |"tags": ["traffic"], "viewCount": 999,
+        |"rowsUpdatedAt": "2024-06-10T12:00:00Z"}""".stripMargin
+    val f = new FixtureFetcher(Map(
+      s"$base/api/views/abcd-1234.json" -> (200, detail)))
+    val r = nyc(f).fetchDatasetMetadata("abcd-1234")
+    assert(r.isDefined)
+    assert(r.get.record_id == "abcd-1234")
+    assert(r.get.description.contains("refreshed"))
+    // detail path stores the raw payload as metadata (:437)
+    assert(Js.parse(r.get.metadata)("viewCount").long.contains(999L))
+    // ISO-Z date parse on the refresh path (F7)
+    assert(r.get.last_updated.get.toInstant ==
+      Instant.parse("2024-06-10T12:00:00Z"))
+    // non-200 → None
+    val gone = new FixtureFetcher(Map(
+      s"$base/api/views/abcd-1234.json" -> (404, "")))
+    assert(nyc(gone).fetchDatasetMetadata("abcd-1234").isEmpty)
+  }
+
   test("SEC discover: HEAD 200 and 404 accepted, 500 rejected (:644)") {
     val f = new FixtureFetcher(Map.empty, heads = Map(
       "https://data.sec.gov/api/xbrl/companyfacts.zip" -> 200,
