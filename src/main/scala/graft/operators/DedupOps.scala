@@ -168,10 +168,19 @@ object DedupOps {
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    // Exact verify on candidates only.
+      .cache()
+    // Exact verify on candidates only: the shingle self-join is
+    // restricted to candidate documents FIRST (left-semi against the
+    // candidate id set), so verification cost tracks the number of
+    // near-duplicates, not Σ df² over the whole corpus — the property
+    // that keeps this the 100 TB path while n3 is the ground truth.
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol)))
+      .distinct()
+    val shCand = sh.join(candIds, Seq(idCol), "left_semi")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val a = shCand.select(col(idCol).as("id_a"), col("shingle"))
+    val b = shCand.select(col(idCol).as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
