@@ -98,6 +98,10 @@ object SparkEntry {
       SimilarityOps.labelTopPairs(Tables.embeddings(s, dir), 20)),
     "n6_ann_lsh_topk" -> ((s, dir) =>  // approximate → rows-only gate
       SimilarityOps.annTopK(Tables.embeddings(s, dir), 0L, 10)),
+    "n7_embedding_neardup" -> ((s, dir) =>
+      SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
+    "r1_salted_counts" -> ((s, dir) =>
+      SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
 
     // ---- north-star: content dedup over documents ----
     "n2_exact_dedup" -> ((s, dir) => {
@@ -216,6 +220,20 @@ object SparkEntry {
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |ORDER BY score DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
+    "n7_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
+    "r1_salted_counts" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type ASC""".stripMargin,
     "n2_exact_dedup" ->
       """WITH dup AS (
         |  SELECT doc_id, text, source FROM documents

@@ -73,6 +73,34 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs within coarse buckets: the
+    * vector-space member of the dedup family (exact text → MinHash →
+    * SimHash → embedding cosine). Same bucketed-join shape as
+    * [[labelTopPairs]] — candidate pairs only within a cluster, so
+    * cost is Σ|bucket|², and the [[graft.functions.DotProduct]]
+    * codegen kernel evaluates each pair. Cross-bucket near-dups are
+    * the IVF recall tradeoff, recovered by multi-probe at scale.
+    */
+  def embeddingNearDups(embeddings: DataFrame, minCosine: Double)
+      : DataFrame = {
+    val e = embeddings.select(
+      col("vec_id"), col("label"),
+      toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score",
+        round(cosinePrenormed(col("va"), col("vb"), col("na"), col("nb")),
+          6))
+      .filter(col("score") >= minCosine)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("score"))
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+
   /** Approximate nearest neighbours via random-hyperplane bucketing
     * (MLlib BucketedRandomProjectionLSH). Returns (vec_id, dist) for
     * the k nearest to `queryId` by euclidean distance among LSH

@@ -113,6 +113,18 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout())(fold)
   }
 
+  /** Streaming dedup: drop events whose key was already seen, with
+    * state bounded by the watermark (keys older than the delay are
+    * evicted — the standard exactly-once-per-key ingestion guard for
+    * at-least-once sources). Batch frames get plain dropDuplicates —
+    * same semantics, used as the test oracle.
+    */
+  def dedupStream(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keyCols)
+
   /** Run a streaming aggregation to completion against a memory sink
     * and return the result table. `Complete` output mode (the test
     * harness wants the final totals; `Append` + watermark close is the

@@ -138,6 +138,27 @@ class DedupSimilaritySpec extends SparkSpec {
       s"ann=$ann brute=$brute overlap too small")
   }
 
+  test("embeddingNearDups: planted duplicate vectors found, in-bucket only") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0.999f, 0.01f, 0f), 0), // near-dup of 1, same bucket
+      (3L, Array(0f, 1f, 0f), 0), // orthogonal, same bucket
+      (4L, Array(1f, 0f, 0f), 1)) // identical to 1 but other bucket
+      .toDF("vec_id", "embedding", "label")
+    val pairs = SimilarityOps.embeddingNearDups(vecs, 0.95)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("saltedCounts equals direct groupBy counts") {
+    val ev = graft.Tables.events(spark, sfSmoke)
+    val direct = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewOps.saltedCounts(ev, "event_type", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
   test("labelTopPairs only pairs within a label") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val pairs = SimilarityOps.labelTopPairs(emb, 20).collect()

@@ -75,6 +75,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup: duplicate keys across micro-batches dropped once") {
+    import spark.implicits._
+    // two files = two micro-batches; user_id 7 appears in both
+    val dir = tmpDir("sdedup")
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i * 1000), s"e$i"))
+      .toDF("user_id", "ts", "payload")
+    mk(Seq(1L, 2L, 7L)).write.parquet(dir + "/b1")
+    mk(Seq(7L, 3L)).write.parquet(dir + "/b2")
+    val all = spark.read.parquet(dir + "/b1", dir + "/b2")
+    val stageDir = dir + "/staged"
+    all.write.parquet(stageDir)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val deduped = StreamingOps.dedupStream(stream, "ts",
+      Seq("user_id"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sdedup").select("user_id")
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L, 7L))
+  }
+
   test("tumblingCounts on a batch frame degrades to a plain windowed agg") {
     val ev = Tables.events(spark, sfSmoke)
     val agg = StreamingOps.tumblingCounts(ev, "ts", "1 hour", "10 minutes")
