@@ -100,6 +100,9 @@ object SparkEntry {
       SimilarityOps.annTopK(Tables.embeddings(s, dir), 0L, 10)),
     "n7_embedding_neardup" -> ((s, dir) =>
       SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
+    "n8_ivf_topk" -> ((s, dir) =>
+      SimilarityOps.ivfTopK(Tables.embeddings(s, dir), 0L, k = 10,
+        stride = 50, nProbe = 3)),
     "r1_salted_counts" -> ((s, dir) =>
       SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
 
@@ -234,6 +237,36 @@ object SparkEntry {
     "r1_salted_counts" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, event_type ASC""".stripMargin,
+    "n8_ivf_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id % 50 = 0),
+        |assignment AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_dot_product(a.v, c.cv) /
+        |                       (a.nrm * c.cnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM n a CROSS JOIN cents c) WHERE rn = 1),
+        |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT centroid_id FROM cents, q
+        |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6)
+        |    DESC, centroid_id ASC
+        |  LIMIT 3),
+        |members AS (
+        |  SELECT vec_id FROM assignment JOIN probed USING (centroid_id))
+        |SELECT a.vec_id,
+        |  round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6)
+        |    AS score
+        |FROM n a JOIN members USING (vec_id), q
+        |WHERE a.vec_id <> 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "n2_exact_dedup" ->
       """WITH dup AS (
         |  SELECT doc_id, text, source FROM documents

@@ -101,6 +101,70 @@ object SimilarityOps {
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
 
+  /** IVF (inverted-file) index tier: deterministic coarse centroids
+    * (every `stride`-th vector — at scale, k-means centroids slot in
+    * here), each vector assigned to its nearest centroid by cosine
+    * (deterministic argmin: best score, then lowest centroid id).
+    * Returns (vec_id, centroid_id, score-to-centroid).
+    *
+    * The assignment is the ONLY full pass (|V|·k dot products via the
+    * codegen kernel); after that, queries probe clusters, not the
+    * corpus.
+    */
+  def ivfAssign(embeddings: DataFrame, stride: Int): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"),
+        toDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+    val vecs = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosinePrenormed(col("v"), col("cv"), col("nrm"),
+          col("cnrm")), 6).as("cscore"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** IVF search: rank centroids against the query vector, probe the
+    * `nProbe` best clusters, brute-force cosine only within them.
+    * Fully deterministic → oracle-expressible, unlike the
+    * random-hyperplane [[annTopK]].
+    */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      stride: Int, nProbe: Int): DataFrame = {
+    val assign = ivfAssign(embeddings, stride)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    val cents = embeddings.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"),
+        toDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("centroid_id"),
+        round(cosinePrenormed(col("cv"), col("qv"), col("cnrm"),
+          col("qnrm")), 6).as("cscore"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+      .limit(nProbe)
+      .select("centroid_id")
+    val members = assign.join(probed, Seq("centroid_id"))
+      .select("vec_id")
+    embeddings.join(members, Seq("vec_id"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosinePrenormed(toDoubleArray(col("embedding")), col("qv"),
+          l2Norm(toDoubleArray(col("embedding"))), col("qnrm")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Approximate nearest neighbours via random-hyperplane bucketing
     * (MLlib BucketedRandomProjectionLSH). Returns (vec_id, dist) for
     * the k nearest to `queryId` by euclidean distance among LSH

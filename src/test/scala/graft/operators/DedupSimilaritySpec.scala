@@ -159,6 +159,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("ivfAssign: every vector assigned to exactly one centroid") {
+    val emb = graft.Tables.embeddings(spark, sfSmoke)
+    val assign = SimilarityOps.ivfAssign(emb, stride = 50).cache()
+    assert(assign.count() == emb.count())
+    assert(assign.select("vec_id").distinct().count() == emb.count())
+    // a centroid is its own nearest centroid (score 1.0)
+    val self = assign.filter(col("vec_id") % 50 === 0)
+      .filter(col("vec_id") === col("centroid_id"))
+    assert(self.count() ==
+      emb.filter(col("vec_id") % 50 === 0).count())
+  }
+
+  test("ivfTopK: probes clusters, overlaps brute-force, deterministic") {
+    val emb = graft.Tables.embeddings(spark, sfSmoke).cache()
+    val ivf = SimilarityOps.ivfTopK(emb, 0L, k = 10, stride = 50,
+      nProbe = 3).collect()
+    assert(ivf.length == 10)
+    val scores = ivf.map(_.getDouble(1))
+    assert(scores.toSeq == scores.sorted.reverse.toSeq)
+    val brute = SimilarityOps.cosineTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val overlap = ivf.map(_.getLong(0)).toSet.intersect(brute).size
+    // random 64-d data: true neighbours scatter across clusters —
+    // probing 3/10 must still recover some of the exact top-10
+    assert(overlap >= 1, s"ivf/brute overlap $overlap")
+    // run twice → identical (determinism)
+    val again = SimilarityOps.ivfTopK(emb, 0L, k = 10, stride = 50,
+      nProbe = 3).collect()
+    assert(ivf.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("labelTopPairs only pairs within a label") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val pairs = SimilarityOps.labelTopPairs(emb, 20).collect()

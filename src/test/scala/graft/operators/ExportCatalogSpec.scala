@@ -99,6 +99,36 @@ class ExportCatalogSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"))
   }
 
+  test("bucketed tables co-locate the join: zero exchanges in the plan") {
+    val ord = Tables.orders(spark, sfSmoke)
+      .select("o_orderkey", "o_totalprice")
+    val li = Tables.lineitem(spark, sfSmoke)
+      .select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b").join(
+        spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it still computes the right thing
+      assert(joined.count() ==
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("statusRollup composes stats + latest (reference status verb)") {
     val df = Seq(
       ("s1", "en", 1L), ("s1", "de", 2L), ("s1", "en", 5L),
