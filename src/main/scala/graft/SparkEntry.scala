@@ -136,6 +136,11 @@ object SparkEntry {
       DedupOps.simhash(Tables.documents(s, dir), "doc_id", "text")),
     "t5_fingerprints" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir), "doc_id", "text")),
+    "t6_regex_token_stats" -> ((s, dir) =>
+      TextOps.regexTokenStats(Tables.documents(s, dir), "lang", "text")),
+    "t7_rolling_fingerprints" -> ((s, dir) =>
+      TextOps.rollingFingerprints(Tables.documents(s, dir),
+        "doc_id", "text")),
 
     // ---- JSON / predicate / status / multimodal surface ----
     "f4_json_extract" -> ((s, dir) =>
@@ -196,6 +201,8 @@ object SparkEntry {
       StarSchemaOps.topOrdersPerCustomer(s, dir)),
     "q4_priority_counts" -> ((s, dir) =>
       StarSchemaOps.priorityCounts(s, dir)),
+    "q6_forecast_revenue" -> ((s, dir) =>
+      StarSchemaOps.forecastRevenue(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -334,6 +341,23 @@ object SparkEntry {
         |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
         |      ' '), 1, 8), ' ')) AS prefix_md5
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "t6_regex_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))::BIGINT
+        |    AS total_tokens,
+        |  round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))), 6)
+        |    AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "t7_rolling_fingerprints" ->
+      operators.TextOps.rollingFingerprintsSql("documents", "doc_id",
+        "text"),
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24""".stripMargin,
     "f4_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
         |  round(avg(json_extract_string(props, '$.k')::INT), 6) AS avg_v,

@@ -90,6 +90,41 @@ object MultimodalOps {
     }
   }
 
+  /** RESIZE STUB — byte-domain downsample to `targetLen` bytes (every
+    * k-th byte). Stands in for image resize: same signature shape
+    * (bytes → smaller bytes + recorded dims), deterministic, replaced
+    * wholesale by a real resampler.
+    */
+  def resizeStub(bytes: Array[Byte], targetLen: Int): Array[Byte] = {
+    if (bytes.length <= targetLen) bytes
+    else {
+      val out = new Array[Byte](targetLen)
+      var i = 0
+      while (i < targetLen) {
+        out(i) = bytes((i.toLong * bytes.length / targetLen).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resize image-kind assets to a byte budget, carrying old/new
+    * sizes — the partition-parallel transform a thumbnailing stage
+    * runs.
+    */
+  def resizeAssets(assets: Dataset[MediaAsset], targetLen: Int)
+      : Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.kind == "image")
+          a.copy(bytes = resizeStub(a.bytes, targetLen),
+            width = Some(targetLen), height = Some(1))
+        else a
+      }
+    }
+  }
+
   /** Frame sampling stub for video-kind assets: pick every `stride`-th
     * byte-block as a "frame" — the partitioning/explode shape of real
     * frame extraction (one row per sampled frame, frame index carried).

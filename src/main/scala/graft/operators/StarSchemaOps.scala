@@ -104,6 +104,20 @@ object StarSchemaOps {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q6-shaped revenue forecast: pure scan-filter-aggregate, the
+    * canonical pushdown probe — all three predicates reach the parquet
+    * row-group stats, output is one row, zero joins, one tiny shuffle.
+    */
+  def forecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("revenue"))
+
   /** Top-k by price: planned as TakeOrderedAndProject — per-partition
     * heap of k, no total sort (O1-shaped at fact-table scale).
     */

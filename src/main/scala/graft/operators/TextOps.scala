@@ -102,6 +102,77 @@ object TextOps {
       .orderBy(col(langCol).asc, col("predicted").asc)
   }
 
+  /** BPE-ish regex tokenization: letter runs and digit runs as
+    * separate tokens (the pre-tokenization split BPE vocabularies
+    * apply before merges), robust to punctuation unlike the
+    * whitespace splitter. Pattern kept RE2/Java-compatible so the
+    * oracle tokenizes identically.
+    */
+  val TokenPattern = "[a-z]+|[0-9]+"
+
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Per-language stats over regex tokens (the t1 twin on the BPE-ish
+    * tokenizer).
+    */
+  def regexTokenStats(df: DataFrame, langCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(langCol), size(regexTokens(col(textCol))).as("n_tok"))
+      .groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(avg(col("n_tok")), 6).as("avg_tokens"))
+      .orderBy(col(langCol).asc)
+
+  /** Polynomial rolling hash over the token stream: h ← (h·B + x) mod P
+    * with x = 60-bit md5 base of the token mod P. Order-sensitive
+    * (unlike the shingle-set hashes) — two docs with the same words in
+    * different order fingerprint differently. Arithmetic stays under
+    * 2^39 (B=131, P=2^31−1) so it is exact in both engines.
+    */
+  val RollB = 131L
+
+  def rollingHash(text: Column): Column = {
+    // split("") yields [""] — drop empties so blank docs hash to null
+    val toks = filter(tokens(DedupOps.normalized(text)), t => t =!= "")
+    val xs = transform(toks, t =>
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        lit(DedupOps.P)))
+    when(size(xs) >= 1,
+      aggregate(slice(xs, lit(2), greatest(size(xs) - 1, lit(0))),
+        element_at(xs, 1),
+        (acc, v) => pmod(acc * RollB + v, lit(DedupOps.P))))
+      .otherwise(lit(null).cast("long"))
+  }
+
+  /** Rolling-hash fingerprints per doc (order-sensitive). */
+  def rollingFingerprints(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol), rollingHash(col(textCol)).as("rolling_hash"))
+      .orderBy(col(idCol).asc)
+
+  /** Oracle twin of [[rollingFingerprints]] (DuckDB list_reduce is a
+    * no-init left fold — mirrored by seeding Spark's aggregate with
+    * the first element).
+    */
+  def rollingFingerprintsSql(table: String, idCol: String,
+      textCol: String): String =
+    s"""WITH t AS (
+       |  SELECT $idCol,
+       |    list_transform(
+       |      list_filter(
+       |        string_split(regexp_replace(trim(lower($textCol)),
+       |          '\\s+', ' ', 'g'), ' '), t -> t <> ''),
+       |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+       |             % ${DedupOps.P}) AS xs
+       |  FROM $table)
+       |SELECT $idCol,
+       |  list_reduce(xs, (acc, v) -> (acc * $RollB + v) % ${DedupOps.P})
+       |    AS rolling_hash
+       |FROM t ORDER BY $idCol ASC""".stripMargin
+
   /** Document fingerprints: 128-bit content hash of normalized text
     * plus a locality-carrying prefix hash (first `prefixTokens`
     * tokens) — the cheap "same head, edited tail" detector.

@@ -51,6 +51,39 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp(0)._3 == fp(1)._3) // prefix hash identical
   }
 
+  test("regexTokens: splits letter and digit runs, drops punctuation") {
+    val df = Seq("Hello, world42! x7").toDF("t")
+    val toks = df.select(TextOps.regexTokens(col("t")))
+      .head.getSeq[String](0)
+    assert(toks == Seq("hello", "world", "42", "x", "7"))
+  }
+
+  test("rollingHash: order-sensitive, deterministic, null on empty") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha"), (4L, "")).toDF("id", "text")
+    val fps = TextOps.rollingFingerprints(df, "id", "text").collect()
+    assert(fps(0).getLong(1) == fps(1).getLong(1)) // same text
+    assert(fps(0).getLong(1) != fps(2).getLong(1)) // reordered words
+    assert(fps(3).isNullAt(1)) // empty doc
+  }
+
+  test("resizeStub/resizeAssets: byte budget respected, others untouched") {
+    val big = ("x" * 500).getBytes("UTF-8")
+    val small = "tiny".getBytes("UTF-8")
+    assert(MultimodalOps.resizeStub(big, 64).length == 64)
+    assert(MultimodalOps.resizeStub(small, 64).toSeq == small.toSeq)
+    val docs = Tables.documents(spark, sfSmoke).limit(30)
+    val resized = MultimodalOps.resizeAssets(
+      MultimodalOps.assetsFromDocuments(spark, docs), 64).collect()
+    resized.foreach { a =>
+      if (a.kind == "image") {
+        assert(a.bytes.length <= 64)
+        assert(a.width.contains(64))
+      } else assert(a.width.isEmpty)
+    }
+  }
+
   test("decodeStub: deterministic, L1-normalized histogram") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
     val f1 = MultimodalOps.decodeStub(bytes)
