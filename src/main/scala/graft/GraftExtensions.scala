@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, RollingTokenHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot takes exactly 2 arguments")
         DotProduct.withCasts(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingTokenHash].getName,
+        "graft_rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_rolling_hash takes exactly 1 argument")
+        RollingTokenHash(children.head)
       }))
   }
 }

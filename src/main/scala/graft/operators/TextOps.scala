@@ -134,7 +134,18 @@ object TextOps {
     */
   val RollB = 131L
 
-  def rollingHash(text: Column): Column = {
+  /** Single-expression rolling hash ([[graft.functions.RollingTokenHash]],
+    * registered by GraftExtensions) — semantics identical to
+    * [[rollingHashHof]], ~one tight loop instead of four interpreted
+    * lambda passes.
+    */
+  def rollingHash(text: Column): Column =
+    call_function("graft_rolling_hash", text)
+
+  /** Composed higher-order-function formulation (pure built-ins; the
+    * differential reference for the expression above).
+    */
+  def rollingHashHof(text: Column): Column = {
     // split("") yields [""] — drop empties so blank docs hash to null
     val toks = filter(tokens(DedupOps.normalized(text)), t => t =!= "")
     val xs = transform(toks, t =>

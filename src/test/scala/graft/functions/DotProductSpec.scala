@@ -37,6 +37,23 @@ class DotProductSpec extends SparkSpec {
       .head.isNullAt(0))
   }
 
+  test("graft_rolling_hash equals the composed-HOF formulation exactly") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val diff = docs.select(
+      graft.operators.TextOps.rollingHash(col("text")).as("a"),
+      graft.operators.TextOps.rollingHashHof(col("text")).as("b"))
+      .filter(!(col("a") <=> col("b")))
+      .count()
+    assert(diff == 0L)
+    // null/empty handling
+    val edge = Seq(("", "e1"), ("  ", "e2"), ("one", "e3"))
+      .toDF("text", "tag")
+    val rows = edge.select(col("tag"),
+      graft.operators.TextOps.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(rows("e1") && rows("e2") && !rows("e3"))
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val q = emb.select(VectorFunctions.dot(
