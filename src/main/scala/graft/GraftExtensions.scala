@@ -1,9 +1,10 @@
 package graft
 
-import graft.functions.{DotProduct, RollingTokenHash}
+import graft.functions.{DotProduct, RollingTokenHash, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  ExpressionInfo, Literal}
 
 /** Session extension wiring for the engine's custom expressions
   * (`SparkSessionExtensions` is the sanctioned extension point — no
@@ -24,6 +25,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot takes exactly 2 arguments")
         DotProduct.withCasts(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName,
+        "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_shingles takes (text, n) arguments")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(children.head, n)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_rolling_hash"),

@@ -77,13 +77,24 @@ object DedupOps {
       .drop("__rn")
   }
 
-  /** Distinct word n-gram shingles per document: (idCol, shingle).
+  /** Distinct word n-gram shingles per document: (idCol, shingle),
+    * via the single-pass [[graft.functions.WordShingles]] expression.
     * Words are split on single spaces (the corpus is single-spaced;
-    * the oracle splits identically). Guarded for docs shorter than n
-    * (Spark's `sequence(1, k)` counts DOWN when k < 1).
+    * the oracle splits identically).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3)
-      : DataFrame = {
+      : DataFrame =
+    df.select(col(idCol),
+      explode(call_function("graft_shingles", col(textCol), lit(n)))
+        .as("shingle"))
+
+  /** Composed built-in formulation of [[shingles]] (four higher-order
+    * passes) — the differential reference for the expression. Guarded
+    * for docs shorter than n (Spark's `sequence(1, k)` counts DOWN
+    * when k < 1).
+    */
+  def shinglesHof(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
     val words = split(col(textCol), " ")
     val grams = transform(
       sequence(lit(1), size(words) - (n - 1)),

@@ -32,6 +32,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sh == Set((1L, "a b c"), (1L, "b c d")))
   }
 
+  test("graft_shingles expression equals the composed-HOF formulation") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val fast = DedupOps.shingles(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    val hof = DedupOps.shinglesHof(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(fast == hof)
+  }
+
   test("jaccardPairs: identical docs score 1.0, disjoint absent") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
