@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{DotProduct, RollingTokenHash, WordShingles}
+import graft.functions.{DotProduct, RollingTokenHash, SimHash64,
+  WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression,
@@ -39,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_shingles n must be an integer literal, got $other")
         }
         WordShingles(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_simhash takes exactly 1 argument")
+        SimHash64(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_rolling_hash"),

@@ -211,9 +211,20 @@ object DedupOps {
   /** 60-bit SimHash fingerprint per document (tier 4). Token hash =
     * md5-hex 60 bits; bit i of the fingerprint is set iff
     * Σ_tokens (2·bit_i(h(token)) − 1) ≥ 0. Tokens keep multiplicity
-    * (standard SimHash term weighting by frequency).
+    * (standard SimHash term weighting by frequency). One pass per row
+    * via [[graft.functions.SimHash64]] — no explode, no doc shuffle.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        call_function("graft_simhash", col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+      .orderBy(col(idCol).asc)
+
+  /** Explode + 60-sum-aggregate formulation of [[simhash]] (pure
+    * built-ins) — the differential reference for the expression.
+    */
+  def simhashHof(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
     val tok = df.select(col(idCol),
       explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")

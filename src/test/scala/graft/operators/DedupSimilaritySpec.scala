@@ -62,6 +62,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact) // 8 bands × 2 rows: recall ≈ 1 at J ≥ 0.8
   }
 
+  test("graft_simhash expression equals the 60-sum-aggregate formulation") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val fast = DedupOps.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val hof = DedupOps.simhashHof(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fast == hof)
+  }
+
   test("simhash: identical text → identical fingerprint; near text → close") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
