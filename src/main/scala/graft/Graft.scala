@@ -97,4 +97,47 @@ final class Graft(spark: SparkSession, tableDir: String) {
     ExportOps.export(records, whereClause, format, path)
     ExportOps.attribution(records, "source_name", whereClause)
   }
+
+  // ---- north-star surface over the catalog ----
+
+  /** Exact content dedup of the records table on (title, description)
+    * text — keep-first by record_id.
+    */
+  def dedupedRecords(): DataFrame = {
+    val withText = records.withColumn("__content",
+      concat_ws(" ", col("title"), col("description")))
+    operators.DedupOps
+      .exactDedup(withText, "__content", "record_id")
+      .drop("__content")
+  }
+
+  /** Near-duplicate record pairs by banded MinHash over the
+    * title+description text, exact-verified at `minJaccard`.
+    */
+  def nearDuplicates(minJaccard: Double = 0.8): DataFrame =
+    operators.DedupOps.minhashPairs(
+      records.withColumn("__content",
+        concat_ws(" ", col("title"), col("description"))),
+      "record_id", "__content", minJaccard)
+
+  /** Top-k records most similar to `recordId` by embedding cosine
+    * (records whose embedding is null are skipped). Empty until an
+    * embedding backfill populates the column (the reference declares
+    * it and never writes it — ethical_crawler.py:842).
+    */
+  def similar(recordId: String, k: Int = 10): DataFrame = {
+    val emb = records.filter(col("embedding").isNotNull)
+      .select(col("record_id"),
+        functions.VectorFunctions.toDoubleArray(col("embedding"))
+          .as("v"))
+    val q = emb.filter(col("record_id") === recordId)
+      .select(col("v").as("qv"))
+    emb.filter(col("record_id") =!= recordId)
+      .crossJoin(broadcast(q))
+      .select(col("record_id"),
+        round(functions.VectorFunctions.cosine(col("v"), col("qv")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("record_id").asc)
+      .limit(k)
+  }
 }

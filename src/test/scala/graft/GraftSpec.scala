@@ -78,5 +78,11 @@ class GraftSpec extends SparkSpec {
 
     // collect again: idempotent
     assert(g.collect(Seq(ad)) == 0)
+
+    // north-star surface: dedup over the catalog's own text
+    assert(g.dedupedRecords().count() == 2) // titles differ → no dups
+    assert(g.nearDuplicates(0.8).count() == 0)
+    // similar(): no embeddings backfilled yet → empty, not an error
+    assert(g.similar("aa-1", 5).count() == 0)
   }
 }

@@ -75,6 +75,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("append-mode windowed agg emits only watermark-closed windows") {
+    import spark.implicits._
+    // three files in ts order → watermark advances between batches;
+    // the last hour stays open and must NOT be emitted in append mode
+    val dir = tmpDir("appendwin")
+    val mk = (hour: Int, ids: Seq[Long]) => ids.map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + hour * 3600000L +
+        i * 1000), "click", 1.0)).toDF("event_id", "ts", "event_type",
+      "value")
+    mk(0, Seq(1, 2)).write.parquet(dir + "/staged/b0")
+    mk(1, Seq(3)).write.parquet(dir + "/staged/b1")
+    mk(5, Seq(4)).write.parquet(dir + "/staged/b2")
+    val schema = spark.read.parquet(dir + "/staged/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir + "/staged/*")
+    val agg = StreamingOps.tumblingCounts(stream, "ts", "1 hour",
+      "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("append_win")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emitted = spark.table("append_win")
+      .select("window_start", "cnt").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    // hours 0 and 1 closed (watermark reached hour 5); hour 5 open
+    assert(emitted.values.sum <= 3,
+      s"open window must be withheld, got $emitted")
+    assert(!emitted.keys.exists(_ >= 1700000000000L + 5 * 3600000L))
+  }
+
   test("streaming dedup: duplicate keys across micro-batches dropped once") {
     import spark.implicits._
     // two files = two micro-batches; user_id 7 appears in both
