@@ -82,6 +82,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: minhash pairs are always a subset of exact jaccard pairs") {
+    // LSH may miss pairs (probabilistically) but must never invent
+    // one — verification guarantees precision = 1 by construction
+    val textGen = Gen.listOfN(10,
+      Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(10, textGen).map(_.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) })
+    samples(docsGen).foreach { rows =>
+      val df = rows.toDF("id", "text")
+      val exact = DedupOps.jaccardPairs(df, "id", "text", 0.7)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val lsh = DedupOps.minhashPairs(df, "id", "text", 0.7)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(lsh.subsetOf(exact), s"lsh=$lsh exact=$exact")
+    }
+  }
+
   test("property: exactDedup output has unique content keys, is a subset") {
     samples(batchGen).foreach { rows =>
       val df = rows.zipWithIndex
