@@ -24,7 +24,7 @@ final class Graft(spark: SparkSession, tableDir: String) {
   def setup(adapters: Seq[Adapter]): Seq[ComplianceCheck] = {
     val (_, checks) = pipeline.compliantAdapters(adapters)
     import spark.implicits._
-    Catalog.append(checks.toDS.toDF, pipeline.checksPath)
+    Catalog.append(checks.toDS().toDF(), pipeline.checksPath)
     checks
   }
 

@@ -39,7 +39,7 @@ final class Pipeline(spark: SparkSession, tableDir: String) {
     */
   def collectAll(adapters: Seq[Adapter]): (Long, Seq[ComplianceCheck]) = {
     val (ok, checks) = compliantAdapters(adapters)
-    Catalog.append(checks.toDS.toDF, checksPath)
+    Catalog.append(checks.toDS().toDF(), checksPath)
     val discovered = ok.flatMap(_.discover())
     (appendRecords(discovered), checks)
   }
@@ -54,14 +54,16 @@ final class Pipeline(spark: SparkSession, tableDir: String) {
     // reference's iteration order (ethical_crawler.py:914's row loop);
     // ordering the dedup window by the key itself would tie on
     // duplicates and pick nondeterministically.
-    val incoming = spark.createDataset(records).toDF
+    val incoming = spark.createDataset(records).toDF()
       .withColumn("__batch_idx",
         monotonically_increasing_id())
     val existing: DataFrame =
       if (Catalog.tableExists(spark, recordsPath))
         Catalog.load(spark, recordsPath)
-          .select(incoming.columns.filterNot(_ == "__batch_idx").head,
-            incoming.columns.filterNot(_ == "__batch_idx").tail: _*)
+          .select(incoming.columns.filterNot(_ == "__batch_idx")
+            .toIndexedSeq.head,
+            incoming.columns.filterNot(_ == "__batch_idx")
+              .toIndexedSeq.tail: _*)
           .withColumn("__batch_idx", lit(-1L))
       else incoming.limit(0)
     val newRows = ReferenceOps.newRowsOnly(
@@ -86,14 +88,15 @@ final class Pipeline(spark: SparkSession, tableDir: String) {
     */
   def upsertRecords(records: Seq[DataRecord]): Unit = {
     if (records.isEmpty) return
-    val incoming = spark.createDataset(records).toDF
+    val incoming = spark.createDataset(records).toDF()
     if (!Catalog.tableExists(spark, recordsPath)) {
       Catalog.overwritePartitioned(incoming, recordsPath,
         Seq("source_name"))
       return
     }
     val existing = Catalog.load(spark, recordsPath)
-      .select(incoming.columns.head, incoming.columns.tail: _*)
+      .select(incoming.columns.toIndexedSeq.head,
+        incoming.columns.toIndexedSeq.tail: _*)
     val kept = existing.join(incoming.select("source_name", "record_id"),
       Seq("source_name", "record_id"), "left_anti")
     val merged = kept.unionByName(incoming).cache()

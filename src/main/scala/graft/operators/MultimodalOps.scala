@@ -146,7 +146,7 @@ object MultimodalOps {
 
   /** Typed metadata rollup per kind over extracted features. */
   def featureStats(features: Dataset[MediaFeatures]): DataFrame =
-    features.toDF
+    features.toDF()
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n_assets"),
