@@ -134,6 +134,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L, 7L))
   }
 
+  test("stream-static enrichment join matches the batch equivalent") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfSmoke)
+    val stageDir = tmpDir("enrich") + "/events"
+    events.repartition(3).write.parquet(stageDir)
+    val staged = spark.read.parquet(stageDir)
+    // static dimension: user tier by id parity (broadcast side)
+    val tiers = (0L until 100L).map(u =>
+      (u, if (u % 2 == 0) "even" else "odd")).toDF("user_id", "tier")
+    val stream = StreamingOps.eventsStream(spark, stageDir, staged.schema)
+    val enriched = stream.join(broadcast(tiers), Seq("user_id"))
+      .groupBy("tier").count()
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enrich")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = staged.join(tiers, Seq("user_id")).groupBy("tier")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("tumblingCounts on a batch frame degrades to a plain windowed agg") {
     val ev = Tables.events(spark, sfSmoke)
     val agg = StreamingOps.tumblingCounts(ev, "ts", "1 hour", "10 minutes")
