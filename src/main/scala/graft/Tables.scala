@@ -12,27 +12,40 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Session-scoped loader cache: path-based `spark.read.parquet`
+    * builds a fresh file index + schema read per call, which a
+    * catalog-managed table would do once. Caching the DataFrame per
+    * (session, path) gives every query the same analyzed relation —
+    * purely metadata reuse, the data itself is never cached.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private def load(spark: SparkSession, p: String): DataFrame =
+    cache.computeIfAbsent((spark, p), _ => spark.read.parquet(p))
+
   private def path(sfDir: String, table: String): String =
     s"$sfDir/$table.parquet"
 
   def region(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(path(sfDir, "region"))
+    load(spark, path(sfDir, "region"))
   def nation(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(path(sfDir, "nation"))
+    load(spark, path(sfDir, "nation"))
   def customer(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(path(sfDir, "customer"))
+    load(spark, path(sfDir, "customer"))
   def supplier(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(path(sfDir, "supplier"))
+    load(spark, path(sfDir, "supplier"))
   def part(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(path(sfDir, "part"))
+    load(spark, path(sfDir, "part"))
   def orders(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(path(sfDir, "orders"))
+    load(spark, path(sfDir, "orders"))
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(path(sfDir, "lineitem"))
+    load(spark, path(sfDir, "lineitem"))
   def documents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(path(sfDir, "documents"))
+    load(spark, path(sfDir, "documents"))
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(path(sfDir, "embeddings"))
+    load(spark, path(sfDir, "embeddings"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) (pandas-written). Spark's
     * vectorized reader cannot map INT64 nanos to TimestampType directly;
@@ -43,7 +56,7 @@ object Tables {
     * micro-precision values; verified: 0 rows with sub-micro ns).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = spark.read.parquet(path(sfDir, "events"))
+    val raw = load(spark, path(sfDir, "events"))
     import org.apache.spark.sql.types.LongType
     // `ts div 1000`: integral division — a double round-trip would lose
     // precision (epoch-ns ~1.7e18 > 2^53) and shift some rows by 1 µs.
