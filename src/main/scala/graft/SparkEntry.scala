@@ -203,6 +203,11 @@ object SparkEntry {
       StarSchemaOps.priorityCounts(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) =>
       StarSchemaOps.forecastRevenue(s, dir)),
+    "q10_returned_revenue" -> ((s, dir) =>
+      StarSchemaOps.returnedRevenue(s, dir)),
+    "a8_rollup" -> ((s, dir) =>
+      ReferenceOps.rollupCounts(Tables.documents(s, dir),
+        "source", "lang")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -358,6 +363,23 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.05
         |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_returnflag = 'R'
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "a8_rollup" ->
+      """SELECT coalesce(source, '<all>') AS source,
+        |  coalesce(lang, '<all>') AS lang,
+        |  (CASE WHEN grouping(source) THEN 1 ELSE 0 END) AS g1,
+        |  (CASE WHEN grouping(lang) THEN 1 ELSE 0 END) AS g2,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY ROLLUP (source, lang)
+        |ORDER BY g1 ASC, g2 ASC, source ASC, lang ASC""".stripMargin,
     "f4_json_extract" ->
       """SELECT event_type, count(*) AS cnt,
         |  round(avg(json_extract_string(props, '$.k')::INT), 6) AS avg_v,

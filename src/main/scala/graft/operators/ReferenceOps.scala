@@ -177,6 +177,23 @@ object ReferenceOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(licenseCol).asc)
 
+  /** Hierarchical ROLLUP aggregate (grouping-sets extension beyond the
+    * reference's flat GROUP BYs): per (k1,k2), per k1 subtotal, and
+    * grand total in one pass — Spark expands the sets in a single
+    * Expand + hash aggregate, no multi-scan. Null-marker columns are
+    * made explicit via grouping() so the oracle compare is unambiguous.
+    */
+  def rollupCounts(df: DataFrame, k1: String, k2: String): DataFrame =
+    df.rollup(col(k1), col(k2))
+      .agg(count(lit(1)).as("cnt"),
+        grouping(col(k1)).cast("int").as("g1"),
+        grouping(col(k2)).cast("int").as("g2"))
+      .select(
+        coalesce(col(k1), lit("<all>")).as(k1),
+        coalesce(col(k2), lit("<all>")).as(k2),
+        col("g1"), col("g2"), col("cnt"))
+      .orderBy(col("g1").asc, col("g2").asc, col(k1).asc, col(k2).asc)
+
   /** F4/F13 — JSON metadata extraction + aggregation (the reference's
     * `json.dumps`/`json.loads` boundary, ethical_crawler.py:928, :1022;
     * NYC `metadata.columns` :394). `get_json_object` stays a pushed

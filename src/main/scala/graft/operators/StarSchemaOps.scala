@@ -118,6 +118,30 @@ object StarSchemaOps {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
         .as("revenue"))
 
+  /** TPC-H Q10-shaped: revenue lost to returned items per customer —
+    * a HIGH-cardinality aggregation (one group per customer, unlike
+    * q1/q5's handful), so the final agg shuffle actually carries
+    * volume; top-20 via TakeOrderedAndProject. Nation broadcast only.
+    */
+  def returnedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nation = Tables.nation(spark, sfDir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** Top-k by price: planned as TakeOrderedAndProject — per-partition
     * heap of k, no total sort (O1-shaped at fact-table scale).
     */
