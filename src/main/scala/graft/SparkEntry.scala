@@ -208,6 +208,14 @@ object SparkEntry {
     "a8_rollup" -> ((s, dir) =>
       ReferenceOps.rollupCounts(Tables.documents(s, dir),
         "source", "lang")),
+    "j2_asof_join" -> ((s, dir) =>
+      ReferenceOps.asOfJoin(Tables.events(s, dir),
+        keyCol = "user_id", tsCol = "ts", tiebreaker = "event_id",
+        typeCol = "event_type", leftType = "click",
+        rightType = "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"))
+        .orderBy(col("event_id").asc)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -363,6 +371,18 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.05
         |  AND l_quantity < 24""".stripMargin,
+    "j2_asof_join" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS asof_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_id, user_id, ts, asof_ts FROM t
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id ASC""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

@@ -177,6 +177,32 @@ object ReferenceOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(licenseCol).asc)
 
+  /** AS-OF join (extension — the classic temporal operator Spark has
+    * no built-in for): for each right-stream row, the latest
+    * left-stream row of the same key at-or-before its timestamp.
+    * Composed from built-ins via the union+window trick — one shuffle
+    * on the key, NO range-condition join (a theta join on ts ranges
+    * explodes quadratically in hot keys): tag both streams, order by
+    * (ts, tiebreaker) per key, carry the left timestamp forward with
+    * `last(_, ignoreNulls)`, keep right rows. Deterministic total
+    * order within ties via the tiebreaker column.
+    */
+  def asOfJoin(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreaker: String, typeCol: String, leftType: String,
+      rightType: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tiebreaker).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col(typeCol).isin(leftType, rightType))
+      .withColumn("__left_ts",
+        when(col(typeCol) === leftType, col(tsCol)))
+      .withColumn("asof_ts", last(col("__left_ts"), ignoreNulls = true)
+        .over(w))
+      .filter(col(typeCol) === rightType)
+      .drop("__left_ts")
+  }
+
   /** Hierarchical ROLLUP aggregate (grouping-sets extension beyond the
     * reference's flat GROUP BYs): per (k1,k2), per k1 subtotal, and
     * grand total in one pass — Spark expands the sets in a single

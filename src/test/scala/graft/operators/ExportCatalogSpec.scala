@@ -139,6 +139,32 @@ class ExportCatalogSpec extends SparkSpec {
       ("s1", 3L, 2L, 5L, "en"), ("s2", 1L, 1L, 3L, "fr")))
   }
 
+  test("asOfJoin: latest at-or-before match per key, nulls before first") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      // user 1: click@10, purchase@20 (→10), click@30, purchase@40 (→30)
+      (1L, new Timestamp(10000L), 1L, "click"),
+      (2L, new Timestamp(20000L), 1L, "purchase"),
+      (3L, new Timestamp(30000L), 1L, "click"),
+      (4L, new Timestamp(40000L), 1L, "purchase"),
+      // user 2: purchase before any click → null
+      (5L, new Timestamp(5000L), 2L, "purchase"),
+      (6L, new Timestamp(6000L), 2L, "click"),
+      // simultaneous click+purchase: click sorts first (event_id) → match
+      (7L, new Timestamp(50000L), 3L, "click"),
+      (8L, new Timestamp(50000L), 3L, "purchase"),
+      // other event types are ignored entirely
+      (9L, new Timestamp(15000L), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = ReferenceOps.asOfJoin(ev, "user_id", "ts", "event_id",
+      "event_type", "click", "purchase")
+      .select("event_id", "asof_ts").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getTimestamp(1).getTime)).toMap
+    assert(out == Map(2L -> 10000L, 4L -> 30000L, 5L -> -1L,
+      8L -> 50000L))
+  }
+
   test("search with empty query returns all rows sorted+limited (:978)") {
     val docs = Tables.documents(spark, sfSmoke)
     val out = ReferenceOps.search(docs, None, Seq.empty, Map.empty,
