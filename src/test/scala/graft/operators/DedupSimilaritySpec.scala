@@ -168,6 +168,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("rangeJoinBucketed equals the naive range theta-join") {
+    import java.sql.Timestamp
+    val ev = graft.Tables.events(spark, sfSmoke)
+      .select("user_id", "ts", "event_id").limit(300).cache()
+    val w = 10 * 60 * 1000L // 10 minutes
+    val bucketed = SkewOps.rangeJoinBucketed(
+      ev, ev, "user_id", "ts", w)
+      .select(col("event_id"), col("r_ts"))
+      .as[(Long, Timestamp)].collect().toSet
+    val naive = ev.as("l").join(ev.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+        col("r.ts") >= col("l.ts") &&
+        unix_millis(col("r.ts")) < unix_millis(col("l.ts")) + w)
+      .select(col("l.event_id"), col("r.ts"))
+      .as[(Long, Timestamp)].collect().toSet
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty)
+  }
+
+  test("heavyHitters sketch: estimates bounded below by exact counts") {
+    val ev = graft.Tables.events(spark, sfSmoke)
+    val exact = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SkewOps.heavyHitters(ev, "event_type",
+      exact.keys.toSeq.sorted).toMap
+    val n = ev.count()
+    exact.foreach { case (k, c) =>
+      // CMS never undercounts; overcount bounded by eps*N (w.h.p.)
+      assert(est(k) >= c)
+      assert(est(k) <= c + (0.001 * n).toLong + 1)
+    }
+  }
+
   test("saltedCounts equals direct groupBy counts") {
     val ev = graft.Tables.events(spark, sfSmoke)
     val direct = ev.groupBy("event_type").count()
