@@ -208,6 +208,20 @@ object SparkEntry {
     "a8_rollup" -> ((s, dir) =>
       ReferenceOps.rollupCounts(Tables.documents(s, dir),
         "source", "lang")),
+    "q14_promo_revenue" -> ((s, dir) =>
+      StarSchemaOps.promoRevenue(s, dir)),
+    "a9_cube" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          grouping(col("source")).cast("int").as("g1"),
+          grouping(col("lang")).cast("int").as("g2"))
+        .select(
+          coalesce(col("source"), lit("<all>")).as("source"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("g1"), col("g2"), col("cnt"))
+        .orderBy(col("g1").asc, col("g2").asc,
+          col("source").asc, col("lang").asc)),
     "j2_asof_join" -> ((s, dir) =>
       ReferenceOps.asOfJoin(Tables.events(s, dir),
         keyCol = "user_id", tsCol = "ts", tiebreaker = "event_id",
@@ -371,6 +385,30 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.05
         |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |            THEN l_extendedprice * (1 - l_discount)
+        |            ELSE 0.0 END), 4) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4)
+        |    AS total_revenue,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |            THEN l_extendedprice * (1 - l_discount)
+        |            ELSE 0.0 END) * 100.0
+        |        / sum(l_extendedprice * (1 - l_discount)), 6)
+        |    AS promo_pct
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+    "a9_cube" ->
+      """SELECT coalesce(source, '<all>') AS source,
+        |  coalesce(lang, '<all>') AS lang,
+        |  (CASE WHEN grouping(source) THEN 1 ELSE 0 END) AS g1,
+        |  (CASE WHEN grouping(lang) THEN 1 ELSE 0 END) AS g2,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY g1 ASC, g2 ASC, source ASC, lang ASC""".stripMargin,
     "j2_asof_join" ->
       """WITH t AS (
         |  SELECT event_id, user_id, ts, event_type,

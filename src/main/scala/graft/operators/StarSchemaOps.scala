@@ -142,6 +142,28 @@ object StarSchemaOps {
       .limit(20)
   }
 
+  /** TPC-H Q14-shaped promo-revenue share: conditional aggregation
+    * (CASE inside SUM) over lineitem⨝part in one month. Part scales
+    * linearly → no broadcast hint; AQE picks the strategy. Two
+    * measures and their ratio come out of ONE aggregate pass.
+    */
+  def promoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)), 4)
+          .as("promo_revenue"),
+        round(sum(rev), 4).as("total_revenue"),
+        round(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) * 100.0
+            / sum(rev), 6).as("promo_pct"))
+  }
+
   /** Top-k by price: planned as TakeOrderedAndProject — per-partition
     * heap of k, no total sort (O1-shaped at fact-table scale).
     */
