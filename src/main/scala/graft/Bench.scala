@@ -11,7 +11,14 @@ import org.apache.spark.sql.DataFrame
   *    COMPLETE physical plan (a bare `count()` lets `EliminateSorts`
   *    drop every global sort under the aggregate, silently un-timing
   *    ordered queries);
-  *  - min-of-3 per query (steady-state cost, not scheduler jitter);
+  *  - min-of-3 per query, reps interleaved ROUND-ROBIN across the
+  *    whole suite (rep r runs every query once): a transient GC or
+  *    machine-load storm then costs each query at most one rep
+  *    instead of sinking all reps of whichever query it straddled;
+  *  - a query that throws during measurement is recorded as `null`
+  *    in the JSON (+ a "failed" list) and excluded from the total —
+  *    a broken query must not pass the 2× gate by timing its own
+  *    failure (round-2 advice);
   *  - the DuckDB baseline total (tools/duckdb_baseline.py, recorded in
   *    BASELINE.md) is echoed alongside, with the ratio, so the 2× gate
   *    is tracked instead of guessed.
@@ -33,18 +40,28 @@ object Bench {
       try runPlan(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
+    val names = SparkEntry.queries.keys.toSeq
+    val times = scala.collection.mutable.Map[String, Double]()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    (1 to reps).foreach { _ =>
+      SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try runPlan(fn(spark, sfDir))
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+        try {
+          runPlan(fn(spark, sfDir))
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+        } catch { case _: Throwable => failed += name }
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
-      .mkString("{", ",", "}")
-    val total = results.values.sum
+    val qs = names.map { k =>
+      if (failed(k) || !times.contains(k)) "\"" + k + "\":null"
+      else "\"" + k + f"""\":${times(k)}%.4f"""
+    }.mkString("{", ",", "}")
+    val total = names.collect {
+      case k if !failed(k) && times.contains(k) => times(k) }.sum
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     // DuckDB oracle total on the same queries/data, measured by
     // tools/duckdb_baseline.py (see BASELINE.md "Measured baseline").
     val baseline = sys.env.get("SPARK_GRAFT_DUCKDB_TOTAL_SEC")
@@ -53,7 +70,7 @@ object Bench {
       .map(b => f""","duckdb_baseline_sec":$b%.4f,"ratio":${total / b}%.2f""")
       .getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"$baseJson}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$baseJson}""")
     spark.stop()
   }
 }

@@ -17,13 +17,27 @@ object Tables {
     * catalog-managed table would do once. Caching the DataFrame per
     * (session, path) gives every query the same analyzed relation —
     * purely metadata reuse, the data itself is never cached.
+    *
+    * The outer map holds the SparkSession WEAKLY: once a session is
+    * stopped and unreferenced, its entry (and every cached relation
+    * in it) is collectable — a strongly-keyed map would retain every
+    * session a long-lived JVM (tests, notebooks) ever created.
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      DataFrame]()
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  private def load(spark: SparkSession, p: String): DataFrame =
-    cache.computeIfAbsent((spark, p), _ => spark.read.parquet(p))
+  private def load(spark: SparkSession, p: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(p, _ => spark.read.parquet(p))
+  }
 
   private def path(sfDir: String, table: String): String =
     s"$sfDir/$table.parquet"

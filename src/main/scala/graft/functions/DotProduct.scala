@@ -18,12 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * generates a tight primitive loop inside whole-stage codegen.
   *
   * Semantics are IDENTICAL to the higher-order form — left-to-right
-  * sequential sum of pairwise products in double — so oracle hashes
-  * are unchanged. Inputs are implicitly cast (array<float> → exact
-  * promotion to array<double> by Cast).
+  * sequential sum of pairwise products in double, NULL when the two
+  * arrays differ in length or any paired element is null (zip_with
+  * pads the shorter side with nulls and `null * x` poisons the
+  * aggregate) — so oracle hashes are unchanged on every input, not
+  * just equal-length non-null vectors. Inputs are implicitly cast
+  * (array<float> → exact promotion to array<double> by Cast).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
+
+  /** Null even for non-null inputs (length mismatch / null element). */
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -45,10 +51,12 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -62,12 +70,22 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

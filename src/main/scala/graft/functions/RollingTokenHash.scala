@@ -68,8 +68,11 @@ case class RollingTokenHash(child: Expression)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
+    // Locale.ROOT: Spark's lower() is locale-independent; the default
+    // JVM locale (e.g. Turkish 'I'→'ı') would diverge from the HOF
+    // formulation and the DuckDB oracle.
     val s = input.asInstanceOf[UTF8String].toString
-      .toLowerCase.trim.replaceAll("\\s+", " ")
+      .toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
     var h = -1L
     var start = 0
     val n = s.length

@@ -63,22 +63,36 @@ object StreamingOps {
   /** Custom-state sessionization via `flatMapGroupsWithState`: events
     * per user are folded into sessions split wherever the gap between
     * consecutive events exceeds `gapMillis`. Emits every CLOSED
-    * session; the open tail stays in the state store (bounded by the
-    * per-key single-session state + event-time timeout, so state
-    * never grows with history — the 100 TB requirement for stateful
-    * streams).
+    * session; the open tail stays in the state store with an
+    * EVENT-TIME TIMEOUT at `last + gapMillis` — when the watermark
+    * passes that point the open session is emitted and its state
+    * removed, so per-key state for inactive users neither lingers
+    * forever nor withholds trailing sessions (the 100 TB requirement
+    * for stateful streams). Streaming callers must set a watermark on
+    * the event-time column upstream (event-time timeout requires one).
     *
     * Works identically over a batch Dataset (Spark runs the same
-    * function once per whole group) — the batch run is the test
-    * oracle; `emitOpen` additionally flushes the trailing open
-    * session for that case.
+    * function once per whole group; timeouts never fire) — the batch
+    * run is the test oracle; `emitOpen` additionally flushes the
+    * trailing open session for that case.
     */
   def sessionize(events: Dataset[Event], gapMillis: Long,
       emitOpen: Boolean): Dataset[UserSession] = {
     import events.sparkSession.implicits._
 
+    def emit(userId: Long, s: SessionState): UserSession =
+      UserSession(userId, new Timestamp(s.start), new Timestamp(s.last),
+        s.n, s.total)
+
     def fold(userId: Long, it: Iterator[Event],
         state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        // Watermark passed last+gap with no new events: the open
+        // session can never be extended — close and evict it.
+        val s = state.get
+        state.remove()
+        return Iterator(emit(userId, s))
+      }
       val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var cur = state.getOption
       val closed = Seq.newBuilder[UserSession]
@@ -89,8 +103,7 @@ object StreamingOps {
             cur = Some(s.copy(last = t, n = s.n + 1,
               total = s.total + e.value))
           case Some(s) =>
-            closed += UserSession(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total)
+            closed += emit(userId, s)
             cur = Some(SessionState(t, t, 1, e.value))
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
@@ -99,10 +112,10 @@ object StreamingOps {
       cur match {
         case Some(s) if emitOpen =>
           state.remove()
-          closed += UserSession(userId, new Timestamp(s.start),
-            new Timestamp(s.last), s.n, s.total)
+          closed += emit(userId, s)
         case Some(s) =>
           state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMillis)
         case None => ()
       }
       closed.result().iterator
@@ -110,7 +123,7 @@ object StreamingOps {
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(fold)
+        GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
   /** Streaming dedup: drop events whose key was already seen, with

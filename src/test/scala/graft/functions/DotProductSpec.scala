@@ -37,6 +37,29 @@ class DotProductSpec extends SparkSpec {
       .head.isNullAt(0))
   }
 
+  test("graft_dot: length mismatch and null elements match HOF (null)") {
+    // zip_with pads the shorter side with nulls and null*x poisons the
+    // aggregate → the HOF form yields NULL; graft_dot must agree
+    // (round-2 advice: it used to truncate to min length).
+    val df = Seq(
+      (Array[java.lang.Double](1.0, 2.0, 3.0),
+        Array[java.lang.Double](4.0, 5.0)),
+      (Array[java.lang.Double](1.0, null, 3.0),
+        Array[java.lang.Double](4.0, 5.0, 6.0)),
+      (Array[java.lang.Double](1.0, 2.0),
+        Array[java.lang.Double](3.0, 4.0))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null-ness must match HOF: $r")
+    }
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(!rows(2).isNullAt(0) && rows(2).getDouble(0) == 11.0)
+  }
+
   test("graft_rolling_hash equals the composed-HOF formulation exactly") {
     val docs = Tables.documents(spark, sfSmoke)
     val diff = docs.select(

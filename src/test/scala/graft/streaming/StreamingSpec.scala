@@ -96,6 +96,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionize (streaming): event-time timeout closes quiet sessions") {
+    import spark.implicits._
+    // user 1 goes quiet; a later batch advances the watermark far past
+    // user 1's last+gap → the open session must be emitted via the
+    // EventTimeTimeout branch and its state evicted (round-2 advice:
+    // NoTimeout left it in the store forever, never emitted).
+    val dir = tmpDir("sessto")
+    val base = 1700000000000L
+    def mk(rows: Seq[(Long, Long, Long, Double)]) =
+      rows.map { case (id, t, u, v) =>
+        (id, new java.sql.Timestamp(base + t), u, "click", v)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    mk(Seq((1L, 0L, 1L, 1.0), (2L, 60000L, 1L, 2.0)))
+      .write.parquet(dir + "/staged/b0")
+    mk(Seq((3L, 4L * 3600000L, 2L, 8.0)))
+      .write.parquet(dir + "/staged/b1")
+    val schema = spark.read.parquet(dir + "/staged/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir + "/staged/*")
+    val events = stream.withWatermark("ts", "0 seconds")
+      .as[StreamingOps.Event]
+    val sessions = StreamingOps.sessionize(events,
+      gapMillis = 5 * 60 * 1000, emitOpen = false)
+    val q = sessions.writeStream.format("memory").queryName("sessto")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sessto").as[StreamingOps.UserSession].collect()
+    assert(got.exists(s => s.user_id == 1 && s.n_events == 2 &&
+      s.total_value == 3.0 && s.session_end.getTime == base + 60000L),
+      s"timed-out session must be emitted, got ${got.toSeq}")
+    // user 2's session is still within gap of the final watermark →
+    // stays open, must NOT be emitted
+    assert(!got.exists(_.user_id == 2), s"open session leaked: ${got.toSeq}")
+  }
+
   test("append-mode windowed agg emits only watermark-closed windows") {
     import spark.implicits._
     // three files in ts order → watermark advances between batches;
