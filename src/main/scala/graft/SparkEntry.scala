@@ -230,6 +230,42 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_ts"))
         .orderBy(col("event_id").asc)),
+
+    // ---- dataset analytics: profiling / sampling / scrubbing ----
+    "d1_profile" -> ((s, dir) =>
+      AnalyticsOps.profile(Tables.orders(s, dir),
+        distinctCols = Seq("o_orderstatus", "o_orderpriority"),
+        numericCol = "o_totalprice", tsCol = "o_orderdate")),
+    "e2_percentiles" -> ((s, dir) =>
+      AnalyticsOps.groupPercentiles(Tables.lineitem(s, dir),
+        key = "l_returnflag", valueCol = "l_quantity",
+        ps = Seq(0.25, 0.5, 0.75, 0.9))),
+    "s1_hash_sample" -> ((s, dir) =>
+      AnalyticsOps.stratifiedSampleCounts(Tables.documents(s, dir),
+        idCol = "doc_id", stratumCol = "lang",
+        ratePerMille = Map("en" -> 300), defaultRatePerMille = 100)),
+    "t8_redaction_stats" -> ((s, dir) =>
+      AnalyticsOps.redactionStats(Tables.events(s, dir),
+        key = "event_type", payloadCol = "props")),
+    "w2_running_totals" -> ((s, dir) =>
+      AnalyticsOps.runningTotals(
+        Tables.events(s, dir).filter(col("event_type") === "purchase"),
+        key = "user_id", tsCol = "ts", tiebreaker = "event_id",
+        valueCol = "value")),
+    "a10_grouping_sets" -> ((s, dir) =>
+      AnalyticsOps.groupingSetCounts(Tables.documents(s, dir),
+        "source", "lang")),
+    "s2_subset_algebra" -> ((s, dir) =>
+      AnalyticsOps.subsetAlgebra(Tables.documents(s, dir), "doc_id",
+        col("text").contains("spark"), col("text").contains("window"))),
+
+    // ---- further star-schema join/agg shapes ----
+    "q12_priority_class" -> ((s, dir) =>
+      StarSchemaOps.lineStatusPriorityCounts(s, dir)),
+    "q18_large_orders" -> ((s, dir) =>
+      StarSchemaOps.largeQuantityOrders(s, dir, minQty = 250.0, k = 20)),
+    "q19_disjunctive_revenue" -> ((s, dir) =>
+      StarSchemaOps.disjunctiveRevenue(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -601,5 +637,103 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC""".stripMargin,
+    "d1_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT o_orderstatus) AS n_o_orderstatus,
+        |  count(DISTINCT o_orderpriority) AS n_o_orderpriority,
+        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS null_o_orderdate,
+        |  min(o_totalprice) AS min_o_totalprice,
+        |  max(o_totalprice) AS max_o_totalprice,
+        |  min(o_orderdate) AS first_o_orderdate,
+        |  max(o_orderdate) AS last_o_orderdate
+        |FROM orders""".stripMargin,
+    "e2_percentiles" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_quantity, 0.90), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
+    "s1_hash_sample" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |             % 1000 < (CASE WHEN lang = 'en' THEN 300 ELSE 100 END)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "t8_redaction_stats" ->
+      """WITH r AS (
+        |  SELECT event_type, props,
+        |    regexp_replace(regexp_replace(props,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS redacted
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_rows,
+        |  sum(CASE WHEN redacted <> props THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_changed,
+        |  count(DISTINCT md5(redacted)) AS n_distinct_redacted
+        |FROM r GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "w2_running_totals" ->
+      """SELECT user_id, event_id, ts,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS running_value,
+        |  coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 0)
+        |    AS gap_us
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id ASC, ts ASC, event_id ASC""".stripMargin,
+    "a10_grouping_sets" ->
+      """SELECT coalesce(source, '<all>') AS source,
+        |  coalesce(lang, '<all>') AS lang,
+        |  (CASE WHEN grouping(source) THEN 1 ELSE 0 END) AS g1,
+        |  (CASE WHEN grouping(lang) THEN 1 ELSE 0 END) AS g2,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY GROUPING SETS ((source), (lang))
+        |ORDER BY g1 ASC, g2 ASC, source ASC, lang ASC""".stripMargin,
+    "s2_subset_algebra" ->
+      """WITH a AS (SELECT doc_id FROM documents
+        |    WHERE contains(text, 'spark')),
+        |  b AS (SELECT doc_id FROM documents
+        |    WHERE contains(text, 'window'))
+        |SELECT doc_id, 'both' AS tag
+        |FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+        |UNION ALL
+        |SELECT doc_id, 'a_only' AS tag
+        |FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+        |ORDER BY tag ASC, doc_id ASC""".stripMargin,
+    "q12_priority_class" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END)::BIGINT AS low_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus ASC""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |SELECT o_orderkey, c_custkey, c_name, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM big, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4)
+        |    AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20) OR
+        |  (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 30) OR
+        |  (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
   )
 }

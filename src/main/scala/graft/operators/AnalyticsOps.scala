@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-analytics operators a large-scale training-data pipeline
+  * runs before/while exporting a corpus: column profiling, exact
+  * percentiles, deterministic (reproducible) sampling, regex scrubbing
+  * of payloads, running/cumulative window analytics, grouping-set
+  * summaries and set algebra between document subsets.
+  *
+  * All are single-pass declarative plans (scan → [join] → agg/window),
+  * no collect, no UDFs — at 100 TB each is one or two shuffles, and
+  * the scans push their filters/pruning to parquet.
+  */
+object AnalyticsOps {
+
+  /** One-row table profile: row count, per-column distinct counts,
+    * null counts, min/max — the "describe" a pipeline stores next to
+    * every snapshot. Exact aggregates only (approx_count_distinct is
+    * the 100 TB drop-in when exactness stops mattering); one scan,
+    * one partial+final agg, 1-row output.
+    */
+  def profile(df: DataFrame, distinctCols: Seq[String],
+      numericCol: String, tsCol: String): DataFrame = {
+    val distincts = distinctCols.map(c =>
+      countDistinct(col(c)).as(s"n_$c"))
+    val measures = Seq(
+      sum(when(col(tsCol).isNull, 1).otherwise(0)).cast("long")
+        .as(s"null_$tsCol"),
+      min(col(numericCol)).as(s"min_$numericCol"),
+      max(col(numericCol)).as(s"max_$numericCol"),
+      min(col(tsCol)).as(s"first_$tsCol"),
+      max(col(tsCol)).as(s"last_$tsCol"))
+    df.agg(count(lit(1)).as("n_rows"),
+      (distincts ++ measures): _*)
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`): the distribution sketch quality-filter
+    * thresholds are derived from. Exact percentile sorts within the
+    * agg buffer — at 100 TB swap in `approx_percentile` (t-digest) for
+    * the same shape; kept exact here for oracle parity.
+    */
+  def groupPercentiles(df: DataFrame, key: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      round(percentile(col(valueCol), lit(p)), 6)
+        .as(f"p${(p * 100).toInt}%02d")
+    }
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("cnt"), aggs: _*)
+      .orderBy(col(key).asc)
+  }
+
+  /** Deterministic stratified sampling audit: a row is sampled iff
+    * the first 60 bits of md5(id) mod 1000 fall under its stratum's
+    * rate (per-mille). Hash-based → reproducible across runs/engines
+    * and partition-order independent, unlike `df.sample` — the only
+    * sampling a re-runnable 100 TB pipeline should use. Returns
+    * per-stratum totals and sampled counts (single conditional-agg
+    * pass; the sample itself is the same predicate as a filter).
+    */
+  def stratifiedSampleCounts(df: DataFrame, idCol: String,
+      stratumCol: String, ratePerMille: Map[String, Int],
+      defaultRatePerMille: Int): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % 1000
+    val rate = ratePerMille.foldLeft(lit(defaultRatePerMille)) {
+      case (acc, (k, r)) => when(col(stratumCol) === k, lit(r))
+        .otherwise(acc)
+    }
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(bucket < rate, 1).otherwise(0)).cast("long")
+          .as("n_sampled"))
+      .orderBy(col(stratumCol).asc)
+  }
+
+  /** The sampling predicate itself (for building the actual sample). */
+  def sampledRows(df: DataFrame, idCol: String, ratePerMille: Int)
+      : DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % 1000
+    df.filter(bucket < ratePerMille)
+  }
+
+  /** Regex scrubbing of a payload column (emails → <EMAIL>, digit runs
+    * → <NUM>) with a per-group audit: how many rows changed, how many
+    * distinct scrubbed payloads remain. The PII-redaction shape every
+    * published training corpus needs; pure `regexp_replace`, stays in
+    * whole-stage codegen, one agg pass.
+    */
+  def redactionStats(df: DataFrame, key: String, payloadCol: String)
+      : DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col(payloadCol),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(redacted =!= col(payloadCol), 1).otherwise(0))
+          .cast("long").as("n_changed"),
+        countDistinct(md5(redacted)).as("n_distinct_redacted"))
+      .orderBy(col(key).asc)
+  }
+
+  /** Per-key running (cumulative) totals + inter-event gaps: the
+    * session-health / user-history analytics shape. One shuffle on the
+    * partition key; both window functions share the same sort, so
+    * Spark plans a single WindowExec over a single exchange.
+    */
+  def runningTotals(df: DataFrame, key: String, tsCol: String,
+      tiebreaker: String, valueCol: String): DataFrame = {
+    val order = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col(tiebreaker).asc)
+    val cum = order.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    df.select(col(key), col(tiebreaker), col(tsCol),
+        round(sum(col(valueCol)).over(cum), 6).as("running_value"),
+        coalesce(
+          unix_micros(col(tsCol)) -
+            lag(unix_micros(col(tsCol)), 1).over(order),
+          lit(0L)).as("gap_us"))
+      .orderBy(col(key).asc, col(tsCol).asc, col(tiebreaker).asc)
+  }
+
+  /** GROUPING SETS summary — independent rollups by each key in ONE
+    * scan+agg (Spark expands to a single Expand + hash agg; two
+    * separate groupBys would scan twice). Complements a8 ROLLUP /
+    * a9 CUBE.
+    */
+  def groupingSetCounts(df: DataFrame, k1: String, k2: String)
+      : DataFrame =
+    df.groupingSets(Seq(Seq(col(k1)), Seq(col(k2))), col(k1), col(k2))
+      .agg(count(lit(1)).as("cnt"),
+        grouping(col(k1)).cast("int").as("g1"),
+        grouping(col(k2)).cast("int").as("g2"))
+      .select(
+        coalesce(col(k1), lit("<all>")).as(k1),
+        coalesce(col(k2), lit("<all>")).as(k2),
+        col("g1"), col("g2"), col("cnt"))
+      .orderBy(col("g1").asc, col("g2").asc,
+        col(k1).asc, col(k2).asc)
+
+  /** Set algebra between two keyed subsets (INTERSECT / EXCEPT — the
+    * §2.7 surface the reference never exercises): ids matching both
+    * predicates, and ids matching only the first, tagged in one
+    * result. Spark plans both as semi/anti hash joins on the id.
+    */
+  def subsetAlgebra(df: DataFrame, idCol: String,
+      predA: Column, predB: Column): DataFrame = {
+    val a = df.filter(predA).select(col(idCol))
+    val b = df.filter(predB).select(col(idCol))
+    a.intersect(b).select(col(idCol), lit("both").as("tag"))
+      .unionByName(
+        a.except(b).select(col(idCol), lit("a_only").as("tag")))
+      .orderBy(col("tag").asc, col(idCol).asc)
+  }
+}

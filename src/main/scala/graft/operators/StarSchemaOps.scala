@@ -187,6 +187,75 @@ object StarSchemaOps {
       .orderBy(col("o_custkey").asc, col("rank").asc)
   }
 
+  /** TPC-H Q12-shaped: lineitem⨝orders with conditional counts split
+    * by order priority class — the join feeds ONE agg pass whose two
+    * measures are CASE-gated (no second scan, no second join). The
+    * join is a shuffled equi-join on the order key; at rest both
+    * sides would be bucketed on it.
+    */
+  def lineStatusPriorityCounts(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1).otherwise(0)).cast("long").as("high_count"),
+        sum(when(high, 0).otherwise(1)).cast("long").as("low_count"))
+      .orderBy(col("l_linestatus").asc)
+  }
+
+  /** TPC-H Q18-shaped: orders whose total line quantity exceeds a
+    * threshold — an aggregate-then-join (the groupBy on the fact
+    * table runs FIRST, shrinking it to one row per order, before any
+    * join). Customer/orders join the tiny filtered set; AQE broadcasts
+    * it at runtime.
+    */
+  def largeQuantityOrders(spark: SparkSession, sfDir: String,
+      minQty: Double, k: Int): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name")
+    big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q19-shaped: disjunction of predicate bundles over
+    * lineitem⨝part. The per-bundle part predicates can't prune the
+    * join (they're OR'd), but Catalyst extracts the common join key
+    * and pushes the l_quantity bounds below it; one agg row out.
+    */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_size")
+    val bundle1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+    val bundle2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 30)
+    val bundle3 = col("p_brand") === "Brand#7" &&
+      col("p_size").between(20, 50) && col("l_quantity").between(20, 40)
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .filter(bundle1 || bundle2 || bundle3)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"))
+  }
+
   /** Order-priority histogram with an EXISTS-shaped semi join
     * (lineitem committed late). Left-semi keeps only order columns
     * flowing; no row multiplication.

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: counts/nulls/min-max agree with direct aggregates") {
+    val orders = Tables.orders(spark, sfSmoke)
+    val row = AnalyticsOps.profile(orders,
+      Seq("o_orderstatus", "o_orderpriority"),
+      "o_totalprice", "o_orderdate").head
+    assert(row.getAs[Long]("n_rows") == orders.count())
+    assert(row.getAs[Long]("n_o_orderstatus") ==
+      orders.select("o_orderstatus").distinct().count())
+    assert(row.getAs[Long]("null_o_orderdate") ==
+      orders.filter(col("o_orderdate").isNull).count())
+    assert(row.getAs[Double]("min_o_totalprice") <=
+      row.getAs[Double]("max_o_totalprice"))
+  }
+
+  test("groupPercentiles: known tiny distribution") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("k", "v")
+    val rows = AnalyticsOps.groupPercentiles(df, "k", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows("a") == 2.5) // interpolated median of 1..4
+    assert(rows("b") == 10.0)
+  }
+
+  test("stratified hash sampling is deterministic and rate-shaped") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val counts = AnalyticsOps.stratifiedSampleCounts(docs, "doc_id",
+      "lang", Map("en" -> 300), 100)
+    val first = counts.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    val second = counts.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(first.toSeq == second.toSeq, "hash sampling must be stable")
+    first.foreach { case (_, n, s) => assert(s <= n) }
+    // the sample filter and the audit count agree exactly
+    val sampledEn = AnalyticsOps.sampledRows(
+      docs.filter(col("lang") === "en"), "doc_id", 300).count()
+    assert(first.find(_._1 == "en").map(_._3).contains(sampledEn))
+  }
+
+  test("redactionStats: emails and digit runs are scrubbed") {
+    val df = Seq(
+      ("a", "contact bob@example.com now"),
+      ("a", "order 12345 shipped 2024"),
+      ("a", "no pii here"),
+      ("b", "alice@test.org and 9 items")).toDF("k", "payload")
+    val rows = AnalyticsOps.redactionStats(df, "k", "payload")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows("a") == 2) // two payloads changed, one untouched
+    assert(rows("b") == 1)
+  }
+
+  test("runningTotals: cumulative sums and gaps per key") {
+    val t0 = 1700000000000000L // µs
+    val df = Seq(
+      (1L, 10L, t0, 5.0), (1L, 11L, t0 + 2000000L, 7.0),
+      (2L, 12L, t0, 1.0))
+      .toDF("user_id", "event_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val rows = AnalyticsOps.runningTotals(df, "user_id", "ts",
+      "event_id", "value").collect()
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(5.0, 12.0, 1.0))
+    assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 2000000L, 0L))
+  }
+
+  test("groupingSetCounts equals the union of the two single-key rollups") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val gs = AnalyticsOps.groupingSetCounts(docs, "source", "lang")
+      .collect()
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => (r.getString(0), "<all>", 0, 1, r.getLong(1))).toSet
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => ("<all>", r.getString(0), 1, 0, r.getLong(1))).toSet
+    val got = gs.map(r => (r.getString(0), r.getString(1),
+      r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(got == (bySource ++ byLang))
+  }
+
+  test("subsetAlgebra: intersect and except tags on a tiny frame") {
+    val df = Seq((1L, "x y"), (2L, "x"), (3L, "y"), (4L, "z"))
+      .toDF("id", "text")
+    val rows = AnalyticsOps.subsetAlgebra(df, "id",
+      col("text").contains("x"), col("text").contains("y"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((2L, "a_only"), (1L, "both")))
+  }
+
+  test("q12 shape: high+low counts cover every joined row") {
+    val res = StarSchemaOps.lineStatusPriorityCounts(spark, sfSmoke)
+      .collect()
+    val total = res.map(r => r.getLong(1) + r.getLong(2)).sum
+    val li = Tables.lineitem(spark, sfSmoke)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val ord = Tables.orders(spark, sfSmoke)
+    val expected = li.join(ord,
+      li("l_orderkey") === ord("o_orderkey")).count()
+    assert(total == expected)
+  }
+
+  test("q18 shape: every returned order exceeds the quantity threshold") {
+    val res = StarSchemaOps.largeQuantityOrders(spark, sfSmoke,
+      minQty = 150.0, k = 10).collect()
+    assert(res.nonEmpty)
+    res.foreach(r => assert(r.getAs[Double]("total_qty") > 150.0))
+    // sorted by o_totalprice desc
+    val prices = res.map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(prices == prices.sortBy(-_))
+  }
+
+  test("q19 shape: disjunctive revenue equals the manually-filtered sum") {
+    val got = StarSchemaOps.disjunctiveRevenue(spark, sfSmoke)
+      .head.getDouble(0)
+    val li = Tables.lineitem(spark, sfSmoke)
+    val part = Tables.part(spark, sfSmoke)
+    val j = li.join(part, li("l_partkey") === part("p_partkey"))
+    def bundle(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val want = j.filter(
+      bundle("Brand#12", 1, 15, 1, 20) ||
+      bundle("Brand#23", 10, 30, 10, 30) ||
+      bundle("Brand#7", 20, 50, 20, 40))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4)).head.getDouble(0)
+    assert(got == want)
+  }
+}

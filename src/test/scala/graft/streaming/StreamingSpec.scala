@@ -108,10 +108,14 @@ class StreamingSpec extends SparkSpec {
       rows.map { case (id, t, u, v) =>
         (id, new java.sql.Timestamp(base + t), u, "click", v)
       }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // coalesce(1): one parquet part-file per batch dir, so each dir IS
+    // one micro-batch (a local Seq write otherwise splits into 2 part
+    // files that maxFilesPerTrigger=1 replays in nondeterministic
+    // order, shuffling user 1's events across batches)
     mk(Seq((1L, 0L, 1L, 1.0), (2L, 60000L, 1L, 2.0)))
-      .write.parquet(dir + "/staged/b0")
+      .coalesce(1).write.parquet(dir + "/staged/b0")
     mk(Seq((3L, 4L * 3600000L, 2L, 8.0)))
-      .write.parquet(dir + "/staged/b1")
+      .coalesce(1).write.parquet(dir + "/staged/b1")
     val schema = spark.read.parquet(dir + "/staged/b0").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
