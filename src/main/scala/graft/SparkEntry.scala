@@ -111,9 +111,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
       val dup = docs.unionByName(
         docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
-      DedupOps.exactDedup(dup, "text", "doc_id")
-        .select(col("doc_id"), col("source"),
-          DedupOps.contentKey(col("text")).as("content_md5"))
+      DedupOps.exactDedupKeyed(dup, "text", "doc_id", "content_md5")
+        .select(col("doc_id"), col("source"), col("content_md5"))
         .orderBy(col("doc_id").asc)
     }),
     "n3_ngram_jaccard" -> ((s, dir) =>
@@ -266,6 +265,12 @@ object SparkEntry {
       StarSchemaOps.largeQuantityOrders(s, dir, minQty = 250.0, k = 20)),
     "q19_disjunctive_revenue" -> ((s, dir) =>
       StarSchemaOps.disjunctiveRevenue(s, dir)),
+
+    // ---- composed corpus-preparation pipeline ----
+    "c1_corpus_prep" -> ((s, dir) =>
+      AnalyticsOps.corpusPrep(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", charsCol = "n_chars",
+        langCol = "lang", minQuality = 0.55, samplePerMille = 500)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -735,5 +740,35 @@ object SparkEntry {
         |    AND l_quantity BETWEEN 10 AND 30) OR
         |  (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50
         |    AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+    "c1_corpus_prep" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text, len(w) AS n_tok,
+        |    round(
+        |      (len(list_distinct(w)) * 1.0 / len(w)) * 0.5 +
+        |      (1.0 - len(list_filter(w,
+        |         x -> x IN ('the','a','of','and','is','in')))
+        |         * 1.0 / len(w)) * 0.3 +
+        |      least(((n_chars * 1.0 - (len(w) - 1)) / len(w)) / 8.0,
+        |        1.0) * 0.2, 6) AS quality
+        |  FROM c),
+        |f AS (SELECT * FROM q WHERE quality >= 0.55),
+        |d AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY
+        |        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id ASC) AS rn
+        |  FROM f),
+        |s AS (
+        |  SELECT * FROM d WHERE rn = 1
+        |    AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+        |        % 1000 < 500)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(n_tok)::BIGINT AS total_tokens,
+        |  round(avg(quality), 6) AS avg_quality
+        |FROM s GROUP BY lang ORDER BY lang ASC""".stripMargin,
   )
 }

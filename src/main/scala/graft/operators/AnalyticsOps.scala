@@ -144,6 +144,44 @@ object AnalyticsOps {
       .orderBy(col("g1").asc, col("g2").asc,
         col(k1).asc, col(k2).asc)
 
+  /** End-to-end corpus-preparation pipeline as ONE declarative plan —
+    * the composition a training-data export actually runs:
+    * quality-score filter (t2 formula) → exact content dedup
+    * (keep-first) → deterministic md5 sample → per-language stats.
+    * One scan, one window shuffle (dedup key), one agg shuffle; every
+    * stage is the already-oracle-checked operator, so the whole
+    * pipeline stays hash-matchable. At 100 TB this is the plan shape
+    * as-is — each stage is partition-parallel and the only wide ops
+    * are the dedup-key shuffle and the final tiny agg.
+    */
+  def corpusPrep(df: DataFrame, idCol: String, textCol: String,
+      charsCol: String, langCol: String, minQuality: Double,
+      samplePerMille: Int): DataFrame = {
+    val w = TextOps.tokens(col(textCol))
+    val nTok = size(w).cast("double")
+    val ttr = size(array_distinct(w)).cast("double") / nTok
+    val stopRatio = size(filter(w,
+      t => t.isInCollection(TextOps.EnStopwords))).cast("double") / nTok
+    val avgWordLen = (col(charsCol).cast("double") - (nTok - 1)) / nTok
+    val quality = round(
+      ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
+        least(avgWordLen / 8.0, lit(1.0)) * 0.2, 6)
+    val scored = df
+      .withColumn("n_tok", size(w))
+      .withColumn("quality", quality)
+      .filter(col("quality") >= minQuality)
+    val deduped = DedupOps.exactDedupKeyed(scored, textCol, idCol,
+      "content_md5")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % 1000
+    deduped.filter(bucket < samplePerMille)
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy(col(langCol).asc)
+  }
+
   /** Set algebra between two keyed subsets (INTERSECT / EXCEPT — the
     * §2.7 surface the reference never exercises): ids matching both
     * predicates, and ids matching only the first, tagged in one

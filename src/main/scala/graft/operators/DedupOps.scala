@@ -65,17 +65,26 @@ object DedupOps {
   /** 128-bit content key of the normalized text. */
   def contentKey(text: Column): Column = md5(normalized(text))
 
+  /** Exact content dedup, first-write-wins by `orderCol`, keeping the
+    * content key as `keyName` in the output — the md5 is computed ONCE
+    * (as a column the window partitions on) instead of once for the
+    * shuffle key and again for any downstream projection.
+    */
+  def exactDedupKeyed(df: DataFrame, textCol: String, orderCol: String,
+      keyName: String): DataFrame = {
+    val keyed = df.withColumn(keyName, contentKey(col(textCol)))
+    val w = Window.partitionBy(col(keyName)).orderBy(col(orderCol).asc)
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Exact content dedup, first-write-wins by `orderCol` (same batch
     * semantics as the key-based K5 dedup — ethical_crawler.py:915).
     */
   def exactDedup(df: DataFrame, textCol: String, orderCol: String)
-      : DataFrame = {
-    val w = Window.partitionBy(contentKey(col(textCol)))
-      .orderBy(col(orderCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+      : DataFrame =
+    exactDedupKeyed(df, textCol, orderCol, "__ck").drop("__ck")
 
   /** Distinct word n-gram shingles per document: (idCol, shingle),
     * via the single-pass [[graft.functions.WordShingles]] expression.

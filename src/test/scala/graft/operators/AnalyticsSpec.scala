@@ -92,6 +92,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((2L, "a_only"), (1L, "both")))
   }
 
+  test("corpusPrep: open knobs keep every unique doc; tightening shrinks") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val open = AnalyticsOps.corpusPrep(docs, "doc_id", "text",
+      "n_chars", "lang", minQuality = 0.0, samplePerMille = 1000)
+    val total = open.agg(sum("n_docs")).head.getLong(0)
+    val uniq = docs.select(DedupOps.contentKey(col("text")))
+      .distinct().count()
+    assert(total == uniq, "no quality floor + full sample = exact dedup")
+    val tight = AnalyticsOps.corpusPrep(docs, "doc_id", "text",
+      "n_chars", "lang", minQuality = 0.55, samplePerMille = 500)
+      .agg(coalesce(sum("n_docs"), lit(0L))).head.getLong(0)
+    assert(tight <= total, "tightening any knob never grows the corpus")
+    // deterministic: repeated run identical
+    val again = AnalyticsOps.corpusPrep(docs, "doc_id", "text",
+      "n_chars", "lang", minQuality = 0.55, samplePerMille = 500)
+      .agg(coalesce(sum("n_docs"), lit(0L))).head.getLong(0)
+    assert(again == tight)
+  }
+
   test("q12 shape: high+low counts cover every joined row") {
     val res = StarSchemaOps.lineStatusPriorityCounts(spark, sfSmoke)
       .collect()
