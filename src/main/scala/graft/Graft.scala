@@ -120,6 +120,31 @@ final class Graft(spark: SparkSession, tableDir: String) {
         concat_ws(" ", col("title"), col("description"))),
       "record_id", "__content", minJaccard)
 
+  /** One-row profile of the records table (row/distinct/null counts,
+    * size min/max, ingest time span) — the snapshot "describe" a
+    * pipeline stores next to every export.
+    */
+  def profile(): DataFrame =
+    operators.AnalyticsOps.profile(records,
+      distinctCols = Seq("source_name", "data_type"),
+      numericCol = "size_bytes", tsCol = "ingested_at")
+
+  /** Deterministic (reproducible) sample of the records table:
+    * md5-hash membership at `ratePerMille`, independent of partition
+    * layout and run order.
+    */
+  def sample(ratePerMille: Int): DataFrame =
+    operators.AnalyticsOps.sampledRows(records, "record_id", ratePerMille)
+
+  /** Redaction audit per source: rows whose title+description change
+    * under email/digit scrubbing, and distinct scrubbed payloads.
+    */
+  def redactionAudit(): DataFrame =
+    operators.AnalyticsOps.redactionStats(
+      records.withColumn("__payload",
+        concat_ws(" ", col("title"), col("description"))),
+      "source_name", "__payload")
+
   /** Top-k records most similar to `recordId` by embedding cosine
     * (records whose embedding is null are skipped). Empty until an
     * embedding backfill populates the column (the reference declares

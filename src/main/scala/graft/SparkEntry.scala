@@ -271,6 +271,13 @@ object SparkEntry {
       AnalyticsOps.corpusPrep(Tables.documents(s, dir),
         idCol = "doc_id", textCol = "text", charsCol = "n_chars",
         langCol = "lang", minQuality = 0.55, samplePerMille = 500)),
+
+    // ---- multimodal decode→extract→rollup (integer-exact) ----
+    "m2_media_histogram" -> ((s, dir) => {
+      val assets = MultimodalOps.assetsFromDocuments(s,
+        Tables.documents(s, dir))
+      MultimodalOps.histogramStats(MultimodalOps.extractCounts(assets))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -770,5 +777,23 @@ object SparkEntry {
         |  sum(n_tok)::BIGINT AS total_tokens,
         |  round(avg(quality), 6) AS avg_quality
         |FROM s GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    // text is pure ASCII (verified) → byte bins ≡ char-class counts
+    "m2_media_histogram" ->
+      """WITH a AS (
+        |  SELECT CASE (doc_id % 3) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    text
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_assets,
+        |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+        |  sum(len(regexp_extract_all(text, '[ -/]')))::BIGINT
+        |    AS bin_punct,
+        |  sum(len(regexp_extract_all(text, '[0-?]')))::BIGINT
+        |    AS bin_digit,
+        |  sum(len(regexp_extract_all(text, '[`-o]')))::BIGINT
+        |    AS bin_alpha_lo,
+        |  sum(len(regexp_extract_all(text, '[p-~]')))::BIGINT
+        |    AS bin_alpha_hi
+        |FROM a GROUP BY kind ORDER BY kind ASC""".stripMargin,
   )
 }

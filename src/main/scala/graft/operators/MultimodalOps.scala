@@ -153,4 +153,48 @@ object MultimodalOps {
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
       .orderBy(col("kind").asc)
+
+  /** Integer byte-histogram variant of [[MediaFeatures]]: raw bin
+    * COUNTS instead of normalized floats — exact in 64-bit integers,
+    * so the whole decode→extract→rollup pipeline is oracle-checkable
+    * (float features are not: 32-bit division noise vs the oracle's
+    * doubles).
+    */
+  final case class MediaCounts(
+      asset_id: Long, kind: String, n_bytes: Long, bins: Array[Long])
+
+  /** Same batch shape as [[extractFeatures]], counting high-nibble
+    * byte bins (bin k = bytes 0xk0..0xkF). One decoder init per
+    * partition; payload bytes never shuffle.
+    */
+  def extractCounts(assets: Dataset[MediaAsset]): Dataset[MediaCounts] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < a.bytes.length) {
+          hist((a.bytes(i) & 0xff) >> 4) += 1L
+          i += 1
+        }
+        MediaCounts(a.asset_id, a.kind, a.bytes.length.toLong, hist)
+      }
+    }
+  }
+
+  /** Per-kind rollup of the byte-histogram counts: total assets/bytes
+    * and the punctuation/digit/letter bin sums (bins 2, 3, 6, 7 —
+    * 0x20–0x7F covers all of ASCII text).
+    */
+  def histogramStats(counts: Dataset[MediaCounts]): DataFrame =
+    counts.toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(element_at(col("bins"), 3)).as("bin_punct"),
+        sum(element_at(col("bins"), 4)).as("bin_digit"),
+        sum(element_at(col("bins"), 7)).as("bin_alpha_lo"),
+        sum(element_at(col("bins"), 8)).as("bin_alpha_hi"))
+      .orderBy(col("kind").asc)
 }

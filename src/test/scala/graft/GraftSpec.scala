@@ -84,5 +84,14 @@ class GraftSpec extends SparkSpec {
     assert(g.nearDuplicates(0.8).count() == 0)
     // similar(): no embeddings backfilled yet → empty, not an error
     assert(g.similar("aa-1", 5).count() == 0)
+
+    // analytics surface: profile / deterministic sample / redaction
+    val prof = g.profile().head
+    assert(prof.getAs[Long]("n_rows") == 2L)
+    assert(prof.getAs[Long]("n_source_name") == 1L)
+    assert(g.sample(1000).count() == 2) // full rate keeps everything
+    assert(g.sample(0).count() == 0)
+    val red = g.redactionAudit().head
+    assert(red.getAs[Long]("n_rows") == 2L)
   }
 }

@@ -131,4 +131,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     assert(stats.map(_.getLong(1)).sum == 30L)
   }
+
+  test("extractCounts/histogramStats: integer bins conserve byte totals") {
+    val docs = Tables.documents(spark, sfSmoke).limit(40)
+    val counts = MultimodalOps.extractCounts(
+      MultimodalOps.assetsFromDocuments(spark, docs))
+    // bins partition the byte range: per asset they sum to n_bytes
+    counts.collect().foreach { c =>
+      assert(c.bins.sum == c.n_bytes, s"bins must partition bytes: $c")
+    }
+    val stats = MultimodalOps.histogramStats(counts).collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    val totalBytes = stats.map(_.getLong(2)).sum
+    assert(totalBytes == counts.collect().map(_.n_bytes).sum)
+  }
 }
