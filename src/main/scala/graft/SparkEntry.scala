@@ -265,6 +265,8 @@ object SparkEntry {
       StarSchemaOps.largeQuantityOrders(s, dir, minQty = 250.0, k = 20)),
     "q19_disjunctive_revenue" -> ((s, dir) =>
       StarSchemaOps.disjunctiveRevenue(s, dir)),
+    "q15_top_supplier" -> ((s, dir) =>
+      StarSchemaOps.topSuppliersByRevenue(s, dir)),
 
     // ---- composed corpus-preparation pipeline ----
     "c1_corpus_prep" -> ((s, dir) =>
@@ -777,6 +779,19 @@ object SparkEntry {
         |  sum(n_tok)::BIGINT AS total_tokens,
         |  round(avg(quality), 6) AS avg_quality
         |FROM s GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4)
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM r)
+        |ORDER BY s_suppkey ASC""".stripMargin,
     // text is pure ASCII (verified) → byte bins ≡ char-class counts
     "m2_media_histogram" ->
       """WITH a AS (

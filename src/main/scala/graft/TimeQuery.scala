@@ -1,0 +1,24 @@
+package graft
+
+/** Times individual queries (noop-write action, same as Bench) —
+  * the per-query A/B harness for plan experiments.
+  * Usage: `runMain graft.TimeQuery <sfDir> <q1,q2,...> [reps]`
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = Sessions.local(Sessions.envCores)
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[time] $n min=${times.min}%.3f all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -256,6 +256,28 @@ object StarSchemaOps {
         4).as("revenue"))
   }
 
+  /** TPC-H Q15-shaped: supplier(s) with the maximum quarterly revenue
+    * — a derived aggregate view probed by its own scalar max (the A4
+    * ungrouped-MAX pattern at fact scale). The 1-row max aggregate is
+    * the only broadcast (constant size by construction); the revenue
+    * view computes once and AQE reuses its shuffle for both sides.
+    */
+  def topSuppliersByRevenue(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("mx"))
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+    rev.join(broadcast(mx), col("total_rev") === col("mx"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
   /** Order-priority histogram with an EXISTS-shaped semi join
     * (lineitem committed late). Left-semi keeps only order columns
     * flowing; no row multiplication.
