@@ -78,6 +78,22 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Registers every testdata table as a temp view so the engine's
+    * full surface is reachable from `spark.sql(...)` — same relations
+    * (loader cache included, events with the nanos fix) the DataFrame
+    * operators read, so SQL and DataFrame results are identical by
+    * construction.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region" -> region _, "nation" -> nation _,
+      "customer" -> customer _, "supplier" -> supplier _,
+      "part" -> part _, "orders" -> orders _, "lineitem" -> lineitem _,
+      "documents" -> documents _, "embeddings" -> embeddings _,
+      "events" -> events _).foreach { case (name, loader) =>
+      loader(spark, sfDir).createOrReplaceTempView(name)
+    }
+  }
 }
 
 /** Quick manual probe: `sbt "runMain graft.Probe"`. */

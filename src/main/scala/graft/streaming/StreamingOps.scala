@@ -138,6 +138,36 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(keyCols)
 
+  /** Stream-stream inner join: purchases matched to the clicks they
+    * followed within `windowHours`, both sides watermarked so the join
+    * STATE IS BOUNDED — a click older than watermark−window can never
+    * match a future purchase and is evicted; same for purchases. This
+    * is the attribution-join shape (ad click → conversion) and the
+    * canonical stateful two-stream op the reference's batch world has
+    * no analogue for. Works identically on batch frames (the test
+    * oracle): same API, Catalyst plans a plain range join.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      tsCol: String, windowHours: Int): DataFrame = {
+    val c = (if (clicks.isStreaming)
+        clicks.withWatermark(tsCol, s"$windowHours hours")
+      else clicks)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col(tsCol).as("click_ts"))
+    val p = (if (purchases.isStreaming)
+        purchases.withWatermark(tsCol, "1 hour")
+      else purchases)
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col(tsCol).as("purchase_ts"),
+        col("value"))
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $windowHours HOURS"))
+      .drop("p_user_id")
+  }
+
   /** Run a streaming aggregation to completion against a memory sink
     * and return the result table. `Complete` output mode (the test
     * harness wants the final totals; `Append` + watermark close is the

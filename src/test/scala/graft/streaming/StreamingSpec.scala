@@ -222,6 +222,60 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream click→purchase join matches the batch range join") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sfSmoke)
+    // Stage micro-batches in EVENT-TIME ORDER (one time-slice per
+    // file, written sequentially → replayed in order): a random split
+    // would make whole batches arrive later than the watermark and be
+    // dropped — correct watermark semantics, but not what this test
+    // measures.
+    val bounds = events.selectExpr("min(ts)", "max(ts)").head()
+    val (lo, hi) = (bounds.getTimestamp(0).getTime,
+      bounds.getTimestamp(1).getTime)
+    val cut1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
+    val cut2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
+    val stageDir = tmpDir("ssj") + "/events"
+    events.filter(col("ts") <= lit(cut1))
+      .coalesce(1).write.parquet(stageDir + "/b0")
+    events.filter(col("ts") > lit(cut1) && col("ts") <= lit(cut2))
+      .coalesce(1).write.parquet(stageDir + "/b1")
+    events.filter(col("ts") > lit(cut2))
+      .coalesce(1).write.parquet(stageDir + "/b2")
+    val staged = spark.read.parquet(stageDir + "/b0",
+      stageDir + "/b1", stageDir + "/b2")
+
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click"),
+      df.filter(col("event_type") === "purchase"))
+
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(stageDir + "/*")
+    val (sc, sp) = split(stream)
+    val joined = StreamingOps.clickPurchaseJoin(sc, sp, "ts", 2)
+    // both sides carry watermarks → join state is bounded
+    assert(joined.queryExecution.analyzed.toString
+      .contains("EventTimeWatermark"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ssjoin")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val (bc, bp) = split(staged)
+    val want = StreamingOps.clickPurchaseJoin(bc, bp, "ts", 2)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "smoke data must produce at least one match")
+    assert(got == want,
+      s"missing=${(want -- got).size} extra=${(got -- want).size}")
+  }
+
   test("tumblingCounts on a batch frame degrades to a plain windowed agg") {
     val ev = Tables.events(spark, sfSmoke)
     val agg = StreamingOps.tumblingCounts(ev, "ts", "1 hour", "10 minutes")
