@@ -274,6 +274,17 @@ object SparkEntry {
         idCol = "doc_id", textCol = "text", charsCol = "n_chars",
         langCol = "lang", minQuality = 0.55, samplePerMille = 500)),
 
+    // ---- streaming aggregate, batch-checked (same code streams) ----
+    "st1_tumbling_counts" -> ((s, dir) =>
+      graft.streaming.StreamingOps.tumblingCounts(
+        Tables.events(s, dir), "ts", "1 hour", "10 minutes")
+        .orderBy(col("window_start").asc, col("event_type").asc)),
+
+    // ---- sketch tier (approximate → rows-only gate + ε-tests) ----
+    "e3_sketch_profile" -> ((s, dir) =>
+      AnalyticsOps.sketchProfile(Tables.events(s, dir),
+        key = "event_type", idCol = "user_id", valueCol = "value")),
+
     // ---- multimodal decode→extract→rollup (integer-exact) ----
     "m2_media_histogram" -> ((s, dir) => {
       val assets = MultimodalOps.assetsFromDocuments(s,
@@ -283,9 +294,15 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
-    // n6_ann_lsh_topk intentionally omitted: LSH is approximate →
-    // driver records the weaker rows-only check; ScalaTest cross-checks
-    // it against the brute-force cosine answer instead.
+    // n6_ann_lsh_topk and e3_sketch_profile intentionally omitted:
+    // LSH / HLL / t-digest are approximate → driver records the weaker
+    // rows-only check; ScalaTest bounds them against the exact answers
+    // (brute-force cosine / countDistinct / percentile) instead.
+    "st1_tumbling_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start ASC, event_type ASC""".stripMargin,
     "n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

@@ -182,6 +182,23 @@ object AnalyticsOps {
       .orderBy(col(langCol).asc)
   }
 
+  /** Sketch tier of [[profile]]/[[groupPercentiles]]: HyperLogLog
+    * distinct counts and t-digest percentiles next to their exact
+    * twins. THIS is what d1/e2 become at 100 TB — fixed-size mergeable
+    * state instead of exact buffers; approximate → rows-only gate
+    * (ScalaTest bounds the error against the exact values instead).
+    */
+  def sketchProfile(df: DataFrame, key: String, idCol: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        countDistinct(col(idCol)).as("exact_distinct"),
+        approx_count_distinct(col(idCol)).as("approx_distinct"),
+        round(percentile(col(valueCol), lit(0.5)), 6).as("exact_p50"),
+        round(percentile_approx(col(valueCol), lit(0.5), lit(10000)), 6)
+          .as("approx_p50"))
+      .orderBy(col(key).asc)
+
   /** Set algebra between two keyed subsets (INTERSECT / EXCEPT — the
     * §2.7 surface the reference never exercises): ids matching both
     * predicates, and ids matching only the first, tagged in one

@@ -111,6 +111,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(again == tight)
   }
 
+  test("sketchProfile: approx distinct and p50 within tolerance of exact") {
+    val rows = AnalyticsOps.sketchProfile(Tables.events(spark, sfSmoke),
+      "event_type", "user_id", "value").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exactD, approxD) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approxD - exactD) <= math.max(2L,
+        (exactD * 0.05).toLong),
+        s"HLL off by >5%: exact=$exactD approx=$approxD")
+      val (exactP, approxP) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(approxP - exactP) <= math.max(1.0, exactP * 0.05),
+        s"t-digest p50 off: exact=$exactP approx=$approxP")
+    }
+  }
+
   test("q12 shape: high+low counts cover every joined row") {
     val res = StarSchemaOps.lineStatusPriorityCounts(spark, sfSmoke)
       .collect()
