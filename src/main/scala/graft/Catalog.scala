@@ -57,4 +57,26 @@ object Catalog {
     fs.delete(new Path(path), true)
     fs.rename(new Path(tmpPath), new Path(path))
   }
+
+  /** Small-file compaction: rewrite the table into ⌈bytes/target⌉
+    * files via write-temp-then-swap. Append-heavy tables (every
+    * K4/K5 append adds files) degrade by file COUNT, not bytes —
+    * scan tasks, footer reads and scheduling all scale with it; this
+    * is the standing maintenance job any 100 TB table needs (or a
+    * transactional format's OPTIMIZE). Returns the target file count.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path + "__compact_tmp"
+    load(spark, path).repartition(nFiles).write
+      .mode(SaveMode.Overwrite).parquet(tmp)
+    replace(spark, tmp, path)
+    nFiles
+  }
 }

@@ -267,6 +267,8 @@ object SparkEntry {
       StarSchemaOps.disjunctiveRevenue(s, dir)),
     "q15_top_supplier" -> ((s, dir) =>
       StarSchemaOps.topSuppliersByRevenue(s, dir)),
+    "q7_nation_volume" -> ((s, dir) =>
+      StarSchemaOps.nationVolume(s, dir, "NATION_3", "NATION_7")),
 
     // ---- composed corpus-preparation pipeline ----
     "c1_corpus_prep" -> ((s, dir) =>
@@ -796,6 +798,22 @@ object SparkEntry {
         |  sum(n_tok)::BIGINT AS total_tokens,
         |  round(avg(quality), 6) AS avg_quality
         |FROM s GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem, orders, customer, supplier,
+        |  nation nc, nation ns
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = nc.n_nationkey
+        |  AND s_nationkey = ns.n_nationkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7') OR
+        |       (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin,
     "q15_top_supplier" ->
       """WITH r AS (
         |  SELECT l_suppkey,

@@ -278,6 +278,44 @@ object StarSchemaOps {
       .orderBy(col("s_suppkey").asc)
   }
 
+  /** TPC-H Q7-shaped nation trade volume: revenue flowing between two
+    * nations (either direction) per year — lineitem joined to BOTH its
+    * supplier's and its customer's nation. The two nation lookups are
+    * the only broadcasts (25 rows); the symmetric pair filter runs
+    * before the aggregate so only cross-nation rows reach it.
+    */
+  def nationVolume(spark: SparkSession, sfDir: String,
+      nationA: String, nationB: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+    val nc = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val ns = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nc), cust("c_nationkey") === col("cn_key"))
+      .join(broadcast(ns), supp("s_nationkey") === col("sn_key"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+        col("l_year").asc)
+  }
+
   /** Order-priority histogram with an EXISTS-shaped semi join
     * (lineitem committed late). Left-semi keeps only order columns
     * flowing; no row multiplication.

@@ -173,4 +173,21 @@ class ExportCatalogSpec extends SparkSpec {
     val ids = out.select("doc_id").as[Long].collect()
     assert(ids.toSeq == ids.sorted.reverse.toSeq)
   }
+
+  test("compact: many small files become few, data unchanged") {
+    val path = tmpDir("compact") + "/t"
+    val df = Tables.documents(spark, sfSmoke)
+    df.repartition(17).write.parquet(path)
+    def dataFiles = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles == 17)
+    val before = spark.read.parquet(path).collect().toSet
+
+    val n = Catalog.compact(spark, path) // 128 MB target → 1 file
+    assert(n == 1)
+    assert(dataFiles == 1, "17 small files must compact to 1")
+    assert(spark.read.parquet(path).collect().toSet == before)
+    // no leftover temp directory
+    assert(!new java.io.File(path + "__compact_tmp").exists())
+  }
 }
