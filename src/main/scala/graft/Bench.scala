@@ -25,6 +25,12 @@ import org.apache.spark.sql.DataFrame
   */
 object Bench {
 
+  /** DuckDB total for the current 64-query suite at sf0.1
+    * (tools/duckdb_baseline.py, 32 threads, warm, min-of-3 —
+    * measured 2026-08-12; see BASELINE.md round 3).
+    */
+  val RecordedDuckdbSf01: Double = 5.3227
+
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -64,8 +70,12 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     // DuckDB oracle total on the same queries/data, measured by
     // tools/duckdb_baseline.py (see BASELINE.md "Measured baseline").
+    // The default is the last recorded measurement for THIS suite at
+    // sf0.1 — re-measure and override via env when the suite changes.
     val baseline = sys.env.get("SPARK_GRAFT_DUCKDB_TOTAL_SEC")
       .map(_.toDouble)
+      .orElse(if (sfDir.endsWith("sf0.1")) Some(Bench.RecordedDuckdbSf01)
+              else None)
     val baseJson = baseline
       .map(b => f""","duckdb_baseline_sec":$b%.4f,"ratio":${total / b}%.2f""")
       .getOrElse("")

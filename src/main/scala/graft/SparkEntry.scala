@@ -269,6 +269,10 @@ object SparkEntry {
       StarSchemaOps.topSuppliersByRevenue(s, dir)),
     "q7_nation_volume" -> ((s, dir) =>
       StarSchemaOps.nationVolume(s, dir, "NATION_3", "NATION_7")),
+    "q8_market_share" -> ((s, dir) =>
+      StarSchemaOps.marketShare(s, dir,
+        supplierNation = "NATION_3", regionName = "ASIA",
+        partType = "STANDARD")),
 
     // ---- composed corpus-preparation pipeline ----
     "c1_corpus_prep" -> ((s, dir) =>
@@ -798,6 +802,23 @@ object SparkEntry {
         |  sum(n_tok)::BIGINT AS total_tokens,
         |  round(avg(quality), 6) AS avg_quality
         |FROM s GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN ns.n_name = 'NATION_3'
+        |            THEN l_extendedprice * (1 - l_discount)
+        |            ELSE 0.0 END)
+        |        / sum(l_extendedprice * (1 - l_discount)), 6)
+        |    AS mkt_share
+        |FROM lineitem, part, orders, customer, supplier,
+        |  nation nc, nation ns, region
+        |WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = nc.n_nationkey
+        |  AND nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND l_suppkey = s_suppkey AND s_nationkey = ns.n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY o_year ASC""".stripMargin,
     "q7_nation_volume" ->
       """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

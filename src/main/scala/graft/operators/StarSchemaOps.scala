@@ -316,6 +316,51 @@ object StarSchemaOps {
         col("l_year").asc)
   }
 
+  /** TPC-H Q8-shaped market share: the fraction of a region's
+    * part-type revenue supplied by one nation, per order year —
+    * a conditional-sum ratio over a seven-relation join. Dimension
+    * filters (region, part type) apply before their joins; only
+    * nation/region broadcast.
+    */
+  def marketShare(spark: SparkSession, sfDir: String,
+      supplierNation: String, regionName: String, partType: String)
+      : DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_type") === partType).select("p_partkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+    val nc = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey").as("cn_region"))
+    val ns = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+    val region = Tables.region(spark, sfDir)
+      .filter(col("r_name") === regionName).select("r_regionkey")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nc), cust("c_nationkey") === col("cn_key"))
+      .join(broadcast(region), col("cn_region") === region("r_regionkey"))
+      .join(broadcast(ns), supp("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === supplierNation, rev)
+          .otherwise(0.0)) / sum(rev), 6).as("mkt_share"))
+      .orderBy(col("o_year").asc)
+  }
+
   /** Order-priority histogram with an EXISTS-shaped semi join
     * (lineitem committed late). Left-semi keeps only order columns
     * flowing; no row multiplication.
