@@ -25,11 +25,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Bench {
 
-  /** DuckDB total for the current 64-query suite at sf0.1
+  /** DuckDB total for the current 65-query suite at sf0.1
     * (tools/duckdb_baseline.py, 32 threads, warm, min-of-3 —
     * measured 2026-08-12; see BASELINE.md round 3).
     */
-  val RecordedDuckdbSf01: Double = 5.3227
+  val RecordedDuckdbSf01: Double = 5.5345
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =
@@ -49,7 +49,14 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map[String, Double]()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Fixed-work calibration probe per rep: totals on a loaded machine
+    // run 1.5–2× a quiet one, so the probe's min is recorded alongside
+    // to make run-to-run totals comparable (quiet ≈ 0.10–0.15 s).
+    var calib = Double.MaxValue
     (1 to reps).foreach { _ =>
+      val c0 = System.nanoTime()
+      runPlan(spark.range(4000000L).selectExpr("sum(id) as s"))
+      calib = math.min(calib, (System.nanoTime() - c0) / 1e9)
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -80,7 +87,7 @@ object Bench {
       .map(b => f""","duckdb_baseline_sec":$b%.4f,"ratio":${total / b}%.2f""")
       .getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedJson$baseJson}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib%.4f$failedJson$baseJson}""")
     spark.stop()
   }
 }

@@ -273,6 +273,8 @@ object SparkEntry {
       StarSchemaOps.marketShare(s, dir,
         supplierNation = "NATION_3", regionName = "ASIA",
         partType = "STANDARD")),
+    "q22_lost_customers" -> ((s, dir) =>
+      StarSchemaOps.lostCustomers(s, dir)),
 
     // ---- composed corpus-preparation pipeline ----
     "c1_corpus_prep" -> ((s, dir) =>
@@ -802,6 +804,15 @@ object SparkEntry {
         |  sum(n_tok)::BIGINT AS total_tokens,
         |  round(avg(quality), 6) AS avg_quality
         |FROM s GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "q22_lost_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 4) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin,
     "q8_market_share" ->
       """SELECT year(o_orderdate) AS o_year,
         |  round(sum(CASE WHEN ns.n_name = 'NATION_3'

@@ -361,6 +361,27 @@ object StarSchemaOps {
       .orderBy(col("o_year").asc)
   }
 
+  /** TPC-H Q22-shaped: above-average-balance customers who never
+    * ordered — scalar-average subquery (1-row broadcast, like q15)
+    * feeding a NOT-EXISTS anti join, rolled up per segment. The anti
+    * join keeps only customer columns flowing; orders is probe-side
+    * pruned to its key column.
+    */
+  def lostCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    val ord = Tables.orders(spark, sfDir).select("o_custkey")
+    cust.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+      .drop("ab")
+      .join(ord, col("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 4).as("total_bal"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
   /** Order-priority histogram with an EXISTS-shaped semi join
     * (lineitem committed late). Left-semi keeps only order columns
     * flowing; no row multiplication.
