@@ -121,6 +121,13 @@ object SparkEntry {
     "n4_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashPairs(Tables.documents(s, dir),
         "doc_id", "text", minJaccard = 0.8)),
+    "c2_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.crossCorpusOverlap(
+        docs.filter(col("doc_id") % 97 === 0),
+        docs.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", minShared = 3)
+    }),
 
     // ---- north-star: text analysis ----
     "t1_token_stats" -> ((s, dir) =>
@@ -395,6 +402,9 @@ object SparkEntry {
       operators.DedupOps.jaccardPairsSql("documents", "doc_id", "text", 0.8),
     "n4_minhash_lsh" ->
       operators.DedupOps.minhashPairsSql("documents", "doc_id", "text", 0.8),
+    "c2_decontamination" ->
+      operators.DedupOps.crossCorpusOverlapSql("documents", "doc_id",
+        "text", modulus = 97, minShared = 3),
     "t1_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,

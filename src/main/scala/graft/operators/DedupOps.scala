@@ -242,6 +242,46 @@ object DedupOps {
     jaccardOf(cand.join(inter, Seq("id_a", "id_b")), minJaccard)
   }
 
+  /** Benchmark decontamination: for each document of a held-out
+    * benchmark set, the corpus documents sharing at least `minShared`
+    * word n-grams — the overlap check every training corpus runs
+    * against its eval sets before release. Same hashed-shingle
+    * equi-join shape as [[jaccardPairs]] (never all-pairs; candidates
+    * only where a shingle matches), asymmetric across the two inputs.
+    */
+  def crossCorpusOverlap(benchmark: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, minShared: Int, n: Int = 3)
+      : DataFrame = {
+    val sa = hashedShingles(benchmark, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("x"))
+    val sb = hashedShingles(corpus, idCol, textCol, n)
+      .select(col(idCol).as("corpus_id"), col("x"))
+    sa.join(sb, Seq("x"))
+      .groupBy(col("bench_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("bench_id").asc, col("corpus_id").asc)
+  }
+
+  /** Oracle twin of [[crossCorpusOverlap]] with the benchmark set
+    * selected by `doc_id % modulus = 0`.
+    */
+  def crossCorpusOverlapSql(table: String, idCol: String,
+      textCol: String, modulus: Int, minShared: Int, n: Int = 3)
+      : String =
+    s"""WITH sh0 AS (
+       |${shinglesSql(table, idCol, textCol, n)}),
+       |hx AS (SELECT $idCol,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh0),
+       |a AS (SELECT $idCol AS bench_id, x FROM hx
+       |      WHERE $idCol % $modulus = 0),
+       |b AS (SELECT $idCol AS corpus_id, x FROM hx
+       |      WHERE $idCol % $modulus <> 0)
+       |SELECT bench_id, corpus_id, count(*) AS shared
+       |FROM a JOIN b USING (x)
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY bench_id ASC, corpus_id ASC""".stripMargin
+
   /** 60-bit SimHash fingerprint per document (tier 4). Token hash =
     * md5-hex 60 bits; bit i of the fingerprint is set iff
     * Σ_tokens (2·bit_i(h(token)) − 1) ≥ 0. Tokens keep multiplicity
