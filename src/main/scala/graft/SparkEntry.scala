@@ -147,6 +147,9 @@ object SparkEntry {
     "t7_rolling_fingerprints" -> ((s, dir) =>
       TextOps.rollingFingerprints(Tables.documents(s, dir),
         "doc_id", "text")),
+    "t9_repetition" -> ((s, dir) =>
+      TextOps.repetitionScore(Tables.documents(s, dir),
+        "doc_id", "text", k = 50)),
 
     // ---- JSON / predicate / status / multimodal surface ----
     "f4_json_extract" -> ((s, dir) =>
@@ -463,6 +466,24 @@ object SparkEntry {
     "t7_rolling_fingerprints" ->
       operators.TextOps.rollingFingerprintsSql("documents", "doc_id",
         "text"),
+    "t9_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, w,
+        |    CASE WHEN len(w) >= 3
+        |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |            for i in range(1, len(w) - 1)]
+        |      ELSE []::VARCHAR[] END AS grams
+        |  FROM t)
+        |SELECT doc_id, len(w) AS n_tok,
+        |  round(CASE WHEN len(grams) > 0
+        |    THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+        |    ELSE 0.0 END, 6) AS trigram_dup_ratio,
+        |  round(list_max(list_transform(list_distinct(w),
+        |      t -> len(list_filter(w, x -> x = t)))) * 1.0 / len(w), 6)
+        |    AS top_token_ratio
+        |FROM g ORDER BY trigram_dup_ratio DESC, doc_id ASC
+        |LIMIT 50""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
         |FROM lineitem

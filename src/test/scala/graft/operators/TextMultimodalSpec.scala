@@ -145,4 +145,33 @@ class TextMultimodalSpec extends SparkSpec {
     val totalBytes = stats.map(_.getLong(2)).sum
     assert(totalBytes == counts.collect().map(_.n_bytes).sum)
   }
+
+  test("repetitionScore: repeated text scores high, varied text low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val rows = TextOps.repetitionScore(df, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(1L)._1 > 0.7, "all-identical trigrams → high dup ratio")
+    assert(rows(1L)._2 == 1.0, "one token dominates completely")
+    assert(rows(2L)._1 == 0.0 && rows(2L)._2 < 0.2)
+    assert(rows(3L)._1 == 0.0, "docs shorter than a trigram score 0")
+  }
+
+  test("crossCorpusOverlap flags a benchmark doc duplicated in the corpus") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // contaminated
+      (2L, "totally different words here indeed friends"))
+      .toDF("doc_id", "text")
+    val hits = graft.operators.DedupOps.crossCorpusOverlap(
+      bench, corpus, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((100L, 1L, 4L)),
+      s"exact duplicate must be flagged with all 4 trigrams: ${hits.toSeq}")
+  }
 }
