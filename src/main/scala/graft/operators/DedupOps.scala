@@ -126,15 +126,9 @@ object DedupOps {
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
         .as("x"))
 
-  /** EXACT Jaccard near-dup pairs (tier 2). Candidates = pairs sharing
-    * ≥1 shingle (equi-join on the hashed shingle), intersection counted
-    * from that same join, union by |A|+|B|−|A∩B|. Returns
-    * (id_a, id_b, jaccard) with jaccard ≥ `minJaccard`, rounded 6 dp.
-    */
   /** Pair intersection counts from a (idCol, x, n_sh) relation.
-    * The self-join uses the SAME child on both sides (renames happen
-    * after the join), so the shuffle on x is planned once and the
-    * second side is a ReusedExchange; |doc| rides along as na/nb so
+    * Both join sides are the SAME child (renames happen after the
+    * join) so the input computes once; |doc| rides along as na/nb so
     * no post-aggregate join against a sizes table is needed
     * (any_value is deterministic: n_sh is constant per id).
     */
@@ -156,6 +150,13 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)
 
+  /** EXACT Jaccard near-dup pairs (tier 2). Candidates = pairs sharing
+    * ≥1 shingle (equi-join on the hashed shingle), intersection counted
+    * from that same join, union by |A|+|B|−|A∩B|. Returns
+    * (id_a, id_b, jaccard) with jaccard ≥ `minJaccard`, rounded 6 dp.
+    * Every consumer scans the one cached shingle relation, so shingle
+    * generation (explode + md5) runs once, not per consumer.
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, n: Int = 3): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol, n).cache()
@@ -164,7 +165,8 @@ object DedupOps {
     // attaching n_sh to all 260k+ shingle rows first costs an extra
     // exchange on the id that outweighs the two AQE-broadcast joins
     // on the (filtered-small) aggregate output — measured 1.8 s vs
-    // 3.6 s at sf0.1. The self-join reuses one exchange (same child).
+    // 3.6 s at sf0.1. Both sides scan the same cached shingle
+    // relation, so shingle generation runs once.
     val a = sh.select(col(idCol).as("id_a"), col("x"))
     val b = sh.select(col(idCol).as("id_b"), col("x"))
     val inter = a.join(b, Seq("x"))
