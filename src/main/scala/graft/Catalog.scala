@@ -58,6 +58,16 @@ object Catalog {
     fs.rename(new Path(tmpPath), new Path(path))
   }
 
+  /** Read with schema merge across parquet footers — the companion to
+    * [[append]] when a source starts shipping new fields: old files
+    * surface the new columns as nulls, nothing is rewritten. (Spark
+    * skips footer merging by default because it reads every footer;
+    * at 100 TB keep a table-level schema and evolve it explicitly —
+    * this per-read merge is the migration-window tool.)
+    */
+  def loadEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Small-file compaction: rewrite the table into ⌈bytes/target⌉
     * files via write-temp-then-swap. Append-heavy tables (every
     * K4/K5 append adds files) degrade by file COUNT, not bytes —

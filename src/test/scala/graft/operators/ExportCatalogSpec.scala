@@ -190,4 +190,17 @@ class ExportCatalogSpec extends SparkSpec {
     // no leftover temp directory
     assert(!new java.io.File(path + "__compact_tmp").exists())
   }
+
+  test("schema evolution: appended frame with a new column merges as nulls") {
+    val path = tmpDir("evolve") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(path)
+    Seq((3L, "c", 0.9)).toDF("id", "name", "score")
+      .write.mode("append").parquet(path)
+    val merged = Catalog.loadEvolved(spark, path)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(_.isNullAt(2)), "old rows → null score")
+    assert(rows(2).getDouble(2) == 0.9)
+  }
 }

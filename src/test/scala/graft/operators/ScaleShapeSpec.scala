@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Scale-shape regression tests: the join suite must not DEPEND on
+  * broadcasting the linearly-scaling tables. With the broadcast
+  * threshold forced to −1 (simulating sides too big to broadcast at
+  * 100 TB), every query must still run — degraded to shuffled joins —
+  * and return identical results. Only the explicitly-hinted
+  * constant-size dims (nation 25 rows, region 5 rows) may broadcast.
+  */
+class ScaleShapeSpec extends SparkSpec {
+
+  private def noBroadcastSession() = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s
+  }
+
+  /** Doubles rounded to 4 dp before compare — a different join order
+    * changes float summation order (last-ulp diffs), same as the
+    * oracle harness's canonicalization.
+    */
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, round}
+    import org.apache.spark.sql.types.DoubleType
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == DoubleType) round(col(f.name), 4).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*).collect().map(_.toString).toSeq
+  }
+
+  test("q3/q5/q10 return identical results with broadcasts disabled") {
+    val s2 = noBroadcastSession()
+    val queries = Seq("q3_top_revenue_orders", "q5_region_revenue",
+      "q10_returned_revenue", "q18_large_orders", "k5_dedup_append")
+    queries.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
+        s"$name diverged without broadcasts")
+    }
+  }
+
+  test("q5 plan degrades to shuffled joins; only hinted dims broadcast") {
+    val s2 = noBroadcastSession()
+    val df = StarSchemaOps.regionRevenue(s2, sfSmoke)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val broadcasts = plan.split("BroadcastHashJoin").length - 1
+    val shuffledJoins = (plan.split("SortMergeJoin").length - 1) +
+      (plan.split("ShuffledHashJoin").length - 1)
+    // nation + region carry explicit hints (constant-size); the three
+    // fact-side joins must run shuffled when broadcasting is off
+    assert(broadcasts <= 2,
+      s"only hinted constant dims may broadcast, got $broadcasts:\n$plan")
+    assert(shuffledJoins >= 3,
+      s"fact joins must degrade to shuffled joins, got $shuffledJoins")
+  }
+}
