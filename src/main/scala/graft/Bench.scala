@@ -25,11 +25,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Bench {
 
-  /** DuckDB total for the current 67-query suite at sf0.1
+  /** DuckDB total for the current 68-query suite at sf0.1
     * (tools/duckdb_baseline.py, 32 threads, warm, min-of-3 —
     * measured 2026-08-12; see BASELINE.md round 3).
     */
-  val RecordedDuckdbSf01: Double = 6.4747
+  val RecordedDuckdbSf01: Double = 5.9315
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

@@ -285,6 +285,9 @@ object SparkEntry {
         partType = "STANDARD")),
     "q22_lost_customers" -> ((s, dir) =>
       StarSchemaOps.lostCustomers(s, dir)),
+    "q17_small_quantity" -> ((s, dir) =>
+      StarSchemaOps.smallQuantityRevenue(s, dir,
+        brand = "Brand#5", maxSize = 10)),
 
     // ---- composed corpus-preparation pipeline ----
     "c1_corpus_prep" -> ((s, dir) =>
@@ -835,6 +838,14 @@ object SparkEntry {
         |  sum(n_tok)::BIGINT AS total_tokens,
         |  round(avg(quality), 6) AS avg_quality
         |FROM s GROUP BY lang ORDER BY lang ASC""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#5' AND p_size <= 10
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q22_lost_customers" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
         |  round(sum(c_acctbal), 4) AS total_bal

@@ -382,6 +382,29 @@ object StarSchemaOps {
       .orderBy(col("c_mktsegment").asc)
   }
 
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems under 20% of
+    * their part's average quantity, for a brand/size slice — the
+    * correlated-aggregate-subquery pattern, authored decorrelated:
+    * the per-part average is a groupBy on the fact table joined back
+    * on the part key (exactly what Catalyst's subquery decorrelation
+    * would produce). The brand slice prunes parts BEFORE both joins.
+    */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String,
+      brand: String, maxSize: Int): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand && col("p_size") <= maxSize)
+      .select("p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgs = li.join(part, li("l_partkey") === part("p_partkey"))
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_threshold"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .join(avgs, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("qty_threshold"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
   /** Order-priority histogram with an EXISTS-shaped semi join
     * (lineitem committed late). Left-semi keeps only order columns
     * flowing; no row multiplication.
