@@ -25,11 +25,15 @@ import org.apache.spark.sql.DataFrame
   */
 object Bench {
 
-  /** DuckDB total for the current 68-query suite at sf0.1
-    * (tools/duckdb_baseline.py, 32 threads, warm, min-of-3 —
-    * measured 2026-08-12; see BASELINE.md round 3).
+  /** DuckDB total at sf0.1 (tools/duckdb_baseline.py, 32 threads,
+    * warm, min-of-3 — measured 2026-08-12; see BASELINE.md round 4).
+    * Valid ONLY for the oracle-suite size it was measured against:
+    * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
+    * is dropped when the current suite no longer matches, so a stale
+    * baked-in baseline can never silently shape the reported ratio.
     */
   val RecordedDuckdbSf01: Double = 5.9315
+  val RecordedDuckdbQueries: Int = 68
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =
@@ -77,15 +81,22 @@ object Bench {
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     // DuckDB oracle total on the same queries/data, measured by
     // tools/duckdb_baseline.py (see BASELINE.md "Measured baseline").
-    // The default is the last recorded measurement for THIS suite at
-    // sf0.1 — re-measure and override via env when the suite changes.
+    // The baked-in default applies only when the oracle suite still
+    // matches the fingerprint it was measured at; and when any query
+    // failed, its time is missing from `total`, so dividing by the
+    // full-suite baseline would flatter the ratio — report the
+    // baseline but omit the ratio in that case.
     val baseline = sys.env.get("SPARK_GRAFT_DUCKDB_TOTAL_SEC")
       .map(_.toDouble)
-      .orElse(if (sfDir.endsWith("sf0.1")) Some(Bench.RecordedDuckdbSf01)
+      .orElse(if (sfDir.endsWith("sf0.1") &&
+                  SparkEntry.oracleSql.size == Bench.RecordedDuckdbQueries)
+                Some(Bench.RecordedDuckdbSf01)
               else None)
-    val baseJson = baseline
-      .map(b => f""","duckdb_baseline_sec":$b%.4f,"ratio":${total / b}%.2f""")
-      .getOrElse("")
+    val baseJson = baseline.map { b =>
+      if (failed.isEmpty)
+        f""","duckdb_baseline_sec":$b%.4f,"ratio":${total / b}%.2f"""
+      else f""","duckdb_baseline_sec":$b%.4f"""
+    }.getOrElse("")
     println(
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib%.4f$failedJson$baseJson}""")
     spark.stop()

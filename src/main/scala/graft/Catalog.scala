@@ -79,13 +79,35 @@ object Catalog {
       targetBytes: Long = 128L << 20): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(p)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
+    // Recursive size: a partitioned layout keeps its bytes in
+    // name=value subdirectories where a flat listStatus sees nothing
+    // (and would collapse the whole table into one file).
+    val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // Partition columns from the directory layout, so compaction
+    // preserves the layout (and its pruning) instead of flattening
+    // the partition values into plain columns.
+    def partitionCols(dir: Path): List[String] = {
+      val subs = fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (subs.isEmpty) Nil
+      else {
+        val name = subs.head.getPath.getName
+        name.substring(0, name.indexOf('=')) ::
+          partitionCols(subs.head.getPath)
+      }
+    }
+    val parts = partitionCols(p)
     val tmp = path + "__compact_tmp"
-    load(spark, path).repartition(nFiles).write
-      .mode(SaveMode.Overwrite).parquet(tmp)
+    // Partitioned tables hash-distribute on the partition columns so
+    // each partition value is written by exactly one task (one file
+    // per value), with parallelism still capped at nFiles.
+    val data =
+      if (parts.isEmpty) load(spark, path).repartition(nFiles)
+      else load(spark, path).repartition(nFiles,
+        parts.map(org.apache.spark.sql.functions.col): _*)
+    val w = data.write.mode(SaveMode.Overwrite)
+    (if (parts.isEmpty) w else w.partitionBy(parts: _*)).parquet(tmp)
     replace(spark, tmp, path)
     nFiles
   }

@@ -916,7 +916,7 @@ object SparkEntry {
         |    AS bin_digit,
         |  sum(len(regexp_extract_all(text, '[`-o]')))::BIGINT
         |    AS bin_alpha_lo,
-        |  sum(len(regexp_extract_all(text, '[p-~]')))::BIGINT
+        |  sum(len(regexp_extract_all(text, '[p-\x7F]')))::BIGINT
         |    AS bin_alpha_hi
         |FROM a GROUP BY kind ORDER BY kind ASC""".stripMargin,
   )

@@ -18,24 +18,26 @@ object Tables {
     * (session, path) gives every query the same analyzed relation —
     * purely metadata reuse, the data itself is never cached.
     *
-    * The outer map holds the SparkSession WEAKLY: once a session is
-    * stopped and unreferenced, its entry (and every cached relation
-    * in it) is collectable — a strongly-keyed map would retain every
-    * session a long-lived JVM (tests, notebooks) ever created.
+    * Entries are evicted by a listener when the session's context
+    * stops. (A weak-keyed map does NOT work here: each cached
+    * DataFrame strongly references its SparkSession, so the value
+    * keeps the key reachable and nothing is ever collected — the
+    * value-refers-to-key pitfall the WeakHashMap javadoc warns about.)
     */
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
   private def load(spark: SparkSession, p: String): DataFrame = {
-    val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        cache.put(spark, m)
-      }
-      m
-    }
+    val perSession = cache.computeIfAbsent(spark, s => {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = cache.remove(s)
+        })
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    })
     perSession.computeIfAbsent(p, _ => spark.read.parquet(p))
   }
 

@@ -21,11 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Salt derived from the FULL row content (not
+    * `monotonically_increasing_id`, which depends on partition layout):
+    * two runs over the same data produce identical partial-aggregate
+    * shapes, so a skewed partial is reproducible when debugging.
+    */
+  def contentSalt(df: DataFrame, saltBuckets: Int)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets))
+
   def saltedCounts(df: DataFrame, keyCol: String, saltBuckets: Int)
       : DataFrame =
-    df.withColumn("__salt",
-        pmod(xxhash64(col(keyCol), monotonically_increasing_id()),
-          lit(saltBuckets)))
+    df.withColumn("__salt", contentSalt(df, saltBuckets))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(keyCol))

@@ -210,6 +210,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("contentSalt is layout-independent: same salts across reshuffles") {
+    val ev = graft.Tables.events(spark, sfSmoke)
+      .select("event_id", "event_type")
+    def saltOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.withColumn("__salt", SkewOps.contentSalt(df, 16))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // same rows, different partition layout → identical salts
+    assert(saltOf(ev) == saltOf(ev.repartition(7)))
+  }
+
   test("ivfAssign: every vector assigned to exactly one centroid") {
     val emb = graft.Tables.embeddings(spark, sfSmoke)
     val assign = SimilarityOps.ivfAssign(emb, stride = 50).cache()

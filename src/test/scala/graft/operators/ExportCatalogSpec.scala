@@ -191,6 +191,27 @@ class ExportCatalogSpec extends SparkSpec {
     assert(!new java.io.File(path + "__compact_tmp").exists())
   }
 
+  test("compact preserves a partitioned layout (and its pruning)") {
+    val path = tmpDir("compactp") + "/t"
+    val df = Seq(("s1", 1L), ("s1", 2L), ("s2", 3L), ("s2", 4L))
+      .toDF("source_name", "id")
+    Catalog.overwritePartitioned(df.repartition(5), path,
+      Seq("source_name"))
+    val before = spark.read.parquet(path).collect().toSet
+
+    Catalog.compact(spark, path)
+    // partition directories survive compaction
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("source_name=s1", "source_name=s2"))
+    assert(spark.read.parquet(path).collect().toSet == before)
+    // and pruning on the partition key still works
+    val plan = Catalog.load(spark, path)
+      .filter(col("source_name") === "s1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
   test("schema evolution: appended frame with a new column merges as nulls") {
     val path = tmpDir("evolve") + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(path)
