@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Shingle document-frequency cap shared by n3/n4/c2 and their
+    * oracle twins (see the comment at n3_ngram_jaccard). At production
+    * scale this is set relative to corpus size.
+    */
+  val ShingleMaxDf = 100
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's `search` verb shape: ILIKE disjunction + equality
     * filter + recency top-k (SURVEY §3.1).
@@ -115,18 +121,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("content_md5"))
         .orderBy(col("doc_id").asc)
     }),
+    // ShingleMaxDf (=100, ~2% of the sf0.1 corpus) bounds the
+    // shared-shingle joins: organic max df here is ~25, so results are
+    // unchanged, but a boilerplate trigram can never turn a join key
+    // into a df² hot spot — the oracle SQL applies the identical cap.
     "n3_ngram_jaccard" -> ((s, dir) =>
       DedupOps.jaccardPairs(Tables.documents(s, dir),
-        "doc_id", "text", minJaccard = 0.8)),
+        "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)),
     "n4_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashPairs(Tables.documents(s, dir),
-        "doc_id", "text", minJaccard = 0.8)),
+        "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)),
     "c2_decontamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       DedupOps.crossCorpusOverlap(
         docs.filter(col("doc_id") % 97 === 0),
         docs.filter(col("doc_id") % 97 =!= 0),
-        "doc_id", "text", minShared = 3)
+        "doc_id", "text", minShared = 3, maxDf = ShingleMaxDf)
     }),
 
     // ---- north-star: text analysis ----
@@ -405,12 +415,14 @@ object SparkEntry {
         |SELECT doc_id, source, content_md5 FROM r WHERE rn = 1
         |ORDER BY doc_id ASC""".stripMargin,
     "n3_ngram_jaccard" ->
-      operators.DedupOps.jaccardPairsSql("documents", "doc_id", "text", 0.8),
+      operators.DedupOps.jaccardPairsSql("documents", "doc_id", "text",
+        0.8, maxDf = ShingleMaxDf),
     "n4_minhash_lsh" ->
-      operators.DedupOps.minhashPairsSql("documents", "doc_id", "text", 0.8),
+      operators.DedupOps.minhashPairsSql("documents", "doc_id", "text",
+        0.8, maxDf = ShingleMaxDf),
     "c2_decontamination" ->
       operators.DedupOps.crossCorpusOverlapSql("documents", "doc_id",
-        "text", modulus = 97, minShared = 3),
+        "text", modulus = 97, minShared = 3, maxDf = ShingleMaxDf),
     "t1_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,

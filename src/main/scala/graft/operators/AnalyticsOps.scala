@@ -166,12 +166,28 @@ object AnalyticsOps {
     val quality = round(
       ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
         least(avgWordLen / 8.0, lit(1.0)) * 0.2, 6)
+    // ONE projection tokenizes the text and derives n_tok, quality AND
+    // the dedup key, then `text` is dropped — the window exchange on
+    // content_md5 ships 4 narrow columns instead of the full payload
+    // (at 100 TB the payload dwarfs everything else in that shuffle).
     val scored = df
-      .withColumn("n_tok", size(w))
-      .withColumn("quality", quality)
+      .select(col(idCol), col(langCol), size(w).as("n_tok"),
+        quality.as("quality"),
+        DedupOps.contentKey(col(textCol)).as("content_md5"))
       .filter(col("quality") >= minQuality)
-    val deduped = DedupOps.exactDedupKeyed(scored, textCol, idCol,
-      "content_md5")
+    // keep-first dedup as a hash aggregate (min_by on the unique id),
+    // not a window: same single shuffle on the key, but no per-
+    // partition sort and map-side partial combine — measured faster
+    // than row_number() here, identical result (ids are unique).
+    val deduped = scored
+      .groupBy(col("content_md5"))
+      .agg(min_by(
+        struct(col(idCol), col(langCol), col("n_tok"), col("quality")),
+        col(idCol)).as("__r"))
+      .select(col("__r." + idCol).as(idCol),
+        col("__r." + langCol).as(langCol),
+        col("__r.n_tok").as("n_tok"),
+        col("__r.quality").as("quality"))
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
       16, 10).cast("long") % 1000
     deduped.filter(bucket < samplePerMille)

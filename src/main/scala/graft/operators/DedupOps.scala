@@ -126,6 +126,30 @@ object DedupOps {
       conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
         .as("x"))
 
+  /** Document-frequency cap over a (idCol, x) shingle relation: drops
+    * every shingle occurring in more than `maxDf` documents BEFORE any
+    * shared-shingle join. A boilerplate trigram shared by 10⁸ docs
+    * makes its join key a df² hot spot at 100 TB; rare shingles carry
+    * the near-dup signal, so the standard practice is to cut the hot
+    * tail (set `maxDf` relative to corpus size, e.g. 2% of |docs|).
+    * One window count over the same x-shuffle the downstream join
+    * needs anyway; `Int.MaxValue` disables the cap.
+    */
+  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+
+  /** SQL mirror of [[capShingleDf]]: rewrites the shingle CTE `src`
+    * (columns `keyCol, x`) to its df-capped subset.
+    */
+  private def capSql(src: String, keyCol: String, maxDf: Int): String =
+    s"""(SELECT $keyCol, x FROM $src
+       |  JOIN (SELECT x FROM $src GROUP BY x
+       |        HAVING count(*) <= $maxDf) USING (x))""".stripMargin
+
   /** Pair intersection counts from a (idCol, x, n_sh) relation.
     * Both join sides are the SAME child (renames happen after the
     * join) so the input computes once; |doc| rides along as na/nb so
@@ -158,8 +182,13 @@ object DedupOps {
     * generation (explode + md5) runs once, not per consumer.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double, n: Int = 3): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, n).cache()
+      minJaccard: Double, n: Int = 3, maxDf: Int = Int.MaxValue)
+      : DataFrame = {
+    // Jaccard is computed over the df-capped shingle universe (sizes
+    // included), so similarity stays a true set measure of the
+    // signal-carrying shingles and the oracle applies the same cap.
+    val sh = capShingleDf(hashedShingles(df, idCol, textCol, n), maxDf)
+      .cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // Sizes join AFTER the pair aggregate here (unlike minhashPairs):
     // attaching n_sh to all 260k+ shingle rows first costs an extra
@@ -210,8 +239,13 @@ object DedupOps {
     * [[jaccardPairs]] and is fully deterministic.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double, n: Int = 3): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, n).cache()
+      minJaccard: Double, n: Int = 3, maxDf: Int = Int.MaxValue)
+      : DataFrame = {
+    // Same df-capped universe as [[jaccardPairs]] (signatures, sizes
+    // and verification all see the capped set), so the two tiers stay
+    // mutually consistent under the same maxDf.
+    val sh = capShingleDf(hashedShingles(df, idCol, textCol, n), maxDf)
+      .cache()
     val sigs = minhashSignatures(sh, idCol)
     val bands = sigs.select(
       col(idCol),
@@ -252,12 +286,16 @@ object DedupOps {
     * only where a shingle matches), asymmetric across the two inputs.
     */
   def crossCorpusOverlap(benchmark: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, minShared: Int, n: Int = 3)
-      : DataFrame = {
+      idCol: String, textCol: String, minShared: Int, n: Int = 3,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     val sa = hashedShingles(benchmark, idCol, textCol, n)
       .select(col(idCol).as("bench_id"), col("x"))
-    val sb = hashedShingles(corpus, idCol, textCol, n)
-      .select(col(idCol).as("corpus_id"), col("x"))
+    // The df cap is a CORPUS property (boilerplate lives in the big
+    // side); capping the corpus side alone bounds the join, since the
+    // join is inner on x.
+    val sb = capShingleDf(
+      hashedShingles(corpus, idCol, textCol, n)
+        .select(col(idCol).as("corpus_id"), col("x")), maxDf)
     sa.join(sb, Seq("x"))
       .groupBy(col("bench_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared"))
@@ -269,20 +307,26 @@ object DedupOps {
     * selected by `doc_id % modulus = 0`.
     */
   def crossCorpusOverlapSql(table: String, idCol: String,
-      textCol: String, modulus: Int, minShared: Int, n: Int = 3)
-      : String =
+      textCol: String, modulus: Int, minShared: Int, n: Int = 3,
+      maxDf: Int = Int.MaxValue): String = {
+    val bDef =
+      if (maxDf == Int.MaxValue) "SELECT corpus_id, x FROM b0"
+      else capSql("b0", "corpus_id", maxDf).stripPrefix("(")
+        .stripSuffix(")")
     s"""WITH sh0 AS (
        |${shinglesSql(table, idCol, textCol, n)}),
        |hx AS (SELECT $idCol,
        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh0),
        |a AS (SELECT $idCol AS bench_id, x FROM hx
        |      WHERE $idCol % $modulus = 0),
-       |b AS (SELECT $idCol AS corpus_id, x FROM hx
-       |      WHERE $idCol % $modulus <> 0)
+       |b0 AS (SELECT $idCol AS corpus_id, x FROM hx
+       |      WHERE $idCol % $modulus <> 0),
+       |b AS ($bDef)
        |SELECT bench_id, corpus_id, count(*) AS shared
        |FROM a JOIN b USING (x)
        |GROUP BY 1, 2 HAVING count(*) >= $minShared
        |ORDER BY bench_id ASC, corpus_id ASC""".stripMargin
+  }
 
   /** 60-bit SimHash fingerprint per document (tier 4). Token hash =
     * md5-hex 60 bits; bit i of the fingerprint is set iff
@@ -364,11 +408,15 @@ object DedupOps {
     * md5 integer of the shingle as the Spark side).
     */
   def jaccardPairsSql(table: String, idCol: String, textCol: String,
-      minJaccard: Double, n: Int = 3): String =
+      minJaccard: Double, n: Int = 3, maxDf: Int = Int.MaxValue)
+      : String =
     s"""WITH sh0 AS (
        |${shinglesSql(table, idCol, textCol, n)}),
-       |sh AS (SELECT $idCol,
+       |shAll AS (SELECT $idCol,
        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh0),
+       |sh AS ${if (maxDf == Int.MaxValue)
+                  s"(SELECT $idCol, x FROM shAll)"
+                else capSql("shAll", idCol, maxDf)},
        |sizes AS (SELECT $idCol, count(*) AS n_sh FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS i
@@ -387,7 +435,8 @@ object DedupOps {
     * verification, in SQL.
     */
   def minhashPairsSql(table: String, idCol: String, textCol: String,
-      minJaccard: Double, n: Int = 3): String = {
+      minJaccard: Double, n: Int = 3, maxDf: Int = Int.MaxValue)
+      : String = {
     val xExpr =
       s"('0x' || substr(md5(shingle), 1, 15))::BIGINT"
     val minExprs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
@@ -400,7 +449,10 @@ object DedupOps {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS (
        |${shinglesSql(table, idCol, textCol, n)}),
-       |hx AS (SELECT $idCol, $xExpr AS x FROM sh),
+       |hx0 AS (SELECT $idCol, $xExpr AS x FROM sh),
+       |hx AS ${if (maxDf == Int.MaxValue)
+                  s"(SELECT $idCol, x FROM hx0)"
+                else capSql("hx0", idCol, maxDf)},
        |sigs AS (
        |  SELECT $idCol,
        |    $minExprs

@@ -52,6 +52,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("df cap bounds hot-shingle pair explosion, keeps genuine dups") {
+    // 60 docs share ONE boilerplate trigram (plus unique tails); one
+    // genuine duplicate pair rides along. Without the cap, the hot
+    // shingle alone generates C(60,2) candidate pairs.
+    val boiler = (1 to 60).map(i =>
+      (i.toLong, s"all rights reserved u$i v$i w$i y$i z$i"))
+    val dups = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val df = (boiler ++ dups).toDF("id", "text")
+
+    // decontamination shape: bench doc 1 vs corpus docs 2..60 —
+    // uncapped, the boilerplate shingle pairs it with all 59 others
+    val bench = df.filter(col("id") === 1L)
+    val corpus = df.filter(col("id") =!= 1L)
+    val uncapped = DedupOps.crossCorpusOverlap(bench, corpus,
+      "id", "text", minShared = 1)
+    assert(uncapped.count() == 59L)
+    val capped = DedupOps.crossCorpusOverlap(bench, corpus,
+      "id", "text", minShared = 1, maxDf = 10)
+    assert(capped.count() == 0L,
+      "a shingle with df > maxDf must generate no pairs")
+
+    // the cap must not cost real near-dups: their shingles are rare
+    val pairs = DedupOps.jaccardPairs(df, "id", "text", 0.8, maxDf = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((100L, 101L, 1.0)))
+    // and the LSH tier under the same cap agrees
+    val lsh = DedupOps.minhashPairs(df, "id", "text", 0.8, maxDf = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.toSeq == Seq((100L, 101L, 1.0)))
+  }
+
   test("minhashPairs agrees with exact jaccardPairs on real docs") {
     val docs = Tables.documents(spark, sfSmoke)
     val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8)
