@@ -298,6 +298,10 @@ object SparkEntry {
     "q17_small_quantity" -> ((s, dir) =>
       StarSchemaOps.smallQuantityRevenue(s, dir,
         brand = "Brand#5", maxSize = 10)),
+    "q13_order_distribution" -> ((s, dir) =>
+      StarSchemaOps.orderCountDistribution(s, dir)),
+    "q21_waiting_suppliers" -> ((s, dir) =>
+      StarSchemaOps.waitingSuppliers(s, dir)),
 
     // ---- composed corpus-preparation pipeline ----
     "c1_corpus_prep" -> ((s, dir) =>
@@ -858,6 +862,33 @@ object SparkEntry {
         |  AND l_quantity < (
         |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem, orders
+        |  WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F'),
+        |l1 AS (SELECT * FROM l
+        |       WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM l1, supplier
+        |WHERE l1.l_suppkey = s_suppkey
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name ASC
+        |LIMIT 10""".stripMargin,
     "q22_lost_customers" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
         |  round(sum(c_acctbal), 4) AS total_bal

@@ -405,6 +405,73 @@ object StarSchemaOps {
       .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
   }
 
+  /** TPC-H Q13-shaped order-count distribution: customer ⟕ orders
+    * (the one classic join type the rest of the suite doesn't use —
+    * unmatched customers MUST survive with count 0, mirroring the
+    * reference's left-probed dict join, ethical_crawler.py:1474–1487),
+    * then a histogram over the per-customer counts. The orders-side
+    * predicate lives on the join input, not a WHERE after it, so the
+    * outer semantics are preserved. Two aggregates: per-customer
+    * (high cardinality, shuffled on the join key AQE already used)
+    * then the tiny histogram.
+    */
+  def orderCountDistribution(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q21-shaped waiting-supplier audit: late lineitems (shipped
+    * more than `lateDays` after the order date) on finished
+    * multi-supplier orders where every OTHER supplier shipped on time
+    * — one correlated EXISTS and one correlated NOT-EXISTS against
+    * the same fact table with an inequality correlation
+    * (l_suppkey <>), authored decorrelated: the EXISTS is a left-semi
+    * and the NOT-EXISTS a left-anti join on the order key with the
+    * supplier-inequality as a residual condition. Both probe sides
+    * reuse the one lineitem⨝orders relation; everything shuffles on
+    * l_orderkey, so at rest (bucketed on the order key) all three
+    * joins are co-located.
+    */
+  def waitingSuppliers(spark: SparkSession, sfDir: String,
+      lateDays: Int = 90, k: Int = 10): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"))
+          .as("late"))
+    val l1 = l.filter(col("late"))
+    val others = l.select(col("l_orderkey").as("o_key"),
+      col("l_suppkey").as("o_supp"), col("late").as("o_late"))
+    val waiting = l1
+      .join(others,
+        col("l_orderkey") === col("o_key") &&
+        col("l_suppkey") =!= col("o_supp"), "left_semi")
+      .join(others.filter(col("o_late")),
+        col("l_orderkey") === col("o_key") &&
+        col("l_suppkey") =!= col("o_supp"), "left_anti")
+    val supp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name")
+    waiting.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(k)
+  }
+
   /** Order-priority histogram with an EXISTS-shaped semi join
     * (lineitem committed late). Left-semi keeps only order columns
     * flowing; no row multiplication.

@@ -149,6 +149,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(prices == prices.sortBy(-_))
   }
 
+  test("q13 shape: zero-order customers survive the outer join") {
+    val dist = StarSchemaOps.orderCountDistribution(spark, sfSmoke)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // histogram covers every customer exactly once
+    assert(dist.values.sum == Tables.customer(spark, sfSmoke).count())
+    // customers with no (non-urgent) orders must appear at c_count 0
+    val custs = Tables.customer(spark, sfSmoke).select("c_custkey")
+    val withOrders = Tables.orders(spark, sfSmoke)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val zero = custs.except(withOrders).count()
+    assert(dist.getOrElse(0L, 0L) == zero)
+  }
+
+  test("q21 shape: sole-supplier and on-time-peer orders are excluded") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(d + " 00:00:00")
+    val dir = tmpDir("q21") + "/sf"
+    // order 1: supp A late, supp B on time  -> A waits (counted)
+    // order 2: supp A late, supp B late     -> excluded (peer late)
+    // order 3: supp A late, sole supplier   -> excluded (no peer)
+    // order 4: open status                  -> excluded entirely
+    Seq(
+      (1L, 10L, ts("2024-06-01")), (1L, 20L, ts("2024-01-05")),
+      (2L, 10L, ts("2024-06-01")), (2L, 20L, ts("2024-06-01")),
+      (3L, 10L, ts("2024-06-01")),
+      (4L, 10L, ts("2024-06-01")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, ts("2024-01-01"), "F"), (2L, ts("2024-01-01"), "F"),
+      (3L, ts("2024-01-01"), "F"), (4L, ts("2024-01-01"), "O"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderstatus")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((10L, "SuppA"), (20L, "SuppB"))
+      .toDF("s_suppkey", "s_name")
+      .write.parquet(s"$dir/supplier.parquet")
+    val out = StarSchemaOps.waitingSuppliers(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("SuppA", 1L)))
+  }
+
   test("q19 shape: disjunctive revenue equals the manually-filtered sum") {
     val got = StarSchemaOps.disjunctiveRevenue(spark, sfSmoke)
       .head.getDouble(0)

@@ -35,7 +35,8 @@ class ScaleShapeSpec extends SparkSpec {
   test("q3/q5/q10 return identical results with broadcasts disabled") {
     val s2 = noBroadcastSession()
     val queries = Seq("q3_top_revenue_orders", "q5_region_revenue",
-      "q10_returned_revenue", "q18_large_orders", "k5_dedup_append")
+      "q10_returned_revenue", "q18_large_orders", "k5_dedup_append",
+      "q13_order_distribution", "q21_waiting_suppliers")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
