@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Full-text search v2 (L2): a tokenized inverted index as ordinary
@@ -55,12 +55,37 @@ object FtsOps {
       .limit(k)
   }
 
-  /** Index + search in one go (what a query without a persisted index
-    * pays; with the index at rest only [[search]] runs).
+  /** Index + search in one go (the index-free fallback; with the
+    * index at rest only [[searchIndexed]] runs).
     */
   def searchDocs(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame =
     search(buildIndex(docs, idCol, textCol), idCol, terms, k)
+
+  /** Persist the inverted index AT REST, bucketed (and sorted) by
+    * token: the corpus scan is paid once here; afterwards a term
+    * lookup hash-routes to ⌈|terms|⌉ of `buckets` files instead of
+    * scanning the corpus ("SelectedBucketsCount: n out of `buckets`"
+    * in the scan), and the per-doc aggregate needs no preparatory
+    * shuffle of the postings. Bucketed tables live in the session
+    * catalog, so reads go through [[searchIndexed]]/`spark.table`.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+      tableName: String, path: String, buckets: Int = 32): Unit =
+    buildIndex(docs, idCol, textCol)
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, "token")
+      .sortBy("token")
+      .saveAsTable(tableName)
+
+  /** [[search]] over a persisted [[writeIndex]] table: the IN-list on
+    * the bucket column prunes to the terms' buckets before any IO.
+    */
+  def searchIndexed(spark: SparkSession, tableName: String,
+      idCol: String, terms: Seq[String], k: Int): DataFrame =
+    search(spark.table(tableName), idCol, terms, k)
 
   /** Oracle SQL twin of [[searchDocs]]. */
   def searchDocsSql(table: String, idCol: String, textCol: String,

@@ -43,6 +43,30 @@ class FtsRenderSpec extends SparkSpec {
     assert(out == 1)
   }
 
+  test("persisted index: term lookup prunes to the terms' buckets") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val path = tmpDir("fts") + "/idx"
+    spark.sql("DROP TABLE IF EXISTS fts_idx_test")
+    FtsOps.writeIndex(docs, "doc_id", "text", "fts_idx_test", path,
+      buckets = 32)
+    try {
+      val q = FtsOps.searchIndexed(spark, "fts_idx_test", "doc_id",
+        Seq("window"), 50)
+      // the scan must read selected buckets, not the whole index
+      val scan = q.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 32".r
+        .findFirstMatchIn(scan)
+      assert(m.isDefined, s"no bucket pruning in plan:\n$scan")
+      assert(m.get.group(1).toInt == 1,
+        "one term must select exactly one bucket")
+      // and it returns exactly what the index-free path returns
+      val fromIndex = q.as[(Long, Long)].collect().toSeq
+      val direct = FtsOps.searchDocs(docs, "doc_id", "text",
+        Seq("window"), 50).as[(Long, Long)].collect().toSeq
+      assert(fromIndex == direct)
+    } finally spark.sql("DROP TABLE IF EXISTS fts_idx_test")
+  }
+
   test("S3 — DataFrame registration scan via temp view") {
     val ds = spark.createDataFrame(Seq((1L, "a"), (2L, "b")))
       .toDF("id", "v")
