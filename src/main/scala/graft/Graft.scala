@@ -48,9 +48,27 @@ final class Graft(spark: SparkSession, tableDir: String) {
       orderCol = "ingested_at", tiebreakers = Seq("record_id"),
       limit = limit)
 
-  /** Full-text variant of search over the inverted index (L2 v2). */
+  private def ftsTable: String =
+    f"graft_fts_${tableDir.hashCode & 0x7fffffff}%08x"
+
+  /** Build (or refresh) the persisted FTS index for the records table
+    * — pays the corpus scan once; [[searchFts]] then prunes to the
+    * queried terms' buckets instead of re-scanning the corpus.
+    */
+  def indexFts(buckets: Int = 32): Unit =
+    FtsOps.writeIndex(
+      records.select(col("record_id"),
+        concat_ws(" ", col("title"), col("description")).as("text")),
+      "record_id", "text", ftsTable, s"$tableDir/fts_index", buckets)
+
+  /** Full-text variant of search over the inverted index (L2 v2):
+    * reads the persisted index when [[indexFts]] has built one, else
+    * falls back to indexing on the fly.
+    */
   def searchFts(terms: Seq[String], limit: Int = 10): DataFrame =
-    FtsOps.searchDocs(
+    if (spark.catalog.tableExists(ftsTable))
+      FtsOps.searchIndexed(spark, ftsTable, "record_id", terms, limit)
+    else FtsOps.searchDocs(
       records.select(col("record_id"),
         concat_ws(" ", col("title"), col("description")).as("text")),
       "record_id", "text", terms, limit)
@@ -145,10 +163,38 @@ final class Graft(spark: SparkSession, tableDir: String) {
         concat_ws(" ", col("title"), col("description"))),
       "source_name", "__payload")
 
+  /** Backfill the `embedding` column the reference declares and never
+    * writes (ethical_crawler.py:842): a deterministic 16-dim
+    * byte-histogram feature of title+description via the multimodal
+    * extractor's decode stand-in ([[operators.MultimodalOps.decodeStub]]
+    * — a real text encoder replaces only that function; the
+    * mapPartitions batch shape, per-partition init point and
+    * write-temp-then-swap rewrite stay). Returns the rows embedded;
+    * [[similar]] is live afterwards.
+    */
+  def backfillEmbeddings(): Long = {
+    import spark.implicits._
+    val filled = pipeline.records.mapPartitions { it =>
+      // per-partition encoder init would go here (model load)
+      it.map { r =>
+        val payload = (r.title + " " + r.description.getOrElse(""))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        r.copy(embedding =
+          Some(operators.MultimodalOps.decodeStub(payload).toSeq))
+      }
+    }.toDF().cache()
+    val n = filled.count() // materialize before touching source files
+    val tmp = pipeline.recordsPath + "__embed_tmp"
+    Catalog.overwritePartitioned(filled, tmp, Seq("source_name"))
+    filled.unpersist()
+    Catalog.replace(spark, tmp, pipeline.recordsPath)
+    n
+  }
+
   /** Top-k records most similar to `recordId` by embedding cosine
-    * (records whose embedding is null are skipped). Empty until an
-    * embedding backfill populates the column (the reference declares
-    * it and never writes it — ethical_crawler.py:842).
+    * (records whose embedding is null are skipped). Empty until
+    * [[backfillEmbeddings]] populates the column (the reference
+    * declares it and never writes it — ethical_crawler.py:842).
     */
   def similar(recordId: String, k: Int = 10): DataFrame = {
     val emb = records.filter(col("embedding").isNotNull)

@@ -85,6 +85,23 @@ class GraftSpec extends SparkSpec {
     // similar(): no embeddings backfilled yet → empty, not an error
     assert(g.similar("aa-1", 5).count() == 0)
 
+    // embedding backfill lights up similar(): both records share the
+    // vocabulary ("about ..."), so cosine is high but < 1
+    assert(g.backfillEmbeddings() == 2L)
+    val sim = g.similar("aa-1", 5).collect()
+    assert(sim.length == 1)
+    assert(sim.head.getString(0) == "bb-2")
+    val score = sim.head.getDouble(1)
+    assert(score > 0.5 && score <= 1.0, s"unexpected cosine $score")
+    // backfill is idempotent and keeps every row
+    assert(g.backfillEmbeddings() == 2L)
+    assert(g.records.count() == 2)
+
+    // persisted FTS index returns the same hits as the on-the-fly path
+    g.indexFts(buckets = 8)
+    val ftsIdx = g.searchFts(Seq("bike"), 5).collect()
+    assert(ftsIdx.length == 1 && ftsIdx.head.getString(0) == "bb-2")
+
     // analytics surface: profile / deterministic sample / redaction
     val prof = g.profile().head
     assert(prof.getAs[Long]("n_rows") == 2L)
