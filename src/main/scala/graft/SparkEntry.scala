@@ -138,6 +138,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0),
         "doc_id", "text", minShared = 3, maxDf = ShingleMaxDf)
     }),
+    // c3 splits on %7 (not c2's %97) so planted near-dup pairs
+    // straddle the bench/corpus boundary at every SF — the banded tier
+    // exists to catch exactly those.
+    "c3_decontamination_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.crossCorpusOverlapBanded(
+        docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", minShared = 3, maxDf = ShingleMaxDf)
+    }),
 
     // ---- north-star: text analysis ----
     "t1_token_stats" -> ((s, dir) =>
@@ -427,6 +437,10 @@ object SparkEntry {
     "c2_decontamination" ->
       operators.DedupOps.crossCorpusOverlapSql("documents", "doc_id",
         "text", modulus = 97, minShared = 3, maxDf = ShingleMaxDf),
+    "c3_decontamination_lsh" ->
+      operators.DedupOps.crossCorpusOverlapBandedSql("documents",
+        "doc_id", "text", modulus = 7, minShared = 3,
+        maxDf = ShingleMaxDf),
     "t1_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,

@@ -231,6 +231,21 @@ object DedupOps {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** (idCol, band, sig) LSH bucket relation from [[minhashSignatures]]
+    * output — the equi-join key space candidates come from.
+    */
+  private def bandRelation(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.select(
+      col(idCol),
+      explode(array((0 until NumBands).map { k =>
+        struct(
+          lit(k).as("band"),
+          concat_ws("_",
+            (0 until BandRows).map(r => col(s"h${k * BandRows + r}")): _*)
+            .as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("bs.band"), col("bs.sig"))
+
   /** Banded-LSH near-dup pairs, exact-verified (tier 3).
     * Candidates: equi-join on (band index, band signature) — never
     * all-pairs. Each candidate pair is then verified with exact
@@ -247,16 +262,7 @@ object DedupOps {
     val sh = capShingleDf(hashedShingles(df, idCol, textCol, n), maxDf)
       .cache()
     val sigs = minhashSignatures(sh, idCol)
-    val bands = sigs.select(
-      col(idCol),
-      explode(array((0 until NumBands).map { k =>
-        struct(
-          lit(k).as("band"),
-          concat_ws("_",
-            (0 until BandRows).map(r => col(s"h${k * BandRows + r}")): _*)
-            .as("sig"))
-      }: _*)).as("bs"))
-      .select(col(idCol), col("bs.band"), col("bs.sig"))
+    val bands = bandRelation(sigs, idCol)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
@@ -301,6 +307,93 @@ object DedupOps {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .orderBy(col("bench_id").asc, col("corpus_id").asc)
+  }
+
+  /** Banded-LSH decontamination — the 100 TB path for
+    * [[crossCorpusOverlap]], which joins EVERY shared shingle across
+    * the two corpora. Candidates come from a (band, band-signature)
+    * equi-join between benchmark and corpus MinHash signatures (cost
+    * tracks near-duplicate count, not shared-shingle volume); each
+    * candidate pair is then verified with the exact shared-shingle
+    * count, so the output is the high-similarity subset of the exact
+    * tier — the contamination that actually matters (a benchmark doc
+    * near-duplicated in the training corpus), fully deterministic and
+    * oracle-expressible with the same seeds.
+    */
+  def crossCorpusOverlapBanded(benchmark: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, minShared: Int, n: Int = 3,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val sa = hashedShingles(benchmark, idCol, textCol, n)
+      .select(col(idCol).as("bench_id"), col("x")).cache()
+    val sb = capShingleDf(
+      hashedShingles(corpus, idCol, textCol, n)
+        .select(col(idCol).as("corpus_id"), col("x")), maxDf).cache()
+    val bandsA = bandRelation(minhashSignatures(sa, "bench_id"),
+      "bench_id")
+    val bandsB = bandRelation(minhashSignatures(sb, "corpus_id"),
+      "corpus_id")
+    val cand = bandsA.join(bandsB, Seq("band", "sig"))
+      .select(col("bench_id"), col("corpus_id"))
+      .distinct()
+      .cache()
+    // exact verify restricted to candidates (left-semi both sides
+    // BEFORE the shingle join, like minhashPairs)
+    val saC = sa.join(cand.select("bench_id").distinct(),
+      Seq("bench_id"), "left_semi")
+    val sbC = sb.join(cand.select("corpus_id").distinct(),
+      Seq("corpus_id"), "left_semi")
+    saC.join(sbC, Seq("x"))
+      .groupBy(col("bench_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cand, Seq("bench_id", "corpus_id"), "left_semi")
+      .filter(col("shared") >= minShared)
+      .orderBy(col("bench_id").asc, col("corpus_id").asc)
+  }
+
+  /** Oracle twin of [[crossCorpusOverlapBanded]] with the benchmark
+    * set selected by `doc_id % modulus = 0` — same seeds, same bands,
+    * same verification, in SQL.
+    */
+  def crossCorpusOverlapBandedSql(table: String, idCol: String,
+      textCol: String, modulus: Int, minShared: Int, n: Int = 3,
+      maxDf: Int = Int.MaxValue): String = {
+    val minExprs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * (x % $P) + $b) % $P) AS h$i"
+    }.mkString(",\n    ")
+    def bandSelects(src: String, id: String) = (0 until NumBands).map { k =>
+      val sig = (0 until BandRows).map(r => s"h${k * BandRows + r}")
+        .mkString(", ")
+      s"SELECT $id, $k AS band, concat_ws('_', $sig) AS sig FROM $src"
+    }.mkString("\n  UNION ALL\n  ")
+    val bDef =
+      if (maxDf == Int.MaxValue) "SELECT corpus_id, x FROM b0"
+      else capSql("b0", "corpus_id", maxDf).stripPrefix("(")
+        .stripSuffix(")")
+    s"""WITH sh0 AS (
+       |${shinglesSql(table, idCol, textCol, n)}),
+       |hx AS (SELECT $idCol,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh0),
+       |a AS (SELECT $idCol AS bench_id, x FROM hx
+       |      WHERE $idCol % $modulus = 0),
+       |b0 AS (SELECT $idCol AS corpus_id, x FROM hx
+       |      WHERE $idCol % $modulus <> 0),
+       |b AS ($bDef),
+       |sigsA AS (SELECT bench_id, $minExprs FROM a GROUP BY bench_id),
+       |sigsB AS (SELECT corpus_id, $minExprs FROM b GROUP BY corpus_id),
+       |bandsA AS (
+       |  ${bandSelects("sigsA", "bench_id")}),
+       |bandsB AS (
+       |  ${bandSelects("sigsB", "corpus_id")}),
+       |cand AS (
+       |  SELECT DISTINCT bench_id, corpus_id
+       |  FROM bandsA JOIN bandsB USING (band, sig))
+       |SELECT s.bench_id, s.corpus_id, s.shared FROM (
+       |  SELECT bench_id, corpus_id, count(*) AS shared
+       |  FROM a JOIN b USING (x)
+       |  GROUP BY 1, 2) s
+       |JOIN cand USING (bench_id, corpus_id)
+       |WHERE s.shared >= $minShared
+       |ORDER BY bench_id ASC, corpus_id ASC""".stripMargin
   }
 
   /** Oracle twin of [[crossCorpusOverlap]] with the benchmark set

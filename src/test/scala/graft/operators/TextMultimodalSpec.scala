@@ -173,5 +173,32 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(hits.toSeq == Seq((100L, 1L, 4L)),
       s"exact duplicate must be flagged with all 4 trigrams: ${hits.toSeq}")
+
+    // banded tier: finds the same duplicate (J=1 → identical
+    // signatures → candidate in every band), with the same count
+    val banded = graft.operators.DedupOps.crossCorpusOverlapBanded(
+      bench, corpus, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(banded.toSeq == Seq((100L, 1L, 4L)))
+  }
+
+  test("banded decontamination is a subset of the exact tier (real docs)") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val exact = graft.operators.DedupOps.crossCorpusOverlap(
+      bench, corpus, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val banded = graft.operators.DedupOps.crossCorpusOverlapBanded(
+      bench, corpus, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(banded.subsetOf(exact),
+      s"banded pairs must verify exactly: ${banded -- exact}")
+    // high-overlap contamination (the near-dup tier targets it) is kept
+    val strong = exact.filter(_._3 >= 10)
+    assert(strong.subsetOf(banded),
+      s"planted near-dups must survive banding: ${strong -- banded}")
   }
 }
