@@ -312,6 +312,8 @@ object SparkEntry {
       StarSchemaOps.orderCountDistribution(s, dir)),
     "q21_waiting_suppliers" -> ((s, dir) =>
       StarSchemaOps.waitingSuppliers(s, dir)),
+    "b1_bucketed_revenue" -> ((s, dir) =>
+      BucketedOps.bucketedRevenue(s, dir)),
 
     // ---- composed corpus-preparation pipeline ----
     "c1_corpus_prep" -> ((s, dir) =>
@@ -876,6 +878,16 @@ object SparkEntry {
         |  AND l_quantity < (
         |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // b1 runs over the bucketed-at-rest tables; results are layout-
+    // independent, so the oracle reads the plain parquet.
+    "b1_bucketed_revenue" ->
+      """SELECT o_orderstatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC""".stripMargin,
     "q13_order_distribution" ->
       """WITH c_orders AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed-at-rest fact tables: the production layout the join
+  * commentary in [[StarSchemaOps]] assumes ("bucketed on the order key
+  * at rest"), made concrete. `orders` and `lineitem` are written ONCE
+  * per (session, sfDir) bucketed+sorted by their order key; every
+  * subsequent join on that key is co-located — zero exchange on either
+  * side, at any scale (ExportCatalogSpec proves the plan; the
+  * b1_bucketed_revenue oracle entry proves the results).
+  *
+  * At 100 TB this is the difference between shuffling the fact table
+  * on every join and never shuffling it at all: the shuffle is paid
+  * once at ingest (the bucketed write) and amortized over every query.
+  */
+object BucketedOps {
+
+  val Buckets = 8
+
+  private def tableName(base: String, sfDir: String): String =
+    f"graft_${base}_bucketed_${sfDir.hashCode & 0x7fffffff}%08x"
+
+  private def tablePath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_bucketed/$name"
+
+  /** Write orders+lineitem bucketed by order key for `sfDir` unless
+    * the session catalog already has them. Returns (orders, lineitem)
+    * table names.
+    */
+  def ensureBucketed(spark: SparkSession, sfDir: String)
+      : (String, String) = {
+    val ordName = tableName("orders", sfDir)
+    val liName = tableName("lineitem", sfDir)
+    if (!spark.catalog.tableExists(ordName)) {
+      Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", tablePath(ordName))
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordName)
+    }
+    if (!spark.catalog.tableExists(liName)) {
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", tablePath(liName))
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(liName)
+    }
+    (ordName, liName)
+  }
+
+  /** The co-located join itself (exposed for plan assertions). */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ordName, liName) = ensureBucketed(spark, sfDir)
+    spark.table(liName).join(spark.table(ordName),
+      col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** Revenue per order status over the bucketed tables — the join
+    * needs no exchange (both sides pre-hashed on the key at rest);
+    * the only shuffle left is the 3-row status aggregate.
+    */
+  def bucketedRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedJoin(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus").asc)
+}

@@ -129,6 +129,28 @@ class ExportCatalogSpec extends SparkSpec {
     }
   }
 
+  test("bucketed-at-rest fact tables: b1 join plan has no exchange") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val joined = BucketedOps.bucketedJoin(s2, sfSmoke)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed fact join must not shuffle:\n$plan")
+    // and the query over bucketed tables equals the raw-parquet result
+    val bucketed = BucketedOps.bucketedRevenue(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val raw = Tables.lineitem(spark, sfSmoke)
+      .join(Tables.orders(spark, sfSmoke),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus").asc)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(bucketed.toSeq == raw.toSeq)
+  }
+
   test("statusRollup composes stats + latest (reference status verb)") {
     val df = Seq(
       ("s1", "en", 1L), ("s1", "de", 2L), ("s1", "en", 5L),
