@@ -314,6 +314,14 @@ object SparkEntry {
       StarSchemaOps.waitingSuppliers(s, dir)),
     "b1_bucketed_revenue" -> ((s, dir) =>
       BucketedOps.bucketedRevenue(s, dir)),
+    "q9_nation_profit" -> ((s, dir) =>
+      StarSchemaOps.nationProfit(s, dir)),
+    "q11_nation_balance" -> ((s, dir) =>
+      StarSchemaOps.topNationsByBalance(s, dir)),
+    "q16_supplier_diversity" -> ((s, dir) =>
+      StarSchemaOps.supplierDiversity(s, dir)),
+    "q20_concentrated_suppliers" -> ((s, dir) =>
+      StarSchemaOps.concentratedSuppliers(s, dir)),
 
     // ---- composed corpus-preparation pipeline ----
     "c1_corpus_prep" -> ((s, dir) =>
@@ -888,6 +896,45 @@ object SparkEntry {
         |WHERE l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus ASC""".stripMargin,
+    "q9_nation_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |            - l_tax * l_extendedprice), 4) AS profit
+        |FROM lineitem, orders, supplier, nation
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q11_nation_balance" ->
+      """SELECT n_name, round(sum(s_acctbal), 4) AS total_bal
+        |FROM supplier, nation WHERE s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |HAVING sum(s_acctbal) >
+        |  (SELECT sum(s_acctbal) FROM supplier) * 0.04
+        |ORDER BY total_bal DESC, n_name ASC""".stripMargin,
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_type,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part, lineitem
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#5'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC""".stripMargin,
+    "q20_concentrated_suppliers" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01'
+        |        THEN l_quantity ELSE 0 END) AS q97,
+        |    sum(l_quantity) AS qall
+        |  FROM lineitem JOIN part
+        |    ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  GROUP BY 1)
+        |SELECT s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM sp
+        |                    WHERE q97 > 0.18 * qall)
+        |ORDER BY s_name ASC""".stripMargin,
     "q13_order_distribution" ->
       """WITH c_orders AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

@@ -472,6 +472,108 @@ object StarSchemaOps {
       .limit(k)
   }
 
+  /** TPC-H Q9-shaped profit rollup: per-nation, per-year profit over
+    * lineitem⨝orders⨝supplier⨝nation (cost stand-in: the tax amount —
+    * this schema carries no supplycost). High-cardinality two-key agg
+    * fed by three fact-side joins; only nation broadcasts.
+    */
+  def nationProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice",
+        "l_discount", "l_tax")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate")
+    val supp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("l_tax") * col("l_extendedprice")), 4).as("profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q11-shaped concentration report: nations holding more than
+    * `fraction` of total supplier balance — a grouped aggregate
+    * filtered against a GLOBAL scalar aggregate (the HAVING-vs-total
+    * decorrelation shape): the 1-row threshold broadcasts to the
+    * per-nation aggregate, like q15/q22.
+    */
+  def topNationsByBalance(spark: SparkSession, sfDir: String,
+      fraction: Double = 0.04): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .select("s_nationkey", "s_acctbal")
+    val nat = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name")
+    val perNation = supp
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("s_acctbal")).as("__bal"))
+    val thr = supp.agg((sum(col("s_acctbal")) * fraction).as("__thr"))
+    perNation.join(broadcast(thr), col("__bal") > col("__thr"))
+      .select(col("n_name"), round(col("__bal"), 4).as("total_bal"))
+      .orderBy(col("total_bal").desc, col("n_name").asc)
+  }
+
+  /** TPC-H Q16-shaped supplier diversity: distinct suppliers per part
+    * (brand, type), excluding one brand and every supplier matching a
+    * NOT-IN subquery. The NOT IN is an anti join on the supplier key
+    * (legal because s_suppkey is non-null — NOT IN over a nullable
+    * column would need the null-aware variant); the anti join runs
+    * FIRST so excluded suppliers never reach the wide join.
+    */
+  def supplierDiversity(spark: SparkSession, sfDir: String,
+      excludeBrand: String = "Brand#5"): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= excludeBrand)
+      .select("p_partkey", "p_brand", "p_type")
+    val bad = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey")
+    li.join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc)
+  }
+
+  /** TPC-H Q20-shaped concentration audit: suppliers whose shipped
+    * quantity of one part type in 1997 exceeds `fraction` of their
+    * all-time quantity — the nested IN-chain (parts filter → per-
+    * supplier correlated aggregate → supplier semi join) authored
+    * decorrelated: one conditional aggregate per supplier, a filter
+    * against its own row, and a left-semi probe into supplier.
+    */
+  def concentratedSuppliers(spark: SparkSession, sfDir: String,
+      partType: String = "STANDARD", fraction: Double = 0.18)
+      : DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_type") === partType).select("p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val in97 = col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+    val concentrated = li
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(when(in97, col("l_quantity")).otherwise(0.0)).as("q97"),
+        sum(col("l_quantity")).as("qall"))
+      .filter(col("q97") > col("qall") * fraction)
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, sfDir)
+      .join(concentrated, col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_name"))
+      .orderBy(col("s_name").asc)
+  }
+
   /** Order-priority histogram with an EXISTS-shaped semi join
     * (lineitem committed late). Left-semi keeps only order columns
     * flowing; no row multiplication.
