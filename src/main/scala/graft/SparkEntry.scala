@@ -334,6 +334,10 @@ object SparkEntry {
       graft.streaming.StreamingOps.tumblingCounts(
         Tables.events(s, dir), "ts", "1 hour", "10 minutes")
         .orderBy(col("window_start").asc, col("event_type").asc)),
+    "st2_sliding_counts" -> ((s, dir) =>
+      graft.streaming.StreamingOps.slidingCounts(
+        Tables.events(s, dir), "ts", "2 hours", "1 hour", "10 minutes")
+        .orderBy(col("window_start").asc, col("event_type").asc)),
 
     // ---- sketch tier (approximate → rows-only gate + ε-tests) ----
     "e3_sketch_profile" -> ((s, dir) =>
@@ -345,6 +349,12 @@ object SparkEntry {
       val assets = MultimodalOps.assetsFromDocuments(s,
         Tables.documents(s, dir))
       MultimodalOps.histogramStats(MultimodalOps.extractCounts(assets))
+    }),
+    "m3_frame_sample" -> ((s, dir) => {
+      val assets = MultimodalOps.assetsFromDocuments(s,
+        Tables.documents(s, dir))
+      MultimodalOps.frameStats(
+        MultimodalOps.sampleFrames(assets, stride = 100))
     }),
   )
 
@@ -358,6 +368,34 @@ object SparkEntry {
         |  count(*) AS cnt, round(sum(value), 6) AS total_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start ASC, event_type ASC""".stripMargin,
+    // 2h window sliding 1h: each event lands in the window starting at
+    // its truncated hour and the one before
+    "st2_sliding_counts" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |    event_type, value FROM events)
+        |SELECT window_start, event_type, count(*) AS cnt,
+        |  round(sum(value), 6) AS total_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY window_start ASC, event_type ASC""".stripMargin,
+    // video kind ⇔ doc_id % 3 = 2 (assetsFromDocuments); stride 100:
+    // greatest(1, len // 100) frames, tail bytes beyond the last full
+    // frame are dropped unless the doc is shorter than one stride
+    "m3_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, greatest(1, len // 100) AS n_frames,
+        |    least(len, greatest(1, len // 100) * 100) AS covered
+        |  FROM v)
+        |SELECT count(*) AS n_videos,
+        |  sum(n_frames)::BIGINT AS total_frames,
+        |  sum(covered)::BIGINT AS total_frame_bytes
+        |FROM f""".stripMargin,
     "n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

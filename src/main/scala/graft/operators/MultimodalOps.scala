@@ -144,6 +144,17 @@ object MultimodalOps {
       .toDF("asset_id", "frame_idx", "frame_bytes")
   }
 
+  /** One-row rollup over [[sampleFrames]] output: videos sampled,
+    * frames produced, frame bytes kept. Frame counts are integer
+    * arithmetic on byte lengths, so the whole sample→rollup pipeline
+    * is oracle-exact (like m2's histogram bins).
+    */
+  def frameStats(frames: DataFrame): DataFrame =
+    frames.agg(
+      countDistinct(col("asset_id")).as("n_videos"),
+      count(lit(1)).as("total_frames"),
+      sum(length(col("frame_bytes"))).as("total_frame_bytes"))
+
   /** Typed metadata rollup per kind over extracted features. */
   def featureStats(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF()

@@ -37,6 +37,28 @@ object StreamingOps {
         col("win.start").as("window_start"),
         col("event_type"), col("cnt"), col("total_value"))
 
+  /** SLIDING-window counts (each event lands in
+    * windowLength/slide overlapping windows — here 2): same bounded
+    * state story as [[tumblingCounts]], state rows ×overlap. Works on
+    * batch and streaming frames alike; the batch run is the oracle
+    * (each event contributes to the window starting at its
+    * truncated hour and the one before).
+    */
+  def slidingCounts(events: DataFrame, tsCol: String,
+      windowLength: String, slide: String, watermarkDelay: String)
+      : DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(
+        window(col(tsCol), windowLength, slide).as("win"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select(
+        col("win.start").as("window_start"),
+        col("event_type"), col("cnt"), col("total_value"))
+
   /** File-source stream over a parquet events directory (one file =
     * one micro-batch when `maxFilesPerTrigger` is 1 — deterministic
     * replay for tests; on a cluster the same code tails a landing

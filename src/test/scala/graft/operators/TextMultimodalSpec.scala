@@ -123,6 +123,20 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameStats: rollup matches per-video frame arithmetic") {
+    val docs = Tables.documents(spark, sfSmoke).limit(30)
+    val assets = MultimodalOps.assetsFromDocuments(spark, docs)
+    val row = MultimodalOps.frameStats(
+      MultimodalOps.sampleFrames(assets, stride = 64)).head
+    val videos = assets.filter(_.kind == "video").collect()
+    val frames = videos.map(a => math.max(1, a.bytes.length / 64))
+    val covered = videos.map(a =>
+      math.min(a.bytes.length, math.max(1, a.bytes.length / 64) * 64))
+    assert(row.getLong(0) == videos.length.toLong)
+    assert(row.getLong(1) == frames.sum.toLong)
+    assert(row.getLong(2) == covered.map(_.toLong).sum)
+  }
+
   test("featureStats: typed rollup per kind") {
     val docs = Tables.documents(spark, sfSmoke).limit(30)
     val feats = MultimodalOps.extractFeatures(

@@ -31,6 +31,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum == batchEvents.count())
   }
 
+  test("sliding-window counts: streaming equals batch; 2x tumbling rows") {
+    val batchEvents = Tables.events(spark, sfSmoke).cache()
+    val stageDir = tmpDir("stream") + "/events_sliding"
+    batchEvents.repartition(4).write.parquet(stageDir)
+    val staged = spark.read.parquet(stageDir)
+
+    val stream = StreamingOps.eventsStream(spark, stageDir, staged.schema)
+    val agg = StreamingOps.slidingCounts(stream, "ts",
+      windowLength = "2 hours", slide = "1 hour",
+      watermarkDelay = "10 minutes")
+    assert(agg.queryExecution.analyzed.toString
+      .contains("EventTimeWatermark"))
+    val streamed = StreamingOps.runToMemorySink(agg, "slide_counts", spark)
+
+    val expected = StreamingOps.slidingCounts(staged, "ts",
+      "2 hours", "1 hour", "10 minutes")
+    val got = streamed.orderBy("window_start", "event_type").collect()
+    val want = expected.orderBy("window_start", "event_type").collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+    // every event lands in exactly windowLength/slide = 2 windows
+    assert(got.map(_.getLong(2)).sum == 2 * batchEvents.count())
+  }
+
   test("sessionize: gap splits, ordering, totals (batch oracle)") {
     import spark.implicits._
     def ev(id: Long, t: Long, u: Long, v: Double) =
