@@ -1,11 +1,12 @@
 package graft
 
-import graft.functions.{DotProduct, RollingTokenHash, SimHash64,
-  WordShingles}
+import graft.functions.{ContentKey, DotProduct, RollingTokenHash,
+  SimHash64, TextQuality, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression,
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
   ExpressionInfo, Literal}
+import org.apache.spark.sql.types.LongType
 
 /** Session extension wiring for the engine's custom expressions
   * (`SparkSessionExtensions` is the sanctioned extension point — no
@@ -48,6 +49,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           "graft_simhash takes exactly 1 argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_content_key"),
+      new ExpressionInfo(classOf[ContentKey].getName,
+        "graft_content_key"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_content_key takes exactly 1 argument")
+        ContentKey(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(classOf[TextQuality].getName, "graft_quality"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_quality takes (text, n_chars) arguments")
+        val chars = children(1) match {
+          case e if e.dataType == LongType => e
+          case e => Cast(e, LongType)
+        }
+        TextQuality(children.head, chars)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_rolling_hash"),

@@ -901,15 +901,15 @@ object SparkEntry {
         |      least(((n_chars * 1.0 - (len(w) - 1)) / len(w)) / 8.0,
         |        1.0) * 0.2, 6) AS quality
         |  FROM c),
-        |f AS (SELECT * FROM q WHERE quality >= 0.55),
         |d AS (
         |  SELECT *, row_number() OVER (
         |      PARTITION BY
         |        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
         |      ORDER BY doc_id ASC) AS rn
-        |  FROM f),
+        |  FROM q),
         |s AS (
         |  SELECT * FROM d WHERE rn = 1
+        |    AND quality >= 0.55
         |    AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
         |        % 1000 < 500)
         |SELECT lang, count(*) AS n_docs,

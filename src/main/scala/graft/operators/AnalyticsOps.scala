@@ -157,24 +157,23 @@ object AnalyticsOps {
   def corpusPrep(df: DataFrame, idCol: String, textCol: String,
       charsCol: String, langCol: String, minQuality: Double,
       samplePerMille: Int): DataFrame = {
-    val w = TextOps.tokens(col(textCol))
-    val nTok = size(w).cast("double")
-    val ttr = size(array_distinct(w)).cast("double") / nTok
-    val stopRatio = size(filter(w,
-      t => t.isInCollection(TextOps.EnStopwords))).cast("double") / nTok
-    val avgWordLen = (col(charsCol).cast("double") - (nTok - 1)) / nTok
-    val quality = round(
-      ttr * 0.5 + (lit(1.0) - stopRatio) * 0.3 +
-        least(avgWordLen / 8.0, lit(1.0)) * 0.2, 6)
-    // ONE projection tokenizes the text and derives n_tok, quality AND
-    // the dedup key, then `text` is dropped — the window exchange on
+    // ONE projection evaluates the single-pass graft_quality kernel
+    // and the dedup key, then `text` is dropped — the exchange on
     // content_md5 ships 4 narrow columns instead of the full payload
     // (at 100 TB the payload dwarfs everything else in that shuffle).
+    // Dedup runs BEFORE the quality filter: a filter directly above
+    // this projection would be pushdown-inlined below it, evaluating
+    // the whole tokenize chain twice per row; post-dedup it tests a
+    // carried column.
     val scored = df
-      .select(col(idCol), col(langCol), size(w).as("n_tok"),
-        quality.as("quality"),
+      .select(col(idCol), col(langCol),
+        call_function("graft_quality", col(textCol), col(charsCol))
+          .as("__q"),
         DedupOps.contentKey(col(textCol)).as("content_md5"))
-      .filter(col("quality") >= minQuality)
+      .select(col(idCol), col(langCol),
+        col("__q.n_tok").as("n_tok"),
+        round(col("__q.quality"), 6).as("quality"),
+        col("content_md5"))
     // keep-first dedup as a hash aggregate (min_by on the unique id),
     // not a window: same single shuffle on the key, but no per-
     // partition sort and map-side partial combine — measured faster
@@ -190,7 +189,8 @@ object AnalyticsOps {
         col("__r.quality").as("quality"))
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
       16, 10).cast("long") % 1000
-    deduped.filter(bucket < samplePerMille)
+    deduped.filter(col("quality") >= minQuality)
+      .filter(bucket < samplePerMille)
       .groupBy(col(langCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("total_tokens"),

@@ -62,8 +62,18 @@ object DedupOps {
   def normalized(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
-  /** 128-bit content key of the normalized text. */
-  def contentKey(text: Column): Column = md5(normalized(text))
+  /** 128-bit content key of the normalized text — single-pass
+    * [[graft.functions.ContentKey]] expression (the composed
+    * [[contentKeyHof]] pays a Java-regex scan per row; differential-
+    * tested equal).
+    */
+  def contentKey(text: Column): Column =
+    call_function("graft_content_key", text)
+
+  /** Composed built-in formulation of [[contentKey]] — the
+    * differential reference for the expression.
+    */
+  def contentKeyHof(text: Column): Column = md5(normalized(text))
 
   /** Exact content dedup, first-write-wins by `orderCol`, keeping the
     * content key as `keyName` in the output — the md5 is computed ONCE

@@ -44,9 +44,29 @@ object TextOps {
     * type-token ratio (lexical diversity) ·0.5 +
     * (1 − stopword ratio) ·0.3 + capped mean word length ·0.2.
     * Deterministic double arithmetic, same operation order as the
-    * oracle SQL.
+    * oracle SQL. One token-stream pass via
+    * [[graft.functions.TextQuality]] (the composed four-pass HOF form
+    * below is the differential reference).
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      charsCol: String, k: Int): DataFrame =
+    df.select(col(idCol),
+        call_function("graft_quality", col(textCol), col(charsCol))
+          .as("__q"))
+      .select(
+        col(idCol),
+        col("__q.n_tok").as("n_tok"),
+        round(col("__q.ttr"), 6).as("ttr"),
+        round(col("__q.stop_ratio"), 6).as("stop_ratio"),
+        round(col("__q.quality"), 6).as("quality"))
+      .orderBy(col("quality").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Composed built-in formulation of [[qualityScore]] — the
+    * differential reference for the expression (four interpreted
+    * HOF/array passes per row).
+    */
+  def qualityScoreHof(df: DataFrame, idCol: String, textCol: String,
       charsCol: String, k: Int): DataFrame = {
     val w = tokens(col(textCol))
     val nTok = size(w).cast("double")

@@ -41,6 +41,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fast == hof)
   }
 
+  test("graft_content_key equals the composed md5(regexp) formulation") {
+    // real corpus + whitespace edge cases (leading tab survives trim
+    // and collapses to a leading space; vertical tab is regex-\s too)
+    val edge = Seq("\tTabbed  Lead", "  sp  ", "ab", "x\r\ny",
+      "", " ", "a\u000Bb", "MiXeD   Case\f tail ").zipWithIndex
+      .map { case (t, i) => (i.toLong + 500000L, t) }
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text").unionByName(edge)
+    val both = docs.select(
+      DedupOps.contentKey(col("text")).as("fast"),
+      DedupOps.contentKeyHof(col("text")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("graft_quality equals the composed HOF formulation, bit-exact") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val fast = TextOps.qualityScore(docs, "doc_id", "text", "n_chars",
+      k = 1000).collect().map(_.toString).toSeq
+    val ref = TextOps.qualityScoreHof(docs, "doc_id", "text", "n_chars",
+      k = 1000).collect().map(_.toString).toSeq
+    assert(fast == ref)
+  }
+
   test("jaccardPairs: identical docs score 1.0, disjoint absent") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
