@@ -170,6 +170,13 @@ object SparkEntry {
     "t9_repetition" -> ((s, dir) =>
       TextOps.repetitionScore(Tables.documents(s, dir),
         "doc_id", "text", k = 50)),
+    "t10_rare_tokens" -> ((s, dir) =>
+      TextOps.rareTokenStats(Tables.documents(s, dir),
+        "doc_id", "text", maxFreq = 2, k = 50)),
+    "n9_dup_clusters" -> ((s, dir) =>
+      DedupOps.dupClusters(
+        DedupOps.minhashPairs(Tables.documents(s, dir),
+          "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf))),
 
     // ---- JSON / predicate / status / multimodal surface ----
     "f4_json_extract" -> ((s, dir) =>
@@ -529,6 +536,22 @@ object SparkEntry {
         |ORDER BY lang ASC, predicted ASC""".stripMargin,
     "t4_simhash" ->
       operators.DedupOps.simhashSql("documents", "doc_id", "text"),
+    "t10_rare_tokens" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (SELECT doc_id, tok FROM tok0 WHERE tok <> ''),
+        |freq AS (SELECT tok, count(*) AS c FROM t GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+        |  round(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) * 1.0
+        |        / count(*), 6) AS rare_ratio
+        |FROM t JOIN freq USING (tok)
+        |GROUP BY doc_id
+        |ORDER BY rare_ratio DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "n9_dup_clusters" ->
+      operators.DedupOps.dupClustersSql("documents", "doc_id", "text",
+        0.8, maxDf = ShingleMaxDf),
     "t5_fingerprints" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

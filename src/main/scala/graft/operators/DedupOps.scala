@@ -431,6 +431,73 @@ object DedupOps {
        |ORDER BY bench_id ASC, corpus_id ASC""".stripMargin
   }
 
+  /** Connected components over a near-dup pair relation (id_a, id_b):
+    * assigns every involved document the MINIMUM doc id reachable in
+    * its duplicate cluster — the step that turns pairwise near-dup
+    * output into "keep one canonical doc per cluster". Iterative
+    * min-label propagation, one join+groupBy per round, converging in
+    * O(cluster diameter) rounds (near-dup clusters are near-cliques,
+    * so 2–3); the driver only ever sees a per-round change COUNT.
+    * At extreme scale the same loop is the large-star/small-star
+    * alternating algorithm; the shapes are identical.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(
+        pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(labels("label"),
+            coalesce(col("nlabel"), labels("label"))).as("newlabel"),
+          labels("label").as("oldlabel"))
+        .cache()
+      converged =
+        updated.filter(col("newlabel") =!= col("oldlabel")).count() == 0
+      val next = updated
+        .select(col("id"), col("newlabel").as("label")).cache()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Oracle twin of [[dupClusters]] over the [[minhashPairsSql]] pair
+    * relation: a recursive CTE enumerates every vertex reachable from
+    * each doc; the cluster id is the minimum — the fixpoint label
+    * propagation converges to.
+    */
+  def dupClustersSql(table: String, idCol: String, textCol: String,
+      minJaccard: Double, n: Int = 3, maxDf: Int = Int.MaxValue)
+      : String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashPairsSql(table, idCol, textCol, minJaccard, n, maxDf)
+          .replace("ORDER BY id_a ASC, id_b ASC", "")}),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id ASC""".stripMargin
+
   /** 60-bit SimHash fingerprint per document (tier 4). Token hash =
     * md5-hex 60 bits; bit i of the fingerprint is set iff
     * Σ_tokens (2·bit_i(h(token)) − 1) ≥ 0. Tokens keep multiplicity

@@ -242,6 +242,32 @@ object TextOps {
        |    AS rolling_hash
        |FROM t ORDER BY $idCol ASC""".stripMargin
 
+  /** Corpus-frequency join-back: per-document rare-token stats —
+    * tokens whose CORPUS-WIDE frequency is ≤ `maxFreq` (hapax/near-
+    * hapax density is the standard "noisy or misparsed document"
+    * signal, and the integer-exact stand-in for unigram-LM surprisal,
+    * whose `ln` is not bit-stable across engines). Two aggregates and
+    * one big-big join on the token: at 100 TB the frequency table
+    * either broadcasts (bounded vocab) or shuffles on the token — the
+    * same key the explode already groups by.
+    */
+  def rareTokenStats(df: DataFrame, idCol: String, textCol: String,
+      maxFreq: Int, k: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    tok.join(freq, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("c") <= maxFreq, 1).otherwise(0)).cast("long")
+          .as("n_rare"))
+      .withColumn("rare_ratio",
+        round(col("n_rare").cast("double") / col("n_tok"), 6))
+      .orderBy(col("rare_ratio").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Document fingerprints: 128-bit content hash of normalized text
     * plus a locality-carrying prefix hash (first `prefixTokens`
     * tokens) — the cheap "same head, edited tail" detector.

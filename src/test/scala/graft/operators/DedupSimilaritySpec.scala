@@ -109,6 +109,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.toSeq == Seq((100L, 101L, 1.0)))
   }
 
+  test("dupClusters: chain and clique collapse to min-id components") {
+    // chain 1-2-3 (diameter 2: needs >1 propagation round),
+    // clique 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = DedupOps.dupClusters(pairs)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters over minhash pairs: every pair lands in one cluster") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 0.8).cache()
+    val clusters = DedupOps.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val edges = pairs.select("id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b),
+        s"pair ($a,$b) split across clusters")
+    }
+    // cluster ids are the minimum member id
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min)
+    }
+  }
+
   test("minhashPairs agrees with exact jaccardPairs on real docs") {
     val docs = Tables.documents(spark, sfSmoke)
     val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8)
