@@ -321,6 +321,25 @@ object SparkEntry {
       StarSchemaOps.waitingSuppliers(s, dir)),
     "b1_bucketed_revenue" -> ((s, dir) =>
       BucketedOps.bucketedRevenue(s, dir)),
+    "b2_partition_pruned" -> ((s, dir) =>
+      BucketedOps.partitionPrunedStats(s, dir, lang = "en")),
+    // w3: ranking-function variety over one window (dense_rank for
+    // ties, ntile quartiles, percent_rank) — one shuffle on the
+    // partition key, every function shares the same sort
+    "w3_order_rank_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"))
+        .filter(col("drank") <= 5)
+        .orderBy(col("o_orderpriority").asc, col("drank").asc,
+          col("o_orderkey").asc)
+    }),
     "q9_nation_profit" -> ((s, dir) =>
       StarSchemaOps.nationProfit(s, dir)),
     "q11_nation_balance" -> ((s, dir) =>
@@ -947,6 +966,25 @@ object SparkEntry {
         |  AND l_quantity < (
         |    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "b2_partition_pruned" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  max(doc_id) AS last_doc
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
+    "w3_order_rank_stats" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  drank, quartile, prank
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    dense_rank() OVER w AS drank,
+        |    ntile(4) OVER w AS quartile,
+        |    round(percent_rank() OVER w, 6) AS prank
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE drank <= 5
+        |ORDER BY o_orderpriority ASC, drank ASC, o_orderkey ASC""".stripMargin,
     // b1 runs over the bucketed-at-rest tables; results are layout-
     // independent, so the oracle reads the plain parquet.
     "b1_bucketed_revenue" ->

@@ -72,4 +72,40 @@ object BucketedOps {
           4).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderstatus").asc)
+
+  /** Write documents partitioned by `lang` at rest for `sfDir` unless
+    * already in the session catalog — the K7 layout (partition
+    * directories ≙ the reference's secondary indexes) as a live,
+    * oracle-checked table rather than a plan test only.
+    */
+  def ensurePartitionedDocs(spark: SparkSession, sfDir: String)
+      : String = {
+    val name = tableName("documents", sfDir)
+    if (!spark.catalog.tableExists(name)) {
+      Tables.documents(spark, sfDir)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", tablePath(name))
+        .partitionBy("lang")
+        .saveAsTable(name)
+    }
+    name
+  }
+
+  /** Per-source stats for ONE language over the lang-partitioned
+    * documents table: the equality filter prunes to a single partition
+    * directory before any IO (`PartitionFilters` in the scan — asserted
+    * in ExportCatalogSpec); results are layout-independent so the
+    * oracle reads the plain parquet.
+    */
+  def partitionPrunedStats(spark: SparkSession, sfDir: String,
+      lang: String = "en"): DataFrame = {
+    val name = ensurePartitionedDocs(spark, sfDir)
+    spark.table(name)
+      .filter(col("lang") === lang)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -151,6 +151,23 @@ class ExportCatalogSpec extends SparkSpec {
     assert(bucketed.toSeq == raw.toSeq)
   }
 
+  test("partitioned-at-rest documents: b2 scan prunes to one lang") {
+    val df = BucketedOps.partitionPrunedStats(spark, sfSmoke, "en")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"lang filter must prune partitions:\n$plan")
+    // equality with the raw-parquet computation
+    val raw = Tables.documents(spark, sfSmoke)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source").asc)
+    assert(df.collect().map(_.toString).toSeq ==
+      raw.collect().map(_.toString).toSeq)
+  }
+
   test("statusRollup composes stats + latest (reference status verb)") {
     val df = Seq(
       ("s1", "en", 1L), ("s1", "de", 2L), ("s1", "en", 5L),
