@@ -294,6 +294,30 @@ object SparkEntry {
     "s2_subset_algebra" -> ((s, dir) =>
       AnalyticsOps.subsetAlgebra(Tables.documents(s, dir), "doc_id",
         col("text").contains("spark"), col("text").contains("window"))),
+    "k9_incremental_rollup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      AnalyticsOps.incrementalRollup(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0),
+        key = "source", valueCol = "n_chars")
+    }),
+    "o5_pagination" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100).limit(50)),
+    "f5_ship_latency" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      val days = datediff(col("l_shipdate"), col("o_orderdate"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(avg(days), 6).as("avg_days"),
+          max(days).as("max_days"))
+        .orderBy(col("o_orderpriority").asc)
+    }),
 
     // ---- further star-schema join/agg shapes ----
     "q12_priority_class" -> ((s, dir) =>
@@ -878,6 +902,29 @@ object SparkEntry {
         |    AS gap_us
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id ASC, ts ASC, event_id ASC""".stripMargin,
+    "k9_incremental_rollup" ->
+      """WITH e AS (
+        |  SELECT source, count(*) AS n_e, sum(n_chars)::BIGINT AS v_e
+        |  FROM documents WHERE doc_id % 4 <> 0 GROUP BY source),
+        |d AS (
+        |  SELECT source, count(*) AS n_d, sum(n_chars)::BIGINT AS v_d
+        |  FROM documents WHERE doc_id % 4 = 0 GROUP BY source)
+        |SELECT coalesce(e.source, d.source) AS source,
+        |  coalesce(n_e, 0) + coalesce(n_d, 0) AS n_docs,
+        |  coalesce(v_e, 0) + coalesce(v_d, 0) AS total_chars
+        |FROM e FULL OUTER JOIN d ON e.source = d.source
+        |ORDER BY source ASC""".stripMargin,
+    "o5_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 50 OFFSET 100""".stripMargin,
+    "f5_ship_latency" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(avg(date_diff('day', o_orderdate, l_shipdate)), 6)
+        |    AS avg_days,
+        |  max(date_diff('day', o_orderdate, l_shipdate)) AS max_days
+        |FROM lineitem, orders WHERE l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority ASC""".stripMargin,
     "a10_grouping_sets" ->
       """SELECT coalesce(source, '<all>') AS source,
         |  coalesce(lang, '<all>') AS lang,

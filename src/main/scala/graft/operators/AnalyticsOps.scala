@@ -198,6 +198,29 @@ object AnalyticsOps {
       .orderBy(col(langCol).asc)
   }
 
+  /** Incremental rollup maintenance: merge a delta batch's aggregate
+    * into an existing rollup WITHOUT rescanning history — the
+    * materialized-view-maintenance shape every continuously-ingesting
+    * pipeline needs (count and sum are self-mergeable; avg rides as
+    * sum/count). FULL OUTER join on the key: keys only in history and
+    * keys only in the delta both survive. At 100 TB the existing side
+    * is the stored rollup table, not a re-aggregation.
+    */
+  def incrementalRollup(existing: DataFrame, delta: DataFrame,
+      key: String, valueCol: String): DataFrame = {
+    def roll(df: DataFrame, n: String, v: String) =
+      df.groupBy(col(key)).agg(count(lit(1)).as(n),
+        sum(col(valueCol)).cast("long").as(v))
+    roll(existing, "n_e", "v_e")
+      .join(roll(delta, "n_d", "v_d"), Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("n_e"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("v_e"), lit(0L)) + coalesce(col("v_d"), lit(0L)))
+          .as("total_chars"))
+      .orderBy(col(key).asc)
+  }
+
   /** Sketch tier of [[profile]]/[[groupPercentiles]]: HyperLogLog
     * distinct counts and t-digest percentiles next to their exact
     * twins. THIS is what d1/e2 become at 100 TB — fixed-size mergeable
