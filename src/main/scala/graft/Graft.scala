@@ -138,6 +138,28 @@ final class Graft(spark: SparkSession, tableDir: String) {
         concat_ws(" ", col("title"), col("description"))),
       "record_id", "__content", minJaccard)
 
+  /** Near-dup pairs resolved to canonical clusters: every record in a
+    * duplicate cluster labeled with the cluster's minimum record_id —
+    * keep rows where doc equals cluster id, drop the rest.
+    */
+  def duplicateClusters(minJaccard: Double = 0.8): DataFrame =
+    operators.DedupOps.dupClusters(nearDuplicates(minJaccard))
+
+  /** Decontaminate the catalog against a benchmark frame
+    * (`idCol`, `textCol`): catalog records sharing at least
+    * `minShared` word trigrams with a benchmark doc, via the banded
+    * scale path ([[operators.DedupOps.crossCorpusOverlapBanded]]).
+    */
+  def decontaminate(benchmark: DataFrame, idCol: String,
+      textCol: String, minShared: Int = 3): DataFrame =
+    operators.DedupOps.crossCorpusOverlapBanded(
+      benchmark.select(col(idCol).cast("string").as("record_id"),
+        col(textCol).as("__content")),
+      records.withColumn("__content",
+        concat_ws(" ", col("title"), col("description")))
+        .select(col("record_id"), col("__content")),
+      "record_id", "__content", minShared)
+
   /** One-row profile of the records table (row/distinct/null counts,
     * size min/max, ingest time span) — the snapshot "describe" a
     * pipeline stores next to every export.

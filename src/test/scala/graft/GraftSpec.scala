@@ -102,6 +102,22 @@ class GraftSpec extends SparkSpec {
     val ftsIdx = g.searchFts(Seq("bike"), 5).collect()
     assert(ftsIdx.length == 1 && ftsIdx.head.getString(0) == "bb-2")
 
+    // no dup clusters in a dup-free catalog — empty, not an error
+    assert(g.duplicateClusters().count() == 0)
+
+    // decontamination: a benchmark doc duplicating bb-2's text is
+    // flagged against the catalog; an unrelated one is not
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "Bike Counts about Bike Counts"),
+      (2L, "totally unrelated benchmark prompt here"))
+      .toDF("bench_id", "text")
+    val contaminated = g.decontaminate(bench, "bench_id", "text")
+      .collect()
+    assert(contaminated.length == 1)
+    assert(contaminated.head.getString(0) == "1")
+    assert(contaminated.head.getString(1) == "bb-2")
+
     // analytics surface: profile / deterministic sample / redaction
     val prof = g.profile().head
     assert(prof.getAs[Long]("n_rows") == 2L)
