@@ -131,22 +131,30 @@ object SparkEntry {
     "n4_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashPairs(Tables.documents(s, dir),
         "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)),
+    // Both decontamination tiers split ONE cached shingle relation
+    // instead of exploding+hashing the text once per side.
     "c2_decontamination" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      DedupOps.crossCorpusOverlap(
-        docs.filter(col("doc_id") % 97 === 0),
-        docs.filter(col("doc_id") % 97 =!= 0),
-        "doc_id", "text", minShared = 3, maxDf = ShingleMaxDf)
+      val hx = DedupOps.hashedShingles(Tables.documents(s, dir),
+        "doc_id", "text").cache()
+      DedupOps.crossCorpusOverlapHashed(
+        hx.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_id"), col("x")),
+        hx.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id").as("corpus_id"), col("x")),
+        minShared = 3, maxDf = ShingleMaxDf)
     }),
     // c3 splits on %7 (not c2's %97) so planted near-dup pairs
     // straddle the bench/corpus boundary at every SF — the banded tier
     // exists to catch exactly those.
     "c3_decontamination_lsh" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      DedupOps.crossCorpusOverlapBanded(
-        docs.filter(col("doc_id") % 7 === 0),
-        docs.filter(col("doc_id") % 7 =!= 0),
-        "doc_id", "text", minShared = 3, maxDf = ShingleMaxDf)
+      val hx = DedupOps.hashedShingles(Tables.documents(s, dir),
+        "doc_id", "text").cache()
+      DedupOps.crossCorpusOverlapBandedHashed(
+        hx.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("bench_id"), col("x")),
+        hx.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id").as("corpus_id"), col("x")),
+        minShared = 3, maxDf = ShingleMaxDf)
     }),
 
     // ---- north-star: text analysis ----

@@ -303,15 +303,25 @@ object DedupOps {
     */
   def crossCorpusOverlap(benchmark: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, minShared: Int, n: Int = 3,
-      maxDf: Int = Int.MaxValue): DataFrame = {
-    val sa = hashedShingles(benchmark, idCol, textCol, n)
-      .select(col(idCol).as("bench_id"), col("x"))
+      maxDf: Int = Int.MaxValue): DataFrame =
+    crossCorpusOverlapHashed(
+      hashedShingles(benchmark, idCol, textCol, n)
+        .select(col(idCol).as("bench_id"), col("x")),
+      hashedShingles(corpus, idCol, textCol, n)
+        .select(col(idCol).as("corpus_id"), col("x")),
+      minShared, maxDf)
+
+  /** [[crossCorpusOverlap]] over pre-hashed (bench_id|corpus_id, x)
+    * shingle relations — lets callers whose benchmark and corpus come
+    * from the SAME table share one cached shingle pass instead of
+    * exploding and hashing the text twice.
+    */
+  def crossCorpusOverlapHashed(sa: DataFrame, sb0: DataFrame,
+      minShared: Int, maxDf: Int = Int.MaxValue): DataFrame = {
     // The df cap is a CORPUS property (boilerplate lives in the big
     // side); capping the corpus side alone bounds the join, since the
     // join is inner on x.
-    val sb = capShingleDf(
-      hashedShingles(corpus, idCol, textCol, n)
-        .select(col(idCol).as("corpus_id"), col("x")), maxDf)
+    val sb = capShingleDf(sb0, maxDf)
     sa.join(sb, Seq("x"))
       .groupBy(col("bench_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared"))
@@ -332,12 +342,21 @@ object DedupOps {
     */
   def crossCorpusOverlapBanded(benchmark: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, minShared: Int, n: Int = 3,
-      maxDf: Int = Int.MaxValue): DataFrame = {
-    val sa = hashedShingles(benchmark, idCol, textCol, n)
-      .select(col(idCol).as("bench_id"), col("x")).cache()
-    val sb = capShingleDf(
+      maxDf: Int = Int.MaxValue): DataFrame =
+    crossCorpusOverlapBandedHashed(
+      hashedShingles(benchmark, idCol, textCol, n)
+        .select(col(idCol).as("bench_id"), col("x")),
       hashedShingles(corpus, idCol, textCol, n)
-        .select(col(idCol).as("corpus_id"), col("x")), maxDf).cache()
+        .select(col(idCol).as("corpus_id"), col("x")),
+      minShared, maxDf)
+
+  /** [[crossCorpusOverlapBanded]] over pre-hashed shingle relations —
+    * same sharing rationale as [[crossCorpusOverlapHashed]].
+    */
+  def crossCorpusOverlapBandedHashed(sa0: DataFrame, sb0: DataFrame,
+      minShared: Int, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sa = sa0.cache()
+    val sb = capShingleDf(sb0, maxDf).cache()
     val bandsA = bandRelation(minhashSignatures(sa, "bench_id"),
       "bench_id")
     val bandsB = bandRelation(minhashSignatures(sb, "corpus_id"),
