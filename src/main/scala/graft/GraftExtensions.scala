@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ContentKey, DotProduct, RollingTokenHash,
-  SimHash64, TextQuality, WordShingles}
+  SimHash64, TextQuality, TokenMode, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
@@ -49,6 +49,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           "graft_simhash takes exactly 1 argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_mode"),
+      new ExpressionInfo(classOf[TokenMode].getName,
+        "graft_token_mode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_token_mode takes exactly 1 argument")
+        TokenMode(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_content_key"),

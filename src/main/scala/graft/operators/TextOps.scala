@@ -96,11 +96,35 @@ object TextOps {
     */
   def repetitionScore(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val w = tokens(col(textCol))
     // distinct trigrams via the single-pass graft_shingles expression;
-    // total trigrams is just size−2 — no per-row gram array at all.
-    // (A nested transform/filter HOF formulation of top_token_ratio
-    // measured 37× slower: CodegenFallback × O(distinct·n) per row.)
+    // total trigrams is just n_tok−2; modal-token share via the
+    // single-pass graft_token_mode — NO explode, NO shuffle before
+    // the top-k. (A nested transform/filter HOF formulation measured
+    // 37× slower; the explode + two-level-aggregate + join-back
+    // formulation — kept below as the differential reference — paid
+    // two token shuffles for a per-row scalar.)
+    val mode = call_function("graft_token_mode", col(textCol))
+    val distinctGrams =
+      size(call_function("graft_shingles", col(textCol), lit(3)))
+    df.select(col(idCol), mode.as("__m"), distinctGrams.as("__dg"))
+      .select(col(idCol), col("__m.n_tok").as("n_tok"),
+        round(when(col("__m.n_tok") - 2 > 0,
+          lit(1.0) -
+            col("__dg").cast("double") / (col("__m.n_tok") - 2))
+          .otherwise(lit(0.0)), 6).as("trigram_dup_ratio"),
+        round(col("__m.max_cnt").cast("double") / col("__m.n_tok"), 6)
+          .as("top_token_ratio"))
+      .orderBy(col("trigram_dup_ratio").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Distributed-aggregate formulation of [[repetitionScore]] (explode
+    * → per-token counts → per-doc max/sum → join back) — the
+    * differential reference for graft_token_mode.
+    */
+  def repetitionScoreAgg(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val w = tokens(col(textCol))
     val total = size(w) - 2
     val distinctGrams =
       size(call_function("graft_shingles", col(textCol), lit(3)))
@@ -109,8 +133,6 @@ object TextOps {
       .otherwise(lit(0.0))
     val perDoc = df.select(col(idCol), size(w).as("n_tok"),
       round(dupRatio, 6).as("trigram_dup_ratio"))
-    // token mode as a distributed two-level aggregate (codegen'd),
-    // not a per-row nested loop
     val top = df.select(col(idCol), explode(w).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))

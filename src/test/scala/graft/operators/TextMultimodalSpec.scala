@@ -174,6 +174,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows(3L)._1 == 0.0, "docs shorter than a trigram score 0")
   }
 
+  test("graft_token_mode repetitionScore equals the aggregate twin") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val fast = TextOps.repetitionScore(docs, "doc_id", "text", 1000)
+      .collect().map(_.toString).toSeq
+    val ref = TextOps.repetitionScoreAgg(docs, "doc_id", "text", 1000)
+      .collect().map(_.toString).toSeq
+    assert(fast == ref)
+  }
+
   test("crossCorpusOverlap flags a benchmark doc duplicated in the corpus") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
