@@ -88,6 +88,19 @@ final class Graft(spark: SparkSession, tableDir: String) {
     "license_distribution" ->
       ReferenceOps.licenseDistribution(records, "license_info"))
 
+  /** [[analytics]] served from a parquet materialization under
+    * `$tableDir/mv/` — rebuilt only when the records table has changed
+    * since the last build ([[Mv.readFresh]]); an unchanged catalog
+    * costs one file-listing, not a re-scan. The reference recomputes
+    * every analytics block per CLI call (ethical_crawler.py:1274).
+    */
+  def analyticsMaterialized(name: String): DataFrame = {
+    require(analytics().contains(name), s"unknown analytics view: $name")
+    Mv.readFresh(spark,
+      Mv.View(s"$tableDir/mv/$name", Seq(pipeline.recordsPath)),
+      _ => analytics()(name))
+  }
+
   /** `status` — two-key stats rolled up per source joined with the
     * latest compliance check (ethical_crawler.py:1416–1529).
     */

@@ -414,6 +414,41 @@ object SparkEntry {
       MultimodalOps.frameStats(
         MultimodalOps.sampleFrames(assets, stride = 100))
     }),
+
+    // ---- round-4 additions: stateful sessions, Q2 shape, RANGE frame ----
+    // st3 runs the CUSTOM-STATE operator (flatMapGroupsWithState —
+    // the same function streams with event-time timeouts); the oracle
+    // is the classic gaps-and-islands SQL, so the stateful op is held
+    // to a full hash-match, not just ScalaTest properties.
+    "st3_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val events = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.StreamingOps.Event]
+      graft.streaming.StreamingOps
+        .sessionize(events, gapMillis = 30 * 60 * 1000, emitOpen = true)
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 6).as("total_value"))
+        .orderBy(col("user_id").asc, col("session_start").asc)
+    }),
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      StarSchemaOps.minCostSuppliers(s, dir)),
+    // w4: time-based RANGE frame (trailing 1 hour per user) — the one
+    // frame type w1–w3 don't cover; ordered on integral epoch seconds
+    // so the frame bound is engine-exact.
+    "w4_time_range_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(avg(col("value")).over(w), 6).as("avg_1h"))
+        .orderBy(col("event_id").asc)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1189,5 +1224,58 @@ object SparkEntry {
         |  sum(len(regexp_extract_all(text, '[p-\x7F]')))::BIGINT
         |    AS bin_alpha_hi
         |FROM a GROUP BY kind ORDER BY kind ASC""".stripMargin,
+    // Gaps-and-islands twin of the flatMapGroupsWithState operator:
+    // a session breaks where the gap to the previous event exceeds 30
+    // minutes; island id = running count of breaks.
+    "st3_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN ts - lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id)
+        |        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id ASC, session_start ASC""".stripMargin,
+    // The correlated Q2 form — the Spark side decorrelates it into a
+    // window min; the hash-match proves the rewrite.
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'ASIA')
+        |SELECT p.p_partkey, p.p_name, rs.s_name, rs.n_name,
+        |  round(rs.s_acctbal, 6) AS s_acctbal, round(ps.cost, 6) AS cost
+        |FROM part p, ps, rs
+        |WHERE p.p_partkey = ps.l_partkey AND ps.l_suppkey = rs.s_suppkey
+        |  AND p.p_type = 'STANDARD'
+        |  AND ps.cost = (SELECT min(ps2.cost) FROM ps ps2, rs rs2
+        |                 WHERE ps2.l_partkey = p.p_partkey
+        |                   AND ps2.l_suppkey = rs2.s_suppkey)
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC,
+        |  p_partkey ASC""".stripMargin,
+    // floor() guards against epoch() returning fractional seconds —
+    // either way both engines frame on the same integral second.
+    "w4_time_range_avg" ->
+      """SELECT event_id, user_id, ts, count(*) OVER w AS n_1h,
+        |  round(avg(value) OVER w, 6) AS avg_1h
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id ASC""".stripMargin,
   )
 }

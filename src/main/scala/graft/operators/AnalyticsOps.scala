@@ -207,19 +207,36 @@ object AnalyticsOps {
     * is the stored rollup table, not a re-aggregation.
     */
   def incrementalRollup(existing: DataFrame, delta: DataFrame,
-      key: String, valueCol: String): DataFrame = {
-    def roll(df: DataFrame, n: String, v: String) =
-      df.groupBy(col(key)).agg(count(lit(1)).as(n),
-        sum(col(valueCol)).cast("long").as(v))
-    roll(existing, "n_e", "v_e")
-      .join(roll(delta, "n_d", "v_d"), Seq(key), "full_outer")
+      key: String, valueCol: String): DataFrame =
+    mergeRollups(rollup(existing, key, valueCol),
+      rollup(delta, key, valueCol), key)
+
+  /** The (key, n_docs, total_chars) partial aggregate both
+    * [[incrementalRollup]] sides reduce to. Count and long-sum are the
+    * canonical mergeable state: rollup(x ∪ y) ≡
+    * mergeRollups(rollup(x), rollup(y)).
+    */
+  def rollup(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n_docs"),
+      sum(col(valueCol)).cast("long").as("total_chars"))
+
+  /** Merge two ALREADY-AGGREGATED rollups in the [[rollup]] shape —
+    * the stored-materialization path: at refresh time the existing
+    * side is the persisted view (O(|keys|)), never a re-scan of
+    * history. FULL OUTER on the key so keys private to either side
+    * survive.
+    */
+  def mergeRollups(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.select(col(key), col("n_docs").as("n_e"),
+        col("total_chars").as("v_e"))
+      .join(b.select(col(key), col("n_docs").as("n_d"),
+        col("total_chars").as("v_d")), Seq(key), "full_outer")
       .select(col(key),
         (coalesce(col("n_e"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
           .as("n_docs"),
         (coalesce(col("v_e"), lit(0L)) + coalesce(col("v_d"), lit(0L)))
           .as("total_chars"))
       .orderBy(col(key).asc)
-  }
 
   /** Sketch tier of [[profile]]/[[groupPercentiles]]: HyperLogLog
     * distinct counts and t-digest percentiles next to their exact

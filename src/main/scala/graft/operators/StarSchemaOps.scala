@@ -586,6 +586,58 @@ object StarSchemaOps {
       .orderBy(col("s_name").asc)
   }
 
+  /** TPC-H Q2-shaped minimum-cost supplier: for every part of one type,
+    * the regional supplier(s) offering it at the lowest observed unit
+    * price. The catalog has no partsupp table, so the (part, supplier)
+    * offer book is derived from lineitem — min(extendedprice/quantity)
+    * per pair — which is itself the realistic 100 TB shape (price facts
+    * live in the fact table).
+    *
+    * Q2's correlated `cost = (SELECT min(cost) ...)` subquery is
+    * DECORRELATED into one window min over the regional offer book —
+    * a single shuffle on p_partkey instead of a per-row re-aggregation
+    * (the oracle SQL keeps the correlated form; DuckDB's optimizer does
+    * the same rewrite, and the hash-match proves the two equivalent).
+    * Dims (region, nation, filtered part, supplier) broadcast; the only
+    * data-proportional shuffles are the offer-book aggregation keyed on
+    * (partkey, suppkey) and the window partition on partkey.
+    */
+  def minCostSuppliers(spark: SparkSession, sfDir: String,
+      regionName: String = "ASIA", partType: String = "STANDARD")
+      : DataFrame = {
+    val region = Tables.region(spark, sfDir)
+      .filter(col("r_name") === regionName).select("r_regionkey")
+    val nation = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_regionkey", "n_name")
+    val supp = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val regionalSupp = supp
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_type") === partType).select("p_partkey", "p_name")
+    val offers = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    // supplier and part scale linearly (unlike nation/region) — no
+    // broadcast hints: AQE broadcasts them while they fit and degrades
+    // to shuffled joins at scale (ScaleShapeSpec holds q2 to that).
+    val regional = offers
+      .join(regionalSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy(col("p_partkey"))
+    regional
+      .withColumn("min_cost", min(col("cost")).over(w))
+      .filter(col("cost") === col("min_cost"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("n_name"), round(col("s_acctbal"), 6).as("s_acctbal"),
+        round(col("cost"), 6).as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc,
+        col("s_name").asc, col("p_partkey").asc)
+  }
+
   /** Order-priority histogram with an EXISTS-shaped semi join
     * (lineitem committed late). Left-semi keeps only order columns
     * flowing; no row multiplication.

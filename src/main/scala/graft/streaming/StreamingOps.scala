@@ -75,6 +75,10 @@ object StreamingOps {
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** `start`/`last` are epoch MICROseconds: `Timestamp.getTime` is
+    * millis and truncating to it shifts micro-precision session bounds
+    * (caught by the st3 oracle — parquet event times carry micros).
+    */
   final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
 
@@ -102,8 +106,21 @@ object StreamingOps {
       emitOpen: Boolean): Dataset[UserSession] = {
     import events.sparkSession.implicits._
 
+    val gapMicros = gapMillis * 1000L
+
+    // Local defs (not object members): the fold closure ships to
+    // executors and must not drag the enclosing object into it.
+    def epochMicros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    def microsToTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+
     def emit(userId: Long, s: SessionState): UserSession =
-      UserSession(userId, new Timestamp(s.start), new Timestamp(s.last),
+      UserSession(userId, microsToTs(s.start), microsToTs(s.last),
         s.n, s.total)
 
     def fold(userId: Long, it: Iterator[Event],
@@ -115,13 +132,13 @@ object StreamingOps {
         state.remove()
         return Iterator(emit(userId, s))
       }
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = it.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
       var cur = state.getOption
       val closed = Seq.newBuilder[UserSession]
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = epochMicros(e.ts)
         cur match {
-          case Some(s) if t - s.last <= gapMillis =>
+          case Some(s) if t - s.last <= gapMicros =>
             cur = Some(s.copy(last = t, n = s.n + 1,
               total = s.total + e.value))
           case Some(s) =>
@@ -137,7 +154,9 @@ object StreamingOps {
           closed += emit(userId, s)
         case Some(s) =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMillis)
+          // timeout API is millis; round UP so the timeout never fires
+          // a fraction of a millisecond before last+gap
+          state.setTimeoutTimestamp((s.last + gapMicros + 999L) / 1000L)
         case None => ()
       }
       closed.result().iterator
@@ -188,6 +207,38 @@ object StreamingOps {
         col("purchase_ts") <=
           col("click_ts") + expr(s"INTERVAL $windowHours HOURS"))
       .drop("p_user_id")
+  }
+
+  /** Production ingestion sink: every micro-batch is dedup-appended
+    * into a parquet catalog table via `foreachBatch` — the streaming
+    * twin of the batch pipeline's K5 first-write-wins append. Each
+    * batch keeps only keys not already in the table (and the first row
+    * per key within the batch, by `batchOrder`), so replaying a batch
+    * after a failure appends nothing: the sink is idempotent per key,
+    * which upgrades the file source's at-least-once delivery to
+    * exactly-once-per-key in the table. State lives in the TABLE, not
+    * the state store — the anti-join probe is a shuffle of batch-size
+    * vs table-key-size per trigger (at 100 TB: partition the table on
+    * the key and prune, or keep a key index; the semantics stay).
+    */
+  def dedupAppendSink(stream: DataFrame, spark: SparkSession,
+      path: String, keys: Seq[String], batchOrder: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          if (graft.Catalog.tableExists(spark, path))
+            graft.Catalog.load(spark, path)
+          else batch.limit(0)
+        graft.Catalog.append(
+          graft.operators.ReferenceOps.newRowsOnly(
+            existing, batch, keys, batchOrder),
+          path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Run a streaming aggregation to completion against a memory sink

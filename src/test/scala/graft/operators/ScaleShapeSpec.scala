@@ -36,7 +36,8 @@ class ScaleShapeSpec extends SparkSpec {
     val s2 = noBroadcastSession()
     val queries = Seq("q3_top_revenue_orders", "q5_region_revenue",
       "q10_returned_revenue", "q18_large_orders", "k5_dedup_append",
-      "q13_order_distribution", "q21_waiting_suppliers")
+      "q13_order_distribution", "q21_waiting_suppliers",
+      "q2_min_cost_supplier")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),

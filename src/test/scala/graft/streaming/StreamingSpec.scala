@@ -299,6 +299,38 @@ class StreamingSpec extends SparkSpec {
       s"missing=${(want -- got).size} extra=${(got -- want).size}")
   }
 
+  test("foreachBatch dedup-append sink: exactly-once-per-key, idempotent") {
+    import spark.implicits._
+    val dir = tmpDir("fbsink")
+    // key 7 appears in both micro-batches; the second-batch copy must
+    // be dropped against the table written by the first
+    val mk = (rows: Seq[(Long, Long)]) => rows.map { case (k, ord) =>
+      (k, ord, s"payload_${k}_$ord")
+    }.toDF("key", "batch_order", "payload")
+    mk(Seq((1L, 1L), (2L, 1L), (7L, 1L), (7L, 2L)))
+      .coalesce(1).write.parquet(dir + "/staged/b0")
+    mk(Seq((7L, 3L), (3L, 1L))).coalesce(1).write.parquet(dir + "/staged/b1")
+    val schema = spark.read.parquet(dir + "/staged/b0").schema
+    def run(cp: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir + "/staged/*")
+      StreamingOps.dedupAppendSink(stream, spark, dir + "/table",
+        keys = Seq("key"), batchOrder = "batch_order", cp)
+    }
+    run(dir + "/cp0")
+    val got = spark.read.parquet(dir + "/table")
+      .select("key", "batch_order").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L),
+      s"first write per key must win, got $got")
+    // replay from scratch (fresh checkpoint = every batch reprocessed):
+    // the table must not grow — the sink is idempotent
+    run(dir + "/cp1")
+    assert(spark.read.parquet(dir + "/table").count() == 4)
+  }
+
   test("tumblingCounts on a batch frame degrades to a plain windowed agg") {
     val ev = Tables.events(spark, sfSmoke)
     val agg = StreamingOps.tumblingCounts(ev, "ts", "1 hour", "10 minutes")
