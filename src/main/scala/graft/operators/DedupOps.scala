@@ -152,6 +152,23 @@ object DedupOps {
       .filter(col("__df") <= maxDf)
       .drop("__df")
 
+  /** Blacklist form of [[capShingleDf]] for consumers whose downstream
+    * operators shuffle on the DOCUMENT id, never on `x` (minhashPairs'
+    * signature aggregation groups by doc): there the window form's
+    * x-exchange (+ per-partition sort) is never reused, so it is pure
+    * overhead. Hot shingles are by definition FEW, so the over-limit
+    * set is computed with a map-side-combined groupBy (shuffles only
+    * (x, partial-count), not the full relation) and removed via a
+    * broadcast anti-join — the main relation never exchanges at all.
+    * Identical semantics, same oracle SQL ([[capSql]]).
+    */
+  def capShingleDfBlacklist(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else sh.join(
+      broadcast(sh.groupBy(col("x")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf).select(col("x"))),
+      Seq("x"), "left_anti")
+
   /** SQL mirror of [[capShingleDf]]: rewrites the shingle CTE `src`
     * (columns `keyCol, x`) to its df-capped subset.
     */
@@ -268,9 +285,11 @@ object DedupOps {
       : DataFrame = {
     // Same df-capped universe as [[jaccardPairs]] (signatures, sizes
     // and verification all see the capped set), so the two tiers stay
-    // mutually consistent under the same maxDf.
-    val sh = capShingleDf(hashedShingles(df, idCol, textCol, n), maxDf)
-      .cache()
+    // mutually consistent under the same maxDf. Unlike n3, nothing
+    // downstream here shuffles on `x`, so the cap is applied via the
+    // broadcast blacklist (no exchange of the main relation).
+    val raw = hashedShingles(df, idCol, textCol, n).cache()
+    val sh = capShingleDfBlacklist(raw, maxDf)
     val sigs = minhashSignatures(sh, idCol)
     val bands = bandRelation(sigs, idCol)
     val cand = bands.as("x").join(bands.as("y"),
