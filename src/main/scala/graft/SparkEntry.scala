@@ -1247,15 +1247,19 @@ object SparkEntry {
     // The correlated Q2 form — the Spark side decorrelates it into a
     // window min; the hash-match proves the rewrite.
     "q2_min_cost_supplier" ->
-      """WITH ps AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    min(l_extendedprice / l_quantity) AS cost
-        |  FROM lineitem GROUP BY 1, 2),
-        |rs AS (
+      """WITH rs AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name
         |  FROM supplier, nation, region
         |  WHERE s_nationkey = n_nationkey
-        |    AND n_regionkey = r_regionkey AND r_name = 'ASIA')
+        |    AND n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'STANDARD')
+        |    AND l_suppkey IN (SELECT s_suppkey FROM rs)
+        |  GROUP BY 1, 2)
         |SELECT p.p_partkey, p.p_name, rs.s_name, rs.n_name,
         |  round(rs.s_acctbal, 6) AS s_acctbal, round(ps.cost, 6) AS cost
         |FROM part p, ps, rs

@@ -10,6 +10,14 @@ object TimeQuery {
     val names = args(1).split(",").toSeq
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
     val spark = Sessions.local(Sessions.envCores)
+    // Same fixed-work load probe as Bench: quiet machine ≈ 0.10–0.15 s.
+    val calib = (1 to 3).map { _ =>
+      val c0 = System.nanoTime()
+      spark.range(4000000L).selectExpr("sum(id) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - c0) / 1e9
+    }.min
+    println(f"[time] calib=$calib%.3f")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val times = (1 to reps).map { _ =>
