@@ -73,6 +73,42 @@ final class Graft(spark: SparkSession, tableDir: String) {
         concat_ws(" ", col("title"), col("description")).as("text")),
       "record_id", "text", terms, limit)
 
+  /** idf-weighted full-text search (tf·ln(N/df), OR semantics): the
+    * ranked variant of [[searchFts]] — a term present in most records
+    * carries idf ≈ 0, so rare-term matches outrank stop-token piles.
+    * Reads the persisted index when one exists; the corpus count rides
+    * in as a one-row relation.
+    */
+  def searchFtsRanked(terms: Seq[String], limit: Int = 10): DataFrame = {
+    val nDocs = records.agg(count(lit(1)).as("n_docs"))
+    if (spark.catalog.tableExists(ftsTable))
+      FtsOps.searchRankedIndexed(spark, ftsTable, nDocs, "record_id",
+        terms, limit)
+    else FtsOps.searchRankedDocs(
+      records.select(col("record_id"),
+        concat_ws(" ", col("title"), col("description")).as("text")),
+      "record_id", "text", terms, limit)
+  }
+
+  /** Continuous `collect` — the reference's dedup-append verb
+    * (ethical_crawler.py:1157–1203) running as a stream: tail a
+    * landing directory of DataRecord parquet drops and dedup-append
+    * each micro-batch into the records table
+    * ([[streaming.StreamingOps.dedupAppendSink]]). First write per
+    * (source_name, record_id) wins — within a batch by `ingested_at`
+    * — and a replayed batch appends nothing, so at-least-once file
+    * delivery becomes exactly-once-per-key in the table.
+    */
+  def collectStream(landingDir: String, checkpointDir: String): Unit = {
+    val schema =
+      org.apache.spark.sql.Encoders.product[DataRecord].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landingDir)
+    streaming.StreamingOps.dedupAppendSink(stream, spark,
+      pipeline.recordsPath, keys = Seq("source_name", "record_id"),
+      batchOrder = "ingested_at", checkpointDir)
+  }
+
   /** `analytics` — per-source stats, type counts, and the three
     * reference-stubbed analytics (tags/temporal/license)
     * (ethical_crawler.py:1274–1349).

@@ -211,6 +211,12 @@ object SparkEntry {
     "l2_fts_search" -> ((s, dir) =>
       FtsOps.searchDocs(Tables.documents(s, dir), "doc_id", "text",
         terms = Seq("spark", "window"), k = 50)),
+    // idf ranking: 'batch' appears in ~80% of docs (idf ≈ 0.22) while
+    // 'dup' is rare (idf ≈ 3.0) — the ranked result puts rare-term
+    // docs first where raw-tf ranking would reward stop-token piles.
+    "l6_fts_ranked" -> ((s, dir) =>
+      FtsOps.searchRankedDocs(Tables.documents(s, dir), "doc_id",
+        "text", terms = Seq("batch", "dup"), k = 50)),
 
     // ---- remaining §2 aggregate/sort shapes ----
     "a5_filtered_agg" -> ((s, dir) =>
@@ -432,6 +438,13 @@ object SparkEntry {
           col("n_events"), round(col("total_value"), 6).as("total_value"))
         .orderBy(col("user_id").asc, col("session_start").asc)
     }),
+    // st4 is the NATIVE session_window aggregate over the same events
+    // and gap — held to the same gaps-and-islands oracle as st3, so
+    // both the custom-state and the built-in session operators carry a
+    // full hash-match.
+    "st4_native_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sessionWindowAgg(
+        Tables.events(s, dir), "ts", "30 minutes")),
     "q2_min_cost_supplier" -> ((s, dir) =>
       StarSchemaOps.minCostSuppliers(s, dir)),
     // w4: time-based RANGE frame (trailing 1 hour per user) — the one
@@ -450,6 +463,28 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
   )
+
+  /** Shared by st3 (custom-state sessionize) and st4 (native
+    * session_window): both operators must reproduce the same
+    * gaps-and-islands result.
+    */
+  private val SessionsOracleSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN ts - lag(ts) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id)
+      |        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 6) AS total_value
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id ASC, session_start ASC""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // n6_ann_lsh_topk and e3_sketch_profile intentionally omitted:
@@ -773,6 +808,9 @@ object SparkEntry {
     "l2_fts_search" ->
       operators.FtsOps.searchDocsSql("documents", "doc_id", "text",
         Seq("spark", "window"), 50),
+    "l6_fts_ranked" ->
+      operators.FtsOps.searchRankedDocsSql("documents", "doc_id",
+        "text", Seq("batch", "dup"), 50),
     "a5_filtered_agg" ->
       """SELECT source, count(*) AS n_docs,
         |  round(avg(n_chars), 6) AS avg_chars
@@ -1226,24 +1264,11 @@ object SparkEntry {
         |FROM a GROUP BY kind ORDER BY kind ASC""".stripMargin,
     // Gaps-and-islands twin of the flatMapGroupsWithState operator:
     // a session breaks where the gap to the previous event exceeds 30
-    // minutes; island id = running count of breaks.
-    "st3_sessions" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN ts - lag(ts) OVER
-        |        (PARTITION BY user_id ORDER BY ts, event_id)
-        |        > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |numbered AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_id
-        |  FROM flagged)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, round(sum(value), 6) AS total_value
-        |FROM numbered GROUP BY user_id, session_id
-        |ORDER BY user_id ASC, session_start ASC""".stripMargin,
+    // minutes; island id = running count of breaks. st4 (the native
+    // session_window form of the same sessionization) is held to the
+    // identical oracle.
+    "st3_sessions" -> SessionsOracleSql,
+    "st4_native_sessions" -> SessionsOracleSql,
     // The correlated Q2 form — the Spark side decorrelates it into a
     // window min; the hash-match proves the rewrite.
     "q2_min_cost_supplier" ->

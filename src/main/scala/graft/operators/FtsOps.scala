@@ -62,6 +62,49 @@ object FtsOps {
       terms: Seq[String], k: Int): DataFrame =
     search(buildIndex(docs, idCol, textCol), idCol, terms, k)
 
+  /** OR-semantics tf·idf ranked search: documents containing ANY of
+    * `terms`, scored `Σ_t tf(t,d) · ln(N / df(t))` — the fix for the
+    * stop-token problem in [[search]]'s raw-frequency ranking (a term
+    * appearing in every document carries idf ≈ 0, so a rare-term match
+    * outranks any pile of stop-token hits). Everything derives from
+    * the same index: the postings are bucket-pruned by the IN-list,
+    * df(t) is a per-term count over those postings (broadcast back),
+    * and `nDocs` is a one-row corpus count (at 100 TB a stored corpus
+    * stat; here a metadata-cheap count over the documents table).
+    * Deterministic total order (score desc, id asc), 6 dp.
+    */
+  def searchRanked(index: DataFrame, nDocs: DataFrame, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "at least one search term")
+    val normTerms = terms.map(_.toLowerCase).distinct
+    val postings = index.filter(col("token").isInCollection(normTerms))
+    val dfs = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    postings
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(col("tf") * log(col("n_docs").cast("double") / col("df"))),
+        6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[searchRanked]] building the index inline from the corpus. */
+  def searchRankedDocs(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame =
+    searchRanked(buildIndex(docs, idCol, textCol),
+      docs.agg(count(lit(1)).as("n_docs")), idCol, terms, k)
+
+  /** [[searchRanked]] over a persisted [[writeIndex]] table (the
+    * corpus count rides in as a one-row relation so the index itself
+    * never needs a full scan at query time).
+    */
+  def searchRankedIndexed(spark: SparkSession, tableName: String,
+      nDocs: DataFrame, idCol: String, terms: Seq[String], k: Int)
+      : DataFrame =
+    searchRanked(spark.table(tableName), nDocs, idCol, terms, k)
+
   /** Persist the inverted index AT REST, bucketed (and sorted) by
     * token: the corpus scan is paid once here; afterwards a term
     * lookup hash-routes to ⌈|terms|⌉ of `buckets` files instead of
@@ -102,6 +145,29 @@ object FtsOps {
        |FROM idx WHERE token IN ($inList)
        |GROUP BY $idCol
        |HAVING count(DISTINCT token) = ${normTerms.distinct.size}
+       |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
+  }
+
+  /** Oracle SQL twin of [[searchRankedDocs]] — same tokenization, same
+    * idf formula, same 6 dp rounding.
+    */
+  def searchRankedDocsSql(table: String, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): String = {
+    val normTerms = terms.map(_.toLowerCase).distinct
+    val inList = normTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH idx AS (
+       |  SELECT token, $idCol, count(*) AS tf FROM (
+       |    SELECT $idCol, unnest(string_split(lower($textCol), ' '))
+       |      AS token
+       |    FROM $table)
+       |  WHERE token <> '' GROUP BY token, $idCol),
+       |pl AS (SELECT * FROM idx WHERE token IN ($inList)),
+       |dfs AS (SELECT token, count(*) AS df FROM pl GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM $table)
+       |SELECT $idCol,
+       |  round(sum(tf * ln(n_docs::DOUBLE / df)), 6) AS score
+       |FROM pl JOIN dfs USING (token) CROSS JOIN n
+       |GROUP BY $idCol
        |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
 }

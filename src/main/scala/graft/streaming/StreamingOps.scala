@@ -167,6 +167,29 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Native `session_window` sessionization — the built-in counterpart
+    * of [[sessionize]] (same gap semantics: touching sessions merge).
+    * The aggregate is Spark's session-window hash agg: state per OPEN
+    * session only once watermarked, partial/final merge of overlapping
+    * windows — no custom state function, which makes this the
+    * preferred form when no per-session custom logic is needed. Works
+    * identically on batch frames (the oracle run); session_end is
+    * emitted as max(ts) so the row matches the gaps-and-islands oracle
+    * exactly (the window's own `end` is last + gap).
+    */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, gap: String)
+      : DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col(tsCol), gap))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id").asc, col("session_start").asc)
+
   /** Streaming dedup: drop events whose key was already seen, with
     * state bounded by the watermark (keys older than the delay are
     * evicted — the standard exactly-once-per-key ingestion guard for

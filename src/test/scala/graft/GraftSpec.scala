@@ -127,4 +127,40 @@ class GraftSpec extends SparkSpec {
     val red = g.redactionAudit().head
     assert(red.getAs[Long]("n_rows") == 2L)
   }
+
+  test("collectStream: continuous dedup-append collect, idempotent replays") {
+    import spark.implicits._
+    val dir = tmpDir("graftstream")
+    val g = new Graft(spark, dir + "/catalog")
+    def rec(id: String, title: String, atMillis: Long): DataRecord =
+      DataRecord("Streamed Source", id, title, Some(s"about $title"),
+        "dataset", s"https://example.org/$id", "{}", None,
+        Seq("stream"), None, new java.sql.Timestamp(atMillis),
+        None, Some(1L), Some("public"))
+    // two landing drops; rec "a" appears in both (and twice in the
+    // first — the EARLIER ingested_at copy must win within the batch)
+    Seq(rec("a", "First Title", 1000L), rec("a", "Later Copy", 2000L),
+        rec("b", "Second", 1500L))
+      .toDS.toDF.coalesce(1).write.parquet(dir + "/landing/b0")
+    Seq(rec("a", "Replayed Copy", 3000L), rec("c", "Third", 2500L))
+      .toDS.toDF.coalesce(1).write.parquet(dir + "/landing/b1")
+
+    g.collectStream(dir + "/landing/*", dir + "/cp0")
+    val got = g.records.select("record_id", "title").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "First Title", "b" -> "Second",
+      "c" -> "Third"), s"first write per key must win, got $got")
+
+    // fresh checkpoint = every batch reprocessed; table must not grow
+    g.collectStream(dir + "/landing/*", dir + "/cp1")
+    assert(g.records.count() == 3)
+
+    // idf ranking over the streamed catalog: every title shares
+    // "title"? no — "about <title>" descriptions share "about", so
+    // querying a ubiquitous term + a rare one ranks the rare-term
+    // record first regardless of the common term's tf pile
+    val ranked = g.searchFtsRanked(Seq("about", "second"), 5).collect()
+    assert(ranked.nonEmpty && ranked.head.getString(0) == "b",
+      s"rare-term record must rank first, got ${ranked.toSeq}")
+  }
 }
