@@ -43,6 +43,45 @@ class FtsRenderSpec extends SparkSpec {
     assert(out == 1)
   }
 
+  test("ranked fts: idf downweights ubiquitous terms, OR semantics") {
+    // 'the' is in every doc (idf = ln(4/4) = 0): doc 1's pile of
+    // 'the's must lose to doc 2's single rare 'needle'
+    // (idf = ln(4/1) ≈ 1.386); zero-idf ties order by doc_id.
+    val df = Seq(
+      (1L, "the the the the the"),
+      (2L, "needle the word"),
+      (3L, "unrelated the text entirely"),
+      (4L, "the word again")).toDF("doc_id", "text")
+    val out = FtsOps.searchRankedDocs(df, "doc_id", "text",
+      Seq("needle", "the"), 10).as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 3L, 4L),
+      s"rare-term doc must rank first, got ${out.toSeq}")
+    assert(out.head._2 > 1.0)
+    assert(out.drop(1).forall(_._2 == 0.0),
+      s"ubiquitous-term-only docs must score 0, got ${out.toSeq}")
+    // ranked OR returns docs the AND search would drop
+    assert(FtsOps.searchDocs(df, "doc_id", "text",
+      Seq("needle", "the"), 10).count() == 1)
+  }
+
+  test("ranked fts: indexed path equals the index-free path") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val path = tmpDir("ftsrank") + "/idx"
+    spark.sql("DROP TABLE IF EXISTS fts_rank_test")
+    FtsOps.writeIndex(docs, "doc_id", "text", "fts_rank_test", path,
+      buckets = 32)
+    try {
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val fromIndex = FtsOps.searchRankedIndexed(spark,
+        "fts_rank_test", n, "doc_id", Seq("dup", "window"), 20)
+        .as[(Long, Double)].collect().toSeq
+      val direct = FtsOps.searchRankedDocs(docs, "doc_id", "text",
+        Seq("dup", "window"), 20).as[(Long, Double)].collect().toSeq
+      assert(fromIndex == direct)
+      assert(fromIndex.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS fts_rank_test")
+  }
+
   test("persisted index: term lookup prunes to the terms' buckets") {
     val docs = Tables.documents(spark, sfSmoke)
     val path = tmpDir("fts") + "/idx"

@@ -77,24 +77,24 @@ class StreamingSpec extends SparkSpec {
     assert(s2.session_start.getTime == 100000L)
   }
 
-  test("custom sessionize agrees with native session_window") {
+  test("custom sessionize agrees with native sessionWindowAgg") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, count, session_window}
+    import org.apache.spark.sql.functions.col
     val events = Tables.events(spark, sfSmoke)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[StreamingOps.Event]
     val custom = StreamingOps.sessionize(events,
         gapMillis = 30 * 60 * 1000, emitOpen = true)
-      .select(col("user_id"), col("session_start"), col("n_events"))
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
-        r.getLong(2))).toSet
-    val native = events.toDF
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(col("event_id")).as("n_events"))
-      .select(col("user_id"), col("session_window.start"),
+      .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
       .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
-        r.getLong(2))).toSet
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    val native = StreamingOps.sessionWindowAgg(events.toDF, "ts",
+        "30 minutes")
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
     assert(custom == native)
   }
 
