@@ -2,12 +2,21 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scale-trend probe: times corpusPrep (the c1 pipeline) over an
-  * in-flight N×-replicated documents table (doc_ids offset per copy so
-  * dedup behavior is preserved copy-by-copy). Together with the same
-  * replication in DuckDB (tools/duckdb_baseline-style one-off) this
-  * separates fixed job latency from data-proportional cost: a ratio
-  * that falls as N grows is latency-bound at sf0.1, not plan-bound.
+/** Scale-trend probe: times corpusPrep (the c1 pipeline) and
+  * minhashPairs (the n4 LSH dedup — the designated 100 TB path) over
+  * an in-flight N×-replicated documents table (doc_ids offset per
+  * copy so dedup behavior is preserved copy-by-copy). Together with
+  * the same replication in DuckDB (tools/duckdb_baseline-style
+  * one-off) this separates fixed job latency from data-proportional
+  * cost: a ratio that falls as N grows is latency-bound at sf0.1, not
+  * plan-bound; an n4 time growing ~linearly in N is direct evidence
+  * the banded-candidate design has no hidden quadratic term. For n4
+  * each replica's TOKENS are suffixed with the replica index —
+  * signatures are text-derived, so plain id-offset copies would be
+  * genuine cross-replica duplicates and the WORKLOAD itself (real
+  * near-dup pairs) would grow as N², measuring the corpus, not the
+  * operator. With disjoint shingle spaces the probe is N independent
+  * copies of the 1× dedup problem.
   * Usage: `runMain graft.ScaleTrend <sfDir> <factor> [reps]`
   */
 object ScaleTrend {
@@ -31,6 +40,22 @@ object ScaleTrend {
     }
     println(f"[scale] c1 x$factor min=${times.min}%.3f " +
       s"all=${times.map(t => f"$t%.3f").mkString(",")}")
+    val bigDisjoint = (0 until factor)
+      .map(k => docs
+        .withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1" + k.toString)))
+      .reduce(_ unionByName _)
+    val qn4 = () => operators.DedupOps.minhashPairs(bigDisjoint,
+      "doc_id", "text", minJaccard = 0.8,
+      maxDf = SparkEntry.ShingleMaxDf)
+    val n4Times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qn4().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] n4 x$factor min=${n4Times.min}%.3f " +
+      s"all=${n4Times.map(t => f"$t%.3f").mkString(",")}")
     spark.stop()
   }
 }
