@@ -109,6 +109,11 @@ object SparkEntry {
     "n8_ivf_topk" -> ((s, dir) =>
       SimilarityOps.ivfTopK(Tables.embeddings(s, dir), 0L, k = 10,
         stride = 50, nProbe = 3)),
+    // n10: the BATCH serving shape — one shared plan answers every
+    // query in the set (vec_id % 73 = 0), instead of one job per query.
+    "n10_ivf_batch" -> ((s, dir) =>
+      SimilarityOps.ivfTopKBatch(Tables.embeddings(s, dir),
+        queryMod = 73, k = 5, stride = 50, nProbe = 3)),
     "r1_salted_counts" -> ((s, dir) =>
       SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
 
@@ -589,6 +594,48 @@ object SparkEntry {
         |FROM n a JOIN members USING (vec_id), q
         |WHERE a.vec_id <> 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "n10_ivf_batch" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id % 50 = 0),
+        |assignment AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_dot_product(a.v, c.cv) /
+        |                       (a.nrm * c.cnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM n a CROSS JOIN cents c) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+        |  FROM n WHERE vec_id % 73 = 0),
+        |probed AS (
+        |  SELECT query_id, centroid_id FROM (
+        |    SELECT q.query_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_dot_product(c.cv, q.qv) /
+        |                       (c.cnrm * q.qnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM qs q CROSS JOIN cents c) WHERE rn <= 3),
+        |members AS (
+        |  SELECT query_id, vec_id
+        |  FROM assignment JOIN probed USING (centroid_id)),
+        |scored AS (
+        |  SELECT m.query_id, a.vec_id,
+        |    round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6)
+        |      AS score,
+        |    row_number() OVER (PARTITION BY m.query_id
+        |      ORDER BY round(list_dot_product(a.v, q.qv) /
+        |                     (a.nrm * q.qnrm), 6) DESC,
+        |               a.vec_id ASC) AS rn
+        |  FROM members m JOIN n a USING (vec_id)
+        |    JOIN qs q USING (query_id)
+        |  WHERE a.vec_id <> m.query_id)
+        |SELECT query_id, vec_id, score FROM scored WHERE rn <= 5
+        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
     "n2_exact_dedup" ->
       """WITH dup AS (
         |  SELECT doc_id, text, source FROM documents

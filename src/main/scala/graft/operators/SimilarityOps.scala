@@ -165,6 +165,58 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** BATCHED IVF search: top-k for EVERY query in the deterministic
+    * query set (`vec_id % queryMod = 0`) in ONE pass over the index —
+    * the serving shape at scale, where queries arrive in batches and
+    * per-query jobs would re-pay the centroid ranking and the cluster
+    * probe once per query instead of sharing one plan. Centroid
+    * ranking is a Q×C broadcast cross (both tiny); candidates come
+    * from the assignment equi-join on centroid_id (cost = Σ probed
+    * cluster sizes over queries, never Q×N); per-query top-k is one
+    * window over the candidate relation. Fully deterministic →
+    * oracle-expressible with the same arithmetic.
+    */
+  def ivfTopKBatch(embeddings: DataFrame, queryMod: Int, k: Int,
+      stride: Int, nProbe: Int): DataFrame = {
+    val assign = ivfAssign(embeddings, stride)
+    val qs = embeddings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    val cents = embeddings.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"),
+        toDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val probed = qs.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
+        round(cosinePrenormed(col("qv"), col("cv"), col("qnrm"),
+          col("cnrm")), 6).as("cscore"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "centroid_id")
+    val members = assign.join(probed, Seq("centroid_id"))
+      .select("query_id", "vec_id")
+    val vecs = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    members.join(vecs, Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosinePrenormed(col("v"), col("qv"), col("nrm"),
+          col("qnrm")), 6).as("score"))
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+  }
+
   /** Approximate nearest neighbours via random-hyperplane bucketing
     * (MLlib BucketedRandomProjectionLSH). Returns (vec_id, dist) for
     * the k nearest to `queryId` by euclidean distance among LSH

@@ -347,4 +347,21 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(byId(r.getLong(1)) == byId(r.getLong(2)))
     }
   }
+
+  test("ivfTopKBatch: each query's slice equals the single-query op") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val batch = SimilarityOps.ivfTopKBatch(emb, queryMod = 73, k = 5,
+      stride = 50, nProbe = 3).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+    assert(batch.nonEmpty)
+    batch.keys.foreach { qid =>
+      val single = SimilarityOps.ivfTopK(emb, qid, k = 5, stride = 50,
+        nProbe = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"batch slice for query $qid diverges from the per-query op")
+    }
+  }
 }
