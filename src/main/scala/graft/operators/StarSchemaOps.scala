@@ -557,13 +557,27 @@ object StarSchemaOps {
     // distinct-first pass would add a full extra shuffle and remove
     // almost nothing — countDistinct's own partial/final aggregate is
     // the single necessary exchange (measured: distinct-first is not
-    // faster at sf0.1).
+    // faster at sf0.1). The aggregate keys on a FIXED-WIDTH 64-bit
+    // hash of (brand, type) instead of the two strings — the fact-side
+    // rows shuffle and hash 8 bytes instead of ~20, and the strings
+    // are restored by a broadcast join against the ~|brands|·|types|
+    // dim AFTER the aggregate (measured 0.83 → 0.55 s at sf0.1; a
+    // 64-bit collision across ~150 group values is ~1e-15 and the
+    // oracle hash-match would surface one).
+    val groupCode =
+      xxhash64(concat_ws("|", col("p_brand"), col("p_type")))
+    val codedPart = part.select(col("p_partkey"),
+      groupCode.as("__code"))
+    val groupDim = part.select(groupCode.as("__code"),
+      col("p_brand"), col("p_type")).distinct()
     val li = Tables.lineitem(spark, sfDir)
       .select("l_partkey", "l_suppkey")
     li.join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(part, col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("p_type"))
+      .join(codedPart, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("__code"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .join(broadcast(groupDim), Seq("__code"))
+      .select(col("p_brand"), col("p_type"), col("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
         col("p_type").asc)
   }
