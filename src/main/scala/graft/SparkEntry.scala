@@ -3,6 +3,7 @@ package graft
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Sorting.ResultSortOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -204,7 +205,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-        .orderBy(col("event_type").asc)),
+        .resultSorted(col("event_type").asc)),
     "status_rollup" -> ((s, dir) =>
       ReferenceOps.statusRollup(Tables.documents(s, dir),
         "source", "lang", "doc_id")),
@@ -230,7 +231,7 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("n_chars")), 6).as("avg_chars"))
-        .orderBy(col("n_docs").desc, col("source").asc)),
+        .resultSorted(col("n_docs").desc, col("source").asc)),
     "a7_totals" -> ((s, dir) =>
       Tables.documents(s, dir)
         .agg(count(lit(1)).as("n_docs"),
@@ -335,7 +336,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"),
           round(avg(days), 6).as("avg_days"),
           max(days).as("max_days"))
-        .orderBy(col("o_orderpriority").asc)
+        .resultSorted(col("o_orderpriority").asc)
     }),
 
     // ---- further star-schema join/agg shapes ----

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Sorting.ResultSortOps
 
 /** Dataset-analytics operators a large-scale training-data pipeline
   * runs before/while exporting a corpus: column profiling, exact
@@ -51,7 +52,7 @@ object AnalyticsOps {
     }
     df.groupBy(col(key))
       .agg(count(lit(1)).as("cnt"), aggs: _*)
-      .orderBy(col(key).asc)
+      .resultSorted(col(key).asc)
   }
 
   /** Deterministic stratified sampling audit: a row is sampled iff
@@ -75,7 +76,7 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n_rows"),
         sum(when(bucket < rate, 1).otherwise(0)).cast("long")
           .as("n_sampled"))
-      .orderBy(col(stratumCol).asc)
+      .resultSorted(col(stratumCol).asc)
   }
 
   /** The sampling predicate itself (for building the actual sample). */
@@ -103,7 +104,7 @@ object AnalyticsOps {
         sum(when(redacted =!= col(payloadCol), 1).otherwise(0))
           .cast("long").as("n_changed"),
         countDistinct(md5(redacted)).as("n_distinct_redacted"))
-      .orderBy(col(key).asc)
+      .resultSorted(col(key).asc)
   }
 
   /** Per-key running (cumulative) totals + inter-event gaps: the
@@ -141,7 +142,7 @@ object AnalyticsOps {
         coalesce(col(k1), lit("<all>")).as(k1),
         coalesce(col(k2), lit("<all>")).as(k2),
         col("g1"), col("g2"), col("cnt"))
-      .orderBy(col("g1").asc, col("g2").asc,
+      .resultSorted(col("g1").asc, col("g2").asc,
         col(k1).asc, col(k2).asc)
 
   /** End-to-end corpus-preparation pipeline as ONE declarative plan —
@@ -195,7 +196,7 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("total_tokens"),
         round(avg(col("quality")), 6).as("avg_quality"))
-      .orderBy(col(langCol).asc)
+      .resultSorted(col(langCol).asc)
   }
 
   /** Incremental rollup maintenance: merge a delta batch's aggregate
@@ -236,7 +237,7 @@ object AnalyticsOps {
           .as("n_docs"),
         (coalesce(col("v_e"), lit(0L)) + coalesce(col("v_d"), lit(0L)))
           .as("total_chars"))
-      .orderBy(col(key).asc)
+      .resultSorted(col(key).asc)
 
   /** Sketch tier of [[profile]]/[[groupPercentiles]]: HyperLogLog
     * distinct counts and t-digest percentiles next to their exact
@@ -258,7 +259,7 @@ object AnalyticsOps {
       .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("exact_p50"),
         round(percentile_approx(col(valueCol), lit(0.5), lit(10000)), 6)
           .as("approx_p50"))
-    distincts.join(pcts, Seq(key)).orderBy(col(key).asc)
+    distincts.join(pcts, Seq(key)).resultSorted(col(key).asc)
   }
 
   /** Set algebra between two keyed subsets (INTERSECT / EXCEPT — the

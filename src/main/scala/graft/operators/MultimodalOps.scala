@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Sorting.ResultSortOps
 
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, processed per-partition in batches.
@@ -163,7 +164,7 @@ object MultimodalOps {
         count(lit(1)).as("n_assets"),
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
-      .orderBy(col("kind").asc)
+      .resultSorted(col("kind").asc)
 
   /** Integer byte-histogram variant of [[MediaFeatures]]: raw bin
     * COUNTS instead of normalized floats — exact in 64-bit integers,
@@ -207,5 +208,5 @@ object MultimodalOps {
         sum(element_at(col("bins"), 4)).as("bin_digit"),
         sum(element_at(col("bins"), 7)).as("bin_alpha_lo"),
         sum(element_at(col("bins"), 8)).as("bin_alpha_hi"))
-      .orderBy(col("kind").asc)
+      .resultSorted(col("kind").asc)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Sorting.ResultSortOps
 
 /** The reference engine's relational query surface, re-expressed as
   * composable Spark operators.
@@ -78,20 +79,20 @@ object ReferenceOps {
         avg(col(avgCol)).as("avg_size"),
         min(col(spanCol)).as("first_ingested"),
         max(col(spanCol)).as("last_ingested"))
-      .orderBy(col("record_count").desc, col(key).asc)
+      .resultSorted(col("record_count").desc, col(key).asc)
 
   /** A2 — counts by type (ethical_crawler.py:1053–1060). */
   def typeCounts(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col(key).asc)
+      .resultSorted(col("cnt").desc, col(key).asc)
 
   /** A3 — two-key stats (`status`, ethical_crawler.py:1425–1434). */
   def twoKeyStats(df: DataFrame, k1: String, k2: String, maxCol: String)
       : DataFrame =
     df.groupBy(col(k1), col(k2))
       .agg(count(lit(1)).as("cnt"), max(col(maxCol)).as("last_seen"))
-      .orderBy(col(k1).asc, col("cnt").desc, col(k2).asc)
+      .resultSorted(col(k1).asc, col("cnt").desc, col(k2).asc)
 
   /** J1 — greatest-n-per-group: latest row per key
     * (ethical_crawler.py:1437–1451, a correlated scalar subquery in the
@@ -151,7 +152,7 @@ object ReferenceOps {
     * ethical_crawler.py:1383–1388).
     */
   def distinctValues(df: DataFrame, c: String): DataFrame =
-    df.select(col(c)).distinct().orderBy(col(c).asc)
+    df.select(col(c)).distinct().resultSorted(col(c).asc)
 
   /** L3 — popular tags: the reference's only generator-shaped op
     * (stubbed at ethical_crawler.py:1065). `explode` is Spark's built-in
@@ -162,20 +163,20 @@ object ReferenceOps {
       .filter(col("tag") =!= "")
       .groupBy(col("tag"))
       .agg(count(lit(1)).as("frequency"))
-      .orderBy(col("frequency").desc, col("tag").asc)
+      .resultSorted(col("frequency").desc, col("tag").asc)
       .limit(topK)
 
   /** L4 — temporal activity histogram (stub at ethical_crawler.py:1066). */
   def temporalActivity(df: DataFrame, tsCol: String): DataFrame =
     df.groupBy(date_trunc("day", col(tsCol)).as("day"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("day").asc)
+      .resultSorted(col("day").asc)
 
   /** L5 — license distribution (stub at ethical_crawler.py:1067). */
   def licenseDistribution(df: DataFrame, licenseCol: String): DataFrame =
     df.groupBy(col(licenseCol))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col(licenseCol).asc)
+      .resultSorted(col("cnt").desc, col(licenseCol).asc)
 
   /** AS-OF join (extension — the classic temporal operator Spark has
     * no built-in for): for each right-stream row, the latest
@@ -236,7 +237,7 @@ object ReferenceOps {
         round(avg(col("v")), 6).as("avg_v"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
-      .orderBy(col(keyCol).asc)
+      .resultSorted(col(keyCol).asc)
   }
 
   /** P7 — array-contains predicate (README.txt:222 `tags @>`), counted
@@ -248,7 +249,7 @@ object ReferenceOps {
     df.filter(array_contains(split(col(textCol), " "), needle))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col(keyCol).asc)
+      .resultSorted(col(keyCol).asc)
 
   /** The `status` verb end-to-end (ethical_crawler.py:1416–1529):
     * two-key stats (A3) → per-key rollup (A6, folded into one Spark
@@ -266,7 +267,7 @@ object ReferenceOps {
     val latest = latestPerKey(df, keyCol, orderCol, orderCol)
       .select(col(keyCol), col(subCol).as("latest_kind"))
     rollup.join(latest, Seq(keyCol))
-      .orderBy(col("n_records").desc, col(keyCol).asc)
+      .resultSorted(col("n_records").desc, col(keyCol).asc)
   }
 
   /** Multimodal plumbing, relational half: treat content as an opaque
@@ -286,5 +287,5 @@ object ReferenceOps {
         sum(col("n_bytes")).as("total_bytes"),
         min(col("n_bytes")).as("min_bytes"),
         max(col("n_bytes")).as("max_bytes"))
-      .orderBy(col(keyCol).asc)
+      .resultSorted(col(keyCol).asc)
 }

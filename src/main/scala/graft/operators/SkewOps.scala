@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Sorting.ResultSortOps
 
 /** Skew mitigation: salted two-level aggregation. For hot grouping
   * keys (one key ≫ partition capacity), a direct groupBy funnels the
@@ -37,7 +38,7 @@ object SkewOps {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("cnt"))
-      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .resultSorted(col("cnt").desc, col(keyCol).asc)
 
   /** Bucketized temporal RANGE join: pair each left row with every
     * right row of the same key whose timestamp falls in

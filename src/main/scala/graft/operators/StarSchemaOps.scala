@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Sorting.ResultSortOps
 
 /** Star-schema join/aggregate suite over the TPC-H-ish testdata
   * (SURVEY.md §2.3/§5.2 extension surface; the reference has no explicit
@@ -39,7 +40,7 @@ object StarSchemaOps {
         avg(col("l_extendedprice")).as("avg_price"),
         avg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+      .resultSorted(col("l_returnflag").asc, col("l_linestatus").asc)
   }
 
   /** TPC-H Q3-shaped: segment-filtered customer ⨝ orders ⨝ lineitem,
@@ -101,7 +102,7 @@ object StarSchemaOps {
       .groupBy(col("n_name"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name").asc)
+      .resultSorted(col("revenue").desc, col("n_name").asc)
   }
 
   /** TPC-H Q6-shaped revenue forecast: pure scan-filter-aggregate, the
@@ -213,7 +214,7 @@ object StarSchemaOps {
       .agg(
         sum(when(high, 1).otherwise(0)).cast("long").as("high_count"),
         sum(when(high, 0).otherwise(1)).cast("long").as("low_count"))
-      .orderBy(col("l_linestatus").asc)
+      .resultSorted(col("l_linestatus").asc)
   }
 
   /** TPC-H Q18-shaped: orders whose total line quantity exceeds a
@@ -281,7 +282,7 @@ object StarSchemaOps {
     rev.join(broadcast(mx), col("total_rev") === col("mx"))
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
-      .orderBy(col("s_suppkey").asc)
+      .resultSorted(col("s_suppkey").asc)
   }
 
   /** TPC-H Q7-shaped nation trade volume: revenue flowing between two
@@ -318,7 +319,7 @@ object StarSchemaOps {
         year(col("l_shipdate")).as("l_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
         4).as("revenue"))
-      .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+      .resultSorted(col("supp_nation").asc, col("cust_nation").asc,
         col("l_year").asc)
   }
 
@@ -364,7 +365,7 @@ object StarSchemaOps {
       .agg(round(
         sum(when(col("supp_nation") === supplierNation, rev)
           .otherwise(0.0)) / sum(rev), 6).as("mkt_share"))
-      .orderBy(col("o_year").asc)
+      .resultSorted(col("o_year").asc)
   }
 
   /** TPC-H Q22-shaped: above-average-balance customers who never
@@ -385,7 +386,7 @@ object StarSchemaOps {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_cust"),
         round(sum(col("c_acctbal")), 4).as("total_bal"))
-      .orderBy(col("c_mktsegment").asc)
+      .resultSorted(col("c_mktsegment").asc)
   }
 
   /** TPC-H Q17-shaped small-quantity revenue: lineitems under 20% of
@@ -432,7 +433,7 @@ object StarSchemaOps {
       .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
+      .resultSorted(col("custdist").desc, col("c_count").desc)
   }
 
   /** TPC-H Q21-shaped waiting-supplier audit: late lineitems (shipped
@@ -513,7 +514,7 @@ object StarSchemaOps {
       .agg(round(sum(
         col("l_extendedprice") * (lit(1) - col("l_discount")) -
           col("l_tax") * col("l_extendedprice")), 4).as("profit"))
-      .orderBy(col("nation").asc, col("o_year").desc)
+      .resultSorted(col("nation").asc, col("o_year").desc)
   }
 
   /** TPC-H Q11-shaped concentration report: nations holding more than
@@ -535,7 +536,7 @@ object StarSchemaOps {
     val thr = supp.agg((sum(col("s_acctbal")) * fraction).as("__thr"))
     perNation.join(broadcast(thr), col("__bal") > col("__thr"))
       .select(col("n_name"), round(col("__bal"), 4).as("total_bal"))
-      .orderBy(col("total_bal").desc, col("n_name").asc)
+      .resultSorted(col("total_bal").desc, col("n_name").asc)
   }
 
   /** TPC-H Q16-shaped supplier diversity: distinct suppliers per part
@@ -578,7 +579,7 @@ object StarSchemaOps {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .join(broadcast(groupDim), Seq("__code"))
       .select(col("p_brand"), col("p_type"), col("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+      .resultSorted(col("supplier_cnt").desc, col("p_brand").asc,
         col("p_type").asc)
   }
 
@@ -687,6 +688,6 @@ object StarSchemaOps {
     ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
-      .orderBy(col("o_orderpriority").asc)
+      .resultSorted(col("o_orderpriority").asc)
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Sorting.ResultSortOps
 
 /** Text analysis over the `documents` table — the training-data
   * pipeline surface (reference intent: `tiktoken`/`BeautifulSoup`
@@ -32,7 +33,7 @@ object TextOps {
         sum(col("n_tok")).as("total_tokens"),
         round(avg(col("n_tok")), 6).as("avg_tokens"),
         round(avg(col(charsCol)), 6).as("avg_chars"))
-      .orderBy(col(langCol).asc)
+      .resultSorted(col(langCol).asc)
 
   /** Function-word list for quality scoring / language ID. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "in")
@@ -179,7 +180,7 @@ object TextOps {
     df.select(col(langCol), pred.as("predicted"))
       .groupBy(col(langCol), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col(langCol).asc, col("predicted").asc)
+      .resultSorted(col(langCol).asc, col("predicted").asc)
   }
 
   /** BPE-ish regex tokenization: letter runs and digit runs as
@@ -204,7 +205,7 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),
         round(avg(col("n_tok")), 6).as("avg_tokens"))
-      .orderBy(col(langCol).asc)
+      .resultSorted(col(langCol).asc)
 
   /** Polynomial rolling hash over the token stream: h ← (h·B + x) mod P
     * with x = 60-bit md5 base of the token mod P. Order-sensitive
