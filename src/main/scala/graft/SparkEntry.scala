@@ -381,7 +381,7 @@ object SparkEntry {
           ntile(4).over(w).as("quartile"),
           round(percent_rank().over(w), 6).as("prank"))
         .filter(col("drank") <= 5)
-        .orderBy(col("o_orderpriority").asc, col("drank").asc,
+        .resultSorted(col("o_orderpriority").asc, col("drank").asc,
           col("o_orderkey").asc)
     }),
     "q9_nation_profit" -> ((s, dir) =>
