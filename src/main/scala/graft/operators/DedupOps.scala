@@ -168,6 +168,9 @@ object DedupOps {
       broadcast(sh.groupBy(col("x")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDf).select(col("x"))),
       Seq("x"), "left_anti")
+      // the using-column join moves `x` first; restore the input's
+      // column order so both cap forms return the SAME relation
+      .select(sh.columns.map(col).toIndexedSeq: _*)
 
   /** SQL mirror of [[capShingleDf]]: rewrites the shingle CTE `src`
     * (columns `keyCol, x`) to its df-capped subset.

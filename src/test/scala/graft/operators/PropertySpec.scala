@@ -99,6 +99,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: blacklist df-cap equals the window df-cap") {
+    // the two physical forms (window count on the x-exchange vs
+    // broadcast anti-join of the over-limit set) must keep the SAME
+    // capped relation for any data and any cap
+    val textGen = Gen.listOfN(10,
+      Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(10, textGen).map(_.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) })
+    samples(docsGen).foreach { rows =>
+      val sh = DedupOps.hashedShingles(rows.toDF("id", "text"),
+        "id", "text")
+      Seq(1, 3, Int.MaxValue).foreach { cap =>
+        val win = DedupOps.capShingleDf(sh, cap)
+          .as[(Long, Long)].collect().sorted.toSeq
+        val bl = DedupOps.capShingleDfBlacklist(sh, cap)
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(win == bl, s"cap=$cap diverges")
+      }
+    }
+  }
+
   test("property: exactDedup output has unique content keys, is a subset") {
     samples(batchGen).foreach { rows =>
       val df = rows.zipWithIndex
