@@ -223,6 +223,11 @@ object SparkEntry {
     "l6_fts_ranked" -> ((s, dir) =>
       FtsOps.searchRankedDocs(Tables.documents(s, dir), "doc_id",
         "text", terms = Seq("batch", "dup"), k = 50)),
+    // l7: BM25 — tf saturation + length normalization on top of l6's
+    // idf (the three-tier ranking ladder: raw tf → tf·idf → BM25).
+    "l7_fts_bm25" -> ((s, dir) =>
+      FtsOps.searchBm25Docs(Tables.documents(s, dir), "doc_id",
+        "text", terms = Seq("batch", "dup"), k = 50)),
 
     // ---- remaining §2 aggregate/sort shapes ----
     "a5_filtered_agg" -> ((s, dir) =>
@@ -858,6 +863,9 @@ object SparkEntry {
         Seq("spark", "window"), 50),
     "l6_fts_ranked" ->
       operators.FtsOps.searchRankedDocsSql("documents", "doc_id",
+        "text", Seq("batch", "dup"), 50),
+    "l7_fts_bm25" ->
+      operators.FtsOps.searchBm25DocsSql("documents", "doc_id",
         "text", Seq("batch", "dup"), 50),
     "a5_filtered_agg" ->
       """SELECT source, count(*) AS n_docs,

@@ -105,6 +105,52 @@ object FtsOps {
       : DataFrame =
     searchRanked(spark.table(tableName), nDocs, idCol, terms, k)
 
+  /** BM25-lite ranked search (tier 3 of the ranking ladder: raw tf →
+    * tf·idf → BM25): `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b +
+    * b·len_d/avgdl))` — term-frequency SATURATION (the 50th repeat of
+    * a term adds ~nothing, k1 caps the tf contribution) and length
+    * normalization (a match in a short doc outweighs one in a long
+    * doc, weighted by `b`). `lens` is a (idCol, len) relation — token
+    * count per document, index metadata at rest in production; the
+    * corpus average rides in as a one-row aggregate of it. Postings
+    * stay bucket-pruned; df broadcasts; the only doc-keyed join is
+    * postings⨝lens on the id. Deterministic, 6 dp.
+    */
+  def searchBm25(index: DataFrame, lens: DataFrame, idCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(terms.nonEmpty, "at least one search term")
+    val normTerms = terms.map(_.toLowerCase).distinct
+    val postings = index.filter(col("token").isInCollection(normTerms))
+    val dfs = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("len")).as("avgdl"))
+    val idf = log(col("n_docs") / col("df"))
+    val sat = (col("tf") * (k1 + 1)) /
+      (col("tf") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl")))
+    postings
+      .join(broadcast(dfs), Seq("token"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(idf * sat), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[searchBm25]] building index and length relation from the
+    * corpus (length = whitespace token count, matching the index's
+    * tokenizer).
+    */
+  def searchBm25Docs(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame =
+    searchBm25(
+      buildIndex(docs, idCol, textCol),
+      docs.select(col(idCol),
+        size(split(lower(col(textCol)), " ")).cast("double").as("len")),
+      idCol, terms, k)
+
   /** Persist the inverted index AT REST, bucketed (and sorted) by
     * token: the corpus scan is paid once here; afterwards a term
     * lookup hash-routes to ⌈|terms|⌉ of `buckets` files instead of
@@ -145,6 +191,37 @@ object FtsOps {
        |FROM idx WHERE token IN ($inList)
        |GROUP BY $idCol
        |HAVING count(DISTINCT token) = ${normTerms.distinct.size}
+       |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
+  }
+
+  /** Oracle SQL twin of [[searchBm25Docs]] — same tokenization,
+    * saturation and length normalization (constants spelled as the
+    * same double arithmetic: `1.2 + 1`, not `2.2`, so both engines
+    * round identically).
+    */
+  def searchBm25DocsSql(table: String, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): String = {
+    val normTerms = terms.map(_.toLowerCase).distinct
+    val inList = normTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH idx AS (
+       |  SELECT token, $idCol, count(*) AS tf FROM (
+       |    SELECT $idCol, unnest(string_split(lower($textCol), ' '))
+       |      AS token
+       |    FROM $table)
+       |  WHERE token <> '' GROUP BY token, $idCol),
+       |lens AS (SELECT $idCol,
+       |    len(string_split(lower($textCol), ' '))::DOUBLE AS len
+       |  FROM $table),
+       |pl AS (SELECT * FROM idx WHERE token IN ($inList)),
+       |dfs AS (SELECT token, count(*) AS df FROM pl GROUP BY token),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl
+       |  FROM lens)
+       |SELECT $idCol,
+       |  round(sum(ln(n_docs / df) * (tf * (1.2 + 1)) /
+       |    (tf + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))), 6) AS score
+       |FROM pl JOIN dfs USING (token) JOIN lens USING ($idCol)
+       |  CROSS JOIN stats
+       |GROUP BY $idCol
        |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
 

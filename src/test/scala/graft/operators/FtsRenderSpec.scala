@@ -64,6 +64,26 @@ class FtsRenderSpec extends SparkSpec {
       Seq("needle", "the"), 10).count() == 1)
   }
 
+  test("bm25: term-frequency saturates; short docs outrank long ones") {
+    // doc 1 repeats the term 20×: under tf·idf it would score 20× doc
+    // 2's single hit; under BM25 the saturated contribution is capped
+    // near k1+1 = 2.2× — and doc 3 (same single hit in a much longer
+    // doc) ranks below doc 2 via length normalization.
+    val df = Seq(
+      (1L, ("term " * 20).trim),
+      (2L, "term plus four other words"),
+      (3L, "term " + ("filler " * 30).trim),
+      (4L, "no hits here at all")).toDF("doc_id", "text")
+    val out = FtsOps.searchBm25Docs(df, "doc_id", "text",
+      Seq("term"), 10).as[(Long, Double)].collect()
+    assert(out.map(_._1).head == 1L)
+    val byId = out.toMap
+    assert(byId(1L) / byId(2L) < 4.0,
+      s"tf must saturate, got ${byId(1L)} vs ${byId(2L)}")
+    assert(byId(2L) > byId(3L),
+      s"short doc must outrank long doc, got $byId")
+  }
+
   test("ranked fts: indexed path equals the index-free path") {
     val docs = Tables.documents(spark, sfSmoke)
     val path = tmpDir("ftsrank") + "/idx"
