@@ -191,6 +191,13 @@ object SparkEntry {
       DedupOps.dupClusters(
         DedupOps.minhashPairs(Tables.documents(s, dir),
           "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf))),
+    // n11: the dedup report — cluster-size distribution of n9's
+    // clusters (how much of the corpus is duplicated, in clusters of
+    // what size).
+    "n11_cluster_sizes" -> ((s, dir) =>
+      DedupOps.clusterSizeHistogram(DedupOps.dupClusters(
+        DedupOps.minhashPairs(Tables.documents(s, dir),
+          "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)))),
 
     // ---- JSON / predicate / status / multimodal surface ----
     "f4_json_extract" -> ((s, dir) =>
@@ -726,6 +733,9 @@ object SparkEntry {
     "n9_dup_clusters" ->
       operators.DedupOps.dupClustersSql("documents", "doc_id", "text",
         0.8, maxDf = ShingleMaxDf),
+    "n11_cluster_sizes" ->
+      operators.DedupOps.dupClusterSizesSql("documents", "doc_id",
+        "text", 0.8, maxDf = ShingleMaxDf),
     "t5_fingerprints" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

@@ -523,6 +523,42 @@ object DedupOps {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Cluster-size distribution over [[dupClusters]] output — the
+    * standard corpus-dedup report (how much of the corpus is
+    * duplicated, and in clusters of what size). Two tiny aggregates
+    * on top of whatever pair pipeline feeds it; the report row count
+    * is the number of DISTINCT sizes, bounded-small at any corpus
+    * scale, so the final sort is single-partition.
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .resultSorted(col("sz").asc)
+  }
+
+  /** Oracle twin of [[clusterSizeHistogram]] ∘ [[dupClusters]]: the
+    * [[dupClustersSql]] recursive CTE with the two size aggregates on
+    * top.
+    */
+  def dupClusterSizesSql(table: String, idCol: String, textCol: String,
+      minJaccard: Double, n: Int = 3, maxDf: Int = Int.MaxValue)
+      : String = {
+    val base = dupClustersSql(table, idCol, textCol, minJaccard, n, maxDf)
+    val tail = "SELECT id AS doc_id, min(r) AS cluster_id\n" +
+      "FROM reach GROUP BY id ORDER BY doc_id ASC"
+    require(base.endsWith(tail), "dupClustersSql tail changed")
+    base.dropRight(tail.length) +
+      s""",clusters AS (SELECT id, min(r) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |szs AS (SELECT cluster_id, count(*) AS sz FROM clusters
+         |  GROUP BY cluster_id)
+         |SELECT sz, count(*) AS n_clusters FROM szs
+         |GROUP BY sz ORDER BY sz ASC""".stripMargin
+  }
+
   /** Oracle twin of [[dupClusters]] over the [[minhashPairsSql]] pair
     * relation: a recursive CTE enumerates every vertex reachable from
     * each doc; the cluster id is the minimum — the fixpoint label
