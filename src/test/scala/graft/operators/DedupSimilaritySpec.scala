@@ -138,6 +138,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusterSizeHistogram conserves docs and clusters") {
+    // chain of 3, clique of 3, pair → sizes {3: 2 clusters, 2: 1}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val clusters = DedupOps.dupClusters(pairs)
+    val hist = DedupOps.clusterSizeHistogram(clusters)
+      .as[(Long, Long)].collect().toSeq
+    assert(hist == Seq(2L -> 1L, 3L -> 2L))
+    // Σ sz·n_clusters = clustered docs; Σ n_clusters = distinct labels
+    assert(hist.map { case (sz, n) => sz * n }.sum == clusters.count())
+    assert(hist.map(_._2).sum ==
+      clusters.select("cluster_id").distinct().count())
+  }
+
   test("minhashPairs agrees with exact jaccardPairs on real docs") {
     val docs = Tables.documents(spark, sfSmoke)
     val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8)
