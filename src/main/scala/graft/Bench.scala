@@ -32,8 +32,8 @@ object Bench {
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  val RecordedDuckdbSf01: Double = 17.4274
-  val RecordedDuckdbQueries: Int = 93
+  val RecordedDuckdbSf01: Double = 17.4739
+  val RecordedDuckdbQueries: Int = 94
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

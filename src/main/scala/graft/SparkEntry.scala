@@ -115,6 +115,12 @@ object SparkEntry {
     "n10_ivf_batch" -> ((s, dir) =>
       SimilarityOps.ivfTopKBatch(Tables.embeddings(s, dir),
         queryMod = 73, k = 5, stride = 50, nProbe = 3)),
+    // n12: the recall dial — near-dup pairs with every vector probing
+    // its 2 best clusters, recovering cross-bucket pairs n7 misses.
+    "n12_multiprobe_neardup" -> ((s, dir) =>
+      SimilarityOps.embeddingNearDupsMultiProbe(
+        Tables.embeddings(s, dir), minCosine = 0.4, stride = 50,
+        nProbe = 2)),
     "r1_salted_counts" -> ((s, dir) =>
       SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
 
@@ -607,6 +613,34 @@ object SparkEntry {
         |FROM n a JOIN members USING (vec_id), q
         |WHERE a.vec_id <> 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "n12_multiprobe_neardup" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id % 50 = 0),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_dot_product(a.v, c.cv) /
+        |                       (a.nrm * c.cnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM n a CROSS JOIN cents c) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM assign x JOIN assign y USING (centroid_id)
+        |  WHERE x.vec_id < y.vec_id),
+        |scored AS (
+        |  SELECT vec_a, vec_b,
+        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+        |      AS score
+        |  FROM cand JOIN n a ON cand.vec_a = a.vec_id
+        |    JOIN n b ON cand.vec_b = b.vec_id)
+        |SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.4
+        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
     "n10_ivf_batch" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

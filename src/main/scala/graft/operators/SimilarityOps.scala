@@ -165,6 +165,55 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** MULTI-PROBE embedding near-dup pairs — the recall lever for the
+    * bucketed tier: [[embeddingNearDups]] documents that cross-bucket
+    * near-dups are the IVF tradeoff, and this recovers them. Every
+    * vector is assigned its `nProbe` BEST clusters (not just the
+    * argmin), candidates are distinct pairs co-resident in ANY shared
+    * cluster, and each candidate is scored once. Cost grows from
+    * Σ|cluster|² to Σ(nProbe-inflated cluster)² — the standard
+    * recall/cost dial, still never all-pairs. Deterministic (same
+    * centroid arithmetic as [[ivfAssign]]) → oracle-expressible.
+    */
+  def embeddingNearDupsMultiProbe(embeddings: DataFrame,
+      minCosine: Double, stride: Int, nProbe: Int): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"),
+        toDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+    val vecs = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val assign = vecs.select("vec_id", "v", "nrm")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosinePrenormed(col("v"), col("cv"), col("nrm"),
+          col("cnrm")), 6).as("cscore"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbe)
+      .select("vec_id", "centroid_id")
+    val cand = assign.select(col("centroid_id"),
+        col("vec_id").as("vec_a"))
+      .join(assign.select(col("centroid_id"), col("vec_id").as("vec_b")),
+        Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosinePrenormed(col("va"), col("vb"), col("na"),
+          col("nb")), 6).as("score"))
+      .filter(col("score") >= minCosine)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+
   /** BATCHED IVF search: top-k for EVERY query in the deterministic
     * query set (`vec_id % queryMod = 0`) in ONE pass over the index —
     * the serving shape at scale, where queries arrive in batches and

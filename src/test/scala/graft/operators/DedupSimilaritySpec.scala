@@ -362,6 +362,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe near-dups: recall grows monotonically with nProbe") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    def pairs(p: Int) = SimilarityOps.embeddingNearDupsMultiProbe(
+      emb, minCosine = 0.2, stride = 50, nProbe = p)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    assert(p1.subsetOf(p2),
+      s"probing more clusters must never lose pairs: ${p1 -- p2}")
+    assert(p2.size >= p1.size)
+  }
+
   test("ivfTopKBatch: each query's slice equals the single-query op") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val batch = SimilarityOps.ivfTopKBatch(emb, queryMod = 73, k = 5,
