@@ -195,22 +195,23 @@ object SimilarityOps {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= nProbe)
       .select("vec_id", "centroid_id")
-    val cand = assign.select(col("centroid_id"),
-        col("vec_id").as("vec_a"))
-      .join(assign.select(col("centroid_id"), col("vec_id").as("vec_b")),
-        Seq("centroid_id"))
+    // Vectors ride along on the assignment (one equi-join) and each
+    // co-residence is scored at pair time: a pair sharing two probed
+    // clusters is scored twice with the SAME deterministic value, so
+    // the distinct on (pair, score) collapses it — cheaper than
+    // deduplicating bare pairs and joining the vectors back twice.
+    val av = assign.join(vecs, Seq("vec_id"))
+    val a = av.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = av.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("centroid_id"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .distinct()
-    cand
-      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"),
-        col("nrm").as("na")), Seq("vec_a"))
-      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        col("nrm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(cosinePrenormed(col("va"), col("vb"), col("na"),
           col("nb")), 6).as("score"))
       .filter(col("score") >= minCosine)
+      .distinct()
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
 
