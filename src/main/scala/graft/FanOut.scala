@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Restores map-side parallelism for compute-heavy operators when the
+  * upstream scan under-splits.
+  *
+  * Spark plans file splits at row-group granularity: a single parquet
+  * file with one row group scans as ONE task, serializing every
+  * downstream map-side computation (shingling, hashing, signature
+  * minima) behind one core — while a multithreaded single-node engine
+  * parallelizes the same pipeline across all threads. The testdata
+  * tables are exactly that shape, and at 100 TB the same situation
+  * appears whenever a compute-heavy stage sits on a source with fewer
+  * splits than the cluster has slots (few huge row groups, a handful
+  * of gzip files, a small dimension feeding an expensive extraction).
+  *
+  * `byKey` hash-repartitions on the row's key column ONLY when the
+  * plan's scan yields fewer partitions than half the available slots —
+  * above that the input is already parallel and this is the identity,
+  * so a properly-split cluster-scale table never pays the exchange.
+  * Hash partitioning (not round-robin) keeps the exchange REUSABLE:
+  * downstream per-key aggregations (signature minima per doc, quality
+  * per doc) are already co-located and plan no further shuffle, and it
+  * avoids round-robin's determinism sort. The exchanged rows are the
+  * operator's NARROW projection (id + payload column), not the full
+  * scan row.
+  */
+object FanOut {
+  /** Fan-out width: enough slots to un-serialize the compute without
+    * drowning every downstream stage in per-task scheduling overhead —
+    * a 32-wide explicit repartition propagates 32-task stages through
+    * the whole pipeline (AQE never coalesces a user-specified
+    * exchange), and measured at sf0.1 the extra scheduling costs MORE
+    * than the recovered parallelism. 8 is the local sweet spot; a
+    * properly-split source never reaches this code path at all.
+    */
+  private def width(slots: Int): Int = math.min(8, math.max(2, slots))
+
+  def byKey(df: DataFrame, key: Column): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, slots / 2)) df
+    else df.repartition(width(slots), key)
+  }
+}

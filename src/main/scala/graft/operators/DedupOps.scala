@@ -103,9 +103,10 @@ object DedupOps {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3)
       : DataFrame =
-    df.select(col(idCol),
-      explode(call_function("graft_shingles", col(textCol), lit(n)))
-        .as("shingle"))
+    graft.FanOut.byKey(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        explode(call_function("graft_shingles", col(textCol), lit(n)))
+          .as("shingle"))
 
   /** Composed built-in formulation of [[shingles]] (four higher-order
     * passes) — the differential reference for the expression. Guarded
@@ -588,7 +589,8 @@ object DedupOps {
     * via [[graft.functions.SimHash64]] — no explode, no doc shuffle.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+    graft.FanOut.byKey(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
         call_function("graft_simhash", col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
       .orderBy(col(idCol).asc)

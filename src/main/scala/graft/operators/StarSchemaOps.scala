@@ -644,27 +644,26 @@ object StarSchemaOps {
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     val part = Tables.part(spark, sfDir)
       .filter(col("p_type") === partType).select("p_partkey", "p_name")
-    // The offer book is pruned to the requested part type AND the
-    // requested region BEFORE the aggregate (two left-semi joins
-    // against the small filtered key sets, which AQE broadcasts):
-    // both predicates are inner-join conditions downstream and the
-    // min-cost window ranges over regional offers only, so the prune
-    // is semantics-preserving and only ~1/(|types|·|regions|) of
-    // lineitem reaches the (partkey, suppkey) shuffle.
-    val offers = Tables.lineitem(spark, sfDir)
-      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-      .join(part.select("p_partkey"),
-        col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(regionalSupp.select("s_suppkey"),
-        col("l_suppkey") === col("s_suppkey"), "left_semi")
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    // The filtered dims join the fact BEFORE the aggregate: the
+    // type/region prune and the attribute pickup happen in the same
+    // two hash joins, so only ~1/(|types|·|regions|) of lineitem
+    // reaches the (partkey, suppkey) shuffle and no separate
+    // semi-join prune or post-aggregate join is planned (each extra
+    // join is an extra exchange — at the 96-query bench scale the
+    // per-stage scheduling floor dominates, and at 100 TB the saved
+    // exchanges carry the offer book). Dim attributes ride the group
+    // keys: they are functionally dependent on (partkey, suppkey),
+    // so key width grows but group count does not.
     // supplier and part scale linearly (unlike nation/region) — no
     // broadcast hints: AQE broadcasts them while they fit and degrades
     // to shuffled joins at scale (ScaleShapeSpec holds q2 to that).
-    val regional = offers
-      .join(regionalSupp, col("l_suppkey") === col("s_suppkey"))
+    val regional = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
       .join(part, col("l_partkey") === col("p_partkey"))
+      .join(regionalSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("s_acctbal"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
     val w = Window.partitionBy(col("p_partkey"))
     regional
       .withColumn("min_cost", min(col("cost")).over(w))
