@@ -193,6 +193,10 @@ object SparkEntry {
     "t10_rare_tokens" -> ((s, dir) =>
       TextOps.rareTokenStats(Tables.documents(s, dir),
         "doc_id", "text", maxFreq = 2, k = 50)),
+    // t11: unigram-LM quality score — mean token log-probability per
+    // doc under the corpus's own unigram distribution.
+    "t11_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables.documents(s, dir), "doc_id", "text")),
     "n9_dup_clusters" -> ((s, dir) =>
       DedupOps.dupClusters(
         DedupOps.minhashPairs(Tables.documents(s, dir),
@@ -339,6 +343,27 @@ object SparkEntry {
         docs.filter(col("doc_id") % 4 === 0),
         key = "source", valueCol = "n_chars")
     }),
+    // k10/k11: the versioned table layer end-to-end through the
+    // oracle gate — MERGE whole-row upsert (k10: the merged current
+    // snapshot) and time travel (k11: v0 unchanged after the commit,
+    // both versions read back side by side).
+    "k10_merge_upsert" -> ((s, dir) =>
+      mergedDocsTable(s, dir) { root =>
+        Versioned.current(s, root)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .resultSorted(col("source").asc)
+      }),
+    "k11_time_travel" -> ((s, dir) =>
+      mergedDocsTable(s, dir) { root =>
+        def at(v: Int) = Versioned.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .select(lit(v).as("version"), col("n_docs"),
+            col("total_chars"))
+        at(0).unionByName(at(1)).resultSorted(col("version").asc)
+      }),
     "o5_pagination" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -509,6 +534,43 @@ object SparkEntry {
       |  count(*) AS n_events, round(sum(value), 6) AS total_value
       |FROM numbered GROUP BY user_id, session_id
       |ORDER BY user_id ASC, session_start ASC""".stripMargin
+
+  /** k10/k11 shared fixture: initialize a fresh versioned table from
+    * the doc_id%3≠0 slice, MERGE-upsert the doc_id%2=0 slice with
+    * n_chars bumped by 1000 (overlapping keys update, even-and-%3
+    * keys insert), then hand the table root to `read`. A new temp
+    * root per invocation — each bench rep measures the full
+    * init+merge+read cycle, never a leftover table.
+    */
+  private def mergedDocsTable(s: SparkSession, dir: String)(
+      read: String => DataFrame): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_versioned").toString + "/docs"
+    Versioned.init(docs.filter(col("doc_id") % 3 =!= 0), root)
+    Versioned.mergeUpsert(
+      docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000L)),
+      root, Seq("doc_id"))
+    read(root)
+  }
+
+  /** k10/k11 shared oracle CTEs — the merge's relational definition:
+    * updates win, unmatched target rows carry over, unmatched source
+    * rows insert.
+    */
+  private val MergedDocsCtes: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE doc_id % 3 <> 0),
+      |upd AS (
+      |  SELECT doc_id, source, n_chars + 1000 AS n_chars
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |merged AS (
+      |  SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT b.* FROM base b LEFT JOIN upd u ON b.doc_id = u.doc_id
+      |  WHERE u.doc_id IS NULL)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // n6_ann_lsh_topk and e3_sketch_profile intentionally omitted:
@@ -764,6 +826,18 @@ object SparkEntry {
         |FROM t JOIN freq USING (tok)
         |GROUP BY doc_id
         |ORDER BY rare_ratio DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "t11_lm_score" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |t AS (SELECT doc_id, tok FROM tok0 WHERE tok <> ''),
+        |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        |n AS (SELECT sum(c)::DOUBLE AS n FROM c)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(c.c / n.n)), 6) AS avg_logp
+        |FROM t JOIN c USING (tok) CROSS JOIN n
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id ASC""".stripMargin,
     "n9_dup_clusters" ->
       operators.DedupOps.dupClustersSql("documents", "doc_id", "text",
         0.8, maxDf = ShingleMaxDf),
@@ -1095,6 +1169,19 @@ object SparkEntry {
         |  coalesce(v_e, 0) + coalesce(v_d, 0) AS total_chars
         |FROM e FULL OUTER JOIN d ON e.source = d.source
         |ORDER BY source ASC""".stripMargin,
+    "k10_merge_upsert" ->
+      s"""$MergedDocsCtes
+        |SELECT source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM merged GROUP BY source ORDER BY source ASC""".stripMargin,
+    "k11_time_travel" ->
+      s"""$MergedDocsCtes
+        |SELECT 0 AS version, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars FROM base
+        |UNION ALL
+        |SELECT 1 AS version, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars FROM merged
+        |ORDER BY version ASC""".stripMargin,
     "o5_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC

@@ -514,7 +514,11 @@ object DedupOps {
             coalesce(col("nlabel"), labels("label"))).as("newlabel"),
           labels("label").as("oldlabel"))
         .localCheckpoint() // materializes the round, truncates lineage
-      converged =
+      // Round 1 never converges when any edge exists (the larger
+      // endpoint of the smallest-id edge always takes a smaller
+      // label), so its convergence count is skipped — one action
+      // less; an edgeless input just pays one extra (empty) round.
+      converged = i > 0 &&
         updated.filter(col("newlabel") =!= col("oldlabel")).count() == 0
       labels = updated.select(col("id"), col("newlabel").as("label"))
       i += 1

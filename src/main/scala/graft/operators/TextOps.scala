@@ -305,4 +305,36 @@ object TextOps {
           slice(w, 1, prefixTokens))).as("prefix_md5"))
       .orderBy(col(idCol).asc)
   }
+
+  /** Unigram language-model quality score: each document's mean token
+    * log-probability under the corpus's own unigram distribution —
+    * the LM-based quality-filter shape (low mean log-prob = high
+    * perplexity = unusual/garbled text). The corpus itself is the
+    * model, so the score is fully deterministic and oracle-
+    * expressible; a production pipeline scores against a REFERENCE
+    * corpus by feeding its counts through the same join.
+    *
+    * Scale: one fanned-out explode, one vocabulary aggregation
+    * (|vocab| rows), a token⋈vocab equi-join on the token (the vocab
+    * side is the small one — AQE broadcasts it while it fits), one
+    * per-doc aggregation. The corpus total rides a 1-row broadcast;
+    * the token stream is recomputed for the probe side rather than
+    * cached — at scale caching the exploded stream is infeasible and
+    * the second pass is a narrow re-scan.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = graft.FanOut
+      .byKey(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("n"))
+    tok.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("n"))), 6)
+          .as("avg_logp"))
+      .orderBy(col(idCol).asc)
+  }
 }

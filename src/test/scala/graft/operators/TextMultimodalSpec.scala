@@ -224,4 +224,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(strong.subsetOf(banded),
       s"planted near-dups must survive banding: ${strong -- banded}")
   }
+
+  test("lmScore: hand-computed unigram log-probs; common beats rare") {
+    // corpus: a×3, b×2 → N=5; P(a)=3/5, P(b)=2/5
+    val df = Seq((1L, "a a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    val lpA = math.log(3.0 / 5.0)
+    val lpB = math.log(2.0 / 5.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      (1L, 3L, r6((2 * lpA + lpB) / 3)),
+      (2L, 2L, r6((lpA + lpB) / 2))))
+    // doc of only the most common token scores highest
+    val df2 = Seq((1L, "a a"), (2L, "b z"), (3L, "a z")).toDF("doc_id", "text")
+    val s = TextOps.lmScore(df2, "doc_id", "text")
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(s(1L) > s(3L) && s(3L) > s(2L))
+  }
 }
