@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.LongType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Per-key top-k with partial pushdown: the optimizer rule rewrites
+    // the declarative row_number-filter shape into the custom logical
+    // node; the strategy plans it as map-side + reduce-side bounded
+    // heaps (graft.plans.TopKPerKey). Kill switch:
+    // spark.graft.topkRewrite=false.
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
