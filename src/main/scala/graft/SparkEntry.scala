@@ -197,6 +197,10 @@ object SparkEntry {
     // doc under the corpus's own unigram distribution.
     "t11_lm_score" -> ((s, dir) =>
       TextOps.lmScore(Tables.documents(s, dir), "doc_id", "text")),
+    // t12: the context-sensitive tier — mean bigram conditional
+    // log-probability ln P(w_i | w_{i-1}).
+    "t12_bigram_lm" -> ((s, dir) =>
+      TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
     "n9_dup_clusters" -> ((s, dir) =>
       DedupOps.dupClusters(
         DedupOps.minhashPairs(Tables.documents(s, dir),
@@ -838,6 +842,19 @@ object SparkEntry {
         |FROM t JOIN c USING (tok) CROSS JOIN n
         |GROUP BY t.doc_id
         |ORDER BY t.doc_id ASC""".stripMargin,
+    "t12_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+        |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+        |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+        |ca AS (SELECT a, count(*) AS ca FROM bg GROUP BY a)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(cab.cab * 1.0 / ca.ca)), 6) AS avg_logp
+        |FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
+        |GROUP BY bg.doc_id
+        |ORDER BY bg.doc_id ASC""".stripMargin,
     "n9_dup_clusters" ->
       operators.DedupOps.dupClustersSql("documents", "doc_id", "text",
         0.8, maxDf = ShingleMaxDf),

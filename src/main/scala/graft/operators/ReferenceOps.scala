@@ -148,6 +148,21 @@ object ReferenceOps {
     dedupedBatch.join(existing, keys, "left_anti")
   }
 
+  /** One row per key, LATEST by `orderCol` — the refresh-side twin of
+    * [[newRowsOnly]]'s first-write-wins: an upsert wants the newest
+    * revision in the batch to win. (The row_number()=1 filter is the
+    * shape [[graft.plans.TopKRewrite]] plans as bounded-heap partial
+    * top-k — no per-key sort.)
+    */
+  def lastRowPerKey(df: DataFrame, keys: Seq[String], orderCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** P9 — distinct values (export attribution footer,
     * ethical_crawler.py:1383–1388).
     */

@@ -322,6 +322,42 @@ object TextOps {
     * cached — at scale caching the exploded stream is infeasible and
     * the second pass is a narrow re-scan.
     */
+  /** Bigram conditional LM score: mean ln P(wᵢ | wᵢ₋₁) per document
+    * with P(b|a) = c(a,b) / c(a·) over the corpus's own bigram
+    * occurrences — the context-sensitive tier above [[lmScore]]
+    * (catches "plausible words, implausible order" that a unigram
+    * model scores as fine). Documents with fewer than two tokens have
+    * no bigrams and drop out (both engines identically).
+    *
+    * Scale: the bigram stream is built positionally in ONE expression
+    * pass (no self-join of token positions), then two aggregations
+    * (bigram counts, prefix counts) and two equi-joins back — all
+    * keyed on token text, AQE-broadcast while the vocabulary fits.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val w = tokens(col(textCol))
+    val pairs = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => struct(element_at(w, i).as("a"),
+          element_at(w, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val big = graft.FanOut
+      .byKey(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(pairs).as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    val cab = big.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ca = big.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    big.join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cab").cast("double") / col("ca"))), 6)
+          .as("avg_logp"))
+      .orderBy(col(idCol).asc)
+  }
+
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = graft.FanOut
       .byKey(df.select(col(idCol), col(textCol)), col(idCol))

@@ -264,6 +264,38 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Continuous refresh: every micro-batch MERGE-upserts into a
+    * [[graft.Versioned]] table — the reference's refresh verb
+    * (ethical_crawler.py:977–1005) running against a stream. Each
+    * batch dedups to one row per key (latest by `batchOrder`, so a
+    * batch carrying several revisions of a key lands its newest) and
+    * commits ONE new snapshot; replaying a batch after a failure
+    * re-merges the same rows onto the same keys, so the table
+    * CONTENT is idempotent per batch even though each replay commits
+    * a (content-identical) new version — readers time-travel through
+    * refresh history for free. Cost per trigger: the merge's one
+    * anti-join of table vs batch keys (see Versioned.mergeUpsert's
+    * 100 TB note on file-pruned copy-on-write).
+    */
+  def mergeUpsertSink(stream: DataFrame, spark: SparkSession,
+      table: String, keys: Seq[String], batchOrder: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latestPerKey = graft.operators.ReferenceOps
+          .lastRowPerKey(batch, keys, batchOrder)
+        if (graft.Versioned.currentVersion(spark, table).isEmpty)
+          graft.Versioned.init(latestPerKey, table)
+        else
+          graft.Versioned.mergeUpsert(latestPerKey, table, keys)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming aggregation to completion against a memory sink
     * and return the result table. `Complete` output mode (the test
     * harness wants the final totals; `Append` + watermark close is the

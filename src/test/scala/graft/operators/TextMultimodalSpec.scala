@@ -243,4 +243,22 @@ class TextMultimodalSpec extends SparkSpec {
       .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
     assert(s(1L) > s(3L) && s(3L) > s(2L))
   }
+
+  test("bigramLmScore: conditional probs; short docs drop out") {
+    // bigrams: doc1 = (a,b), (b,a); doc2 = (a,b); doc3 = none (1 token)
+    // c(a,b)=2 c(b,a)=1; prefixes: c(a·)=2, c(b·)=1
+    // P(b|a)=1, P(a|b)=1 → all logp 0 except... ln(2/2)=0, ln(1/1)=0
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.0), (2L, 1L, 0.0)))
+    // the rare continuation of a shared prefix scores below the
+    // common one: c(the,cat)=3, c(the,dog)=1, c(the·)=4
+    val df2 = Seq((1L, "the cat sat"), (2L, "the cat sat"),
+      (3L, "the cat sat"), (4L, "the dog sat")).toDF("doc_id", "text")
+    val s = TextOps.bigramLmScore(df2, "doc_id", "text")
+      .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
+    assert(s(4L) < s(1L), s"rare continuation must score lower: $s")
+  }
 }

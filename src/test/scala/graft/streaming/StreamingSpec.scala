@@ -331,6 +331,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/table").count() == 4)
   }
 
+  test("foreachBatch merge sink: newest revision wins, replay-stable content") {
+    import spark.implicits._
+    val dir = tmpDir("mergesink")
+    val mk = (rows: Seq[(Long, Long)]) => rows.map { case (k, ord) =>
+      (k, ord, s"payload_${k}_$ord")
+    }.toDF("key", "batch_order", "payload")
+    // key 7: two revisions within batch 0 (latest must land), then a
+    // third revision in batch 1 (must UPDATE the table row)
+    mk(Seq((1L, 1L), (7L, 1L), (7L, 2L)))
+      .coalesce(1).write.parquet(dir + "/staged/b0")
+    mk(Seq((7L, 3L), (3L, 1L))).coalesce(1).write.parquet(dir + "/staged/b1")
+    val schema = spark.read.parquet(dir + "/staged/b0").schema
+    def run(cp: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir + "/staged/*")
+      StreamingOps.mergeUpsertSink(stream, spark, dir + "/vt",
+        keys = Seq("key"), batchOrder = "batch_order", cp)
+    }
+    run(dir + "/cp0")
+    def table() = graft.Versioned.current(spark, dir + "/vt")
+      .select("key", "batch_order").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(table() == Map(1L -> 1L, 3L -> 1L, 7L -> 3L),
+      s"newest revision per key must win, got ${table()}")
+    // refresh history is time-travelable: v0 holds batch 0's state
+    assert(graft.Versioned.snapshot(spark, dir + "/vt", 0)
+      .select("key", "batch_order").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 7L -> 2L))
+    // replay from scratch: content unchanged (new versions, same rows)
+    run(dir + "/cp1")
+    assert(table() == Map(1L -> 1L, 3L -> 1L, 7L -> 3L))
+  }
+
   test("tumblingCounts on a batch frame degrades to a plain windowed agg") {
     val ev = Tables.events(spark, sfSmoke)
     val agg = StreamingOps.tumblingCounts(ev, "ts", "1 hour", "10 minutes")
