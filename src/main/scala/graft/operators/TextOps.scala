@@ -342,35 +342,51 @@ object TextOps {
         i => struct(element_at(w, i).as("a"),
           element_at(w, i + 1).as("b"))))
       .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    // The bigram stream feeds the model build AND the probe — cached
+    // so the explode runs once (same precedent as the shared shingle
+    // relation in DedupOps; at scale the model is trained once and
+    // the probe is the only streaming pass).
     val big = graft.FanOut
       .byKey(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode(pairs).as("bg"))
       .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+      .cache()
+    // Model FIRST (one narrow relation with the per-bigram log-prob:
+    // conditional counts joined to prefix counts away from the
+    // stream), so the stream pays ONE probe join, not two.
     val cab = big.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cab"))
     val ca = big.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-    big.join(cab, Seq("a", "b"))
-      .join(ca, Seq("a"))
+    val model = cab.join(ca, Seq("a"))
+      .select(col("a"), col("b"),
+        log(col("cab").cast("double") / col("ca")).as("logp"))
+    big.join(model, Seq("a", "b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("cab").cast("double") / col("ca"))), 6)
-          .as("avg_logp"))
+        round(avg(col("logp")), 6).as("avg_logp"))
       .orderBy(col(idCol).asc)
   }
 
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Cached: the token stream feeds the vocabulary aggregation and
+    // the probe join (explode once, same precedent as the shared
+    // shingle relation in DedupOps).
     val tok = graft.FanOut
       .byKey(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
+      .cache()
     val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).cast("double").as("n"))
-    tok.join(counts, Seq("tok"))
-      .crossJoin(broadcast(total))
+    // Per-token log-prob computed on the |vocab| relation, away from
+    // the stream — the stream pays one probe join only.
+    val model = counts.crossJoin(broadcast(total))
+      .select(col("tok"),
+        log(col("c").cast("double") / col("n")).as("logp"))
+    tok.join(model, Seq("tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("c").cast("double") / col("n"))), 6)
-          .as("avg_logp"))
+        round(avg(col("logp")), 6).as("avg_logp"))
       .orderBy(col(idCol).asc)
   }
 }
