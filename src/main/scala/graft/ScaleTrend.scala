@@ -56,6 +56,36 @@ object ScaleTrend {
     }
     println(f"[scale] n4 x$factor min=${n4Times.min}%.3f " +
       s"all=${n4Times.map(t => f"$t%.3f").mkString(",")}")
+    // w1 (top-3 orders per customer) over N×-replicated orders with
+    // per-replica custkey offsets: the TopKPerKey pushdown vs Spark's
+    // window path (kill switch off) on the SAME input — the shuffle
+    // the pushdown saves grows with N, so the gap should widen.
+    val orders = Tables.orders(spark, sfDir)
+    val bigOrders = (0 until factor)
+      .map(k => orders
+        .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L)))
+      .reduce(_ unionByName _)
+    val wq = () => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      bigOrders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+    }
+    Seq("true" -> "topk", "false" -> "window").foreach {
+      case (flag, label) =>
+        spark.conf.set("spark.graft.topkRewrite", flag)
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          wq().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scale] w1/$label x$factor min=${ts.min}%.3f " +
+          s"all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.conf.set("spark.graft.topkRewrite", "true")
     spark.stop()
   }
 }
