@@ -121,6 +121,12 @@ object SparkEntry {
       SimilarityOps.embeddingNearDupsMultiProbe(
         Tables.embeddings(s, dir), minCosine = 0.4, stride = 50,
         nProbe = 2)),
+    // n13: the IVF TRAINING step — one Lloyd refinement of the
+    // strided centroids (assign → mean → re-assign), per-cluster
+    // size + cohesion report.
+    "n13_kmeans_refine" -> ((s, dir) =>
+      SimilarityOps.kmeansRefine(Tables.embeddings(s, dir),
+        stride = 50)),
     "r1_salted_counts" -> ((s, dir) =>
       SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
 
@@ -679,6 +685,46 @@ object SparkEntry {
         |FROM n a JOIN members USING (vec_id), q
         |WHERE a.vec_id <> 0
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "n13_kmeans_refine" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id % 50 = 0),
+        |a0 AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_dot_product(a.v, c.cv) /
+        |                       (a.nrm * c.cnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM n a CROSS JOIN cents c) WHERE rn = 1),
+        |mdim AS (
+        |  SELECT a0.centroid_id, t.i, round(avg(a.v[t.i]), 6) AS m
+        |  FROM a0 JOIN n a USING (vec_id),
+        |    unnest(generate_series(1, len(a.v))) AS t(i)
+        |  GROUP BY a0.centroid_id, t.i),
+        |c1 AS (
+        |  SELECT centroid_id, list(m ORDER BY i) AS cv
+        |  FROM mdim GROUP BY centroid_id),
+        |c1n AS (SELECT centroid_id, cv,
+        |    sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1),
+        |a1 AS (
+        |  SELECT vec_id, centroid_id, cscore FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      round(list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm), 6)
+        |        AS cscore,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_dot_product(a.v, c.cv) /
+        |                       (a.nrm * c.cnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM n a CROSS JOIN c1n c) WHERE rn = 1)
+        |SELECT centroid_id, count(*) AS n_members,
+        |  round(avg(cscore), 6) AS mean_cos
+        |FROM a1 GROUP BY centroid_id
+        |ORDER BY centroid_id ASC""".stripMargin,
     "n12_multiprobe_neardup" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

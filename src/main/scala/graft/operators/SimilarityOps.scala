@@ -130,6 +130,52 @@ object SimilarityOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** One Lloyd refinement of the strided IVF centroids — the TRAINING
+    * step behind the IVF index the search queries read (n8/n10/n12
+    * probe the index; this is how a better one is built): assign every
+    * vector to its best centroid, move each centroid to the
+    * element-wise MEAN of its members, re-assign against the moved
+    * centroids, and report per-cluster size and cohesion. Every mean
+    * dimension is rounded to 6 dp BEFORE use, so both engines compute
+    * cosines over bit-identical centroid arrays and the refined
+    * assignment is deterministic (argmax ties break on centroid id).
+    *
+    * Scale: a fixed small iteration count, each = one broadcast of
+    * the (|centroids| × d) table + one narrow shuffle keyed on
+    * (cluster, dim) for the means — no N² term anywhere; empty
+    * clusters drop out exactly as a production trainer would retire
+    * them.
+    */
+  def kmeansRefine(embeddings: DataFrame, stride: Int): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val assign0 = ivfAssign(embeddings, stride)
+      .select("vec_id", "centroid_id")
+    val means = assign0.join(vecs, Seq("vec_id"))
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    vecs.crossJoin(broadcast(means))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosinePrenormed(col("v"), col("cv"), col("nrm"),
+          col("cnrm")), 6).as("cscore"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("cscore")), 6).as("mean_cos"))
+      .orderBy(col("centroid_id").asc)
+  }
+
   /** IVF search: rank centroids against the query vector, probe the
     * `nProbe` best clusters, brute-force cosine only within them.
     * Fully deterministic → oracle-expressible, unlike the

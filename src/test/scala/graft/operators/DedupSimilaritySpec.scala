@@ -332,6 +332,26 @@ class DedupSimilaritySpec extends SparkSpec {
       emb.filter(col("vec_id") % 50 === 0).count())
   }
 
+  test("kmeansRefine: members conserved, cohesion not below initial") {
+    val emb = graft.Tables.embeddings(spark, sfSmoke).cache()
+    val refined = SimilarityOps.kmeansRefine(emb, stride = 50).cache()
+    // every vector lands in exactly one refined cluster
+    assert(refined.agg(sum("n_members")).head.getLong(0) == emb.count())
+    // Lloyd's step must not LOWER overall cohesion: compare the
+    // member-weighted mean cosine against the initial assignment's
+    val assign = SimilarityOps.ivfAssign(emb, stride = 50)
+    val initial = assign.agg(avg("cscore")).head.getDouble(0)
+    val after = refined
+      .agg(sum(col("mean_cos") * col("n_members")) /
+        sum(col("n_members"))).head.getDouble(0)
+    assert(after >= initial - 1e-6,
+      s"refinement lowered cohesion: $initial -> $after")
+    // deterministic across runs
+    val again = SimilarityOps.kmeansRefine(emb, stride = 50).collect()
+    assert(refined.collect().map(_.toString).toSeq ==
+      again.map(_.toString).toSeq)
+  }
+
   test("ivfTopK: probes clusters, overlaps brute-force, deterministic") {
     val emb = graft.Tables.embeddings(spark, sfSmoke).cache()
     val ivf = SimilarityOps.ivfTopK(emb, 0L, k = 10, stride = 50,
