@@ -109,6 +109,35 @@ final class Graft(spark: SparkSession, tableDir: String) {
       batchOrder = "ingested_at", checkpointDir)
   }
 
+  private def versionedPath: String = tableDir + "/records_versioned"
+
+  /** `refresh` with HISTORY — the reference's upsert verb
+    * (ethical_crawler.py:977–1005) onto the [[Versioned]] snapshot
+    * layer instead of overwrite-swap: refreshed rows replace matched
+    * keys, every refresh commits a time-travelable version, and
+    * [[refreshHistory]]/[[recordsAsOf]] expose the audit trail the
+    * plain table cannot keep. Returns the committed version.
+    */
+  def refreshVersioned(records: Seq[DataRecord]): Int = {
+    import spark.implicits._
+    val incoming = records.toDS().toDF()
+    if (Versioned.currentVersion(spark, versionedPath).isEmpty)
+      Versioned.init(incoming, versionedPath,
+        partitionCols = Seq("source_name"))
+    else
+      Versioned.mergeUpsert(incoming, versionedPath,
+        keys = Seq("source_name", "record_id"),
+        partitionCols = Seq("source_name"))
+  }
+
+  /** Per-version row counts of the versioned records table. */
+  def refreshHistory(): DataFrame =
+    Versioned.history(spark, versionedPath)
+
+  /** Time travel over refresh commits. */
+  def recordsAsOf(version: Int): DataFrame =
+    Versioned.snapshot(spark, versionedPath, version)
+
   /** `analytics` — per-source stats, type counts, and the three
     * reference-stubbed analytics (tags/temporal/license)
     * (ethical_crawler.py:1274–1349).

@@ -87,12 +87,23 @@ object Versioned {
     v
   }
 
-  /** Create version 0 from `df`. Fails if the table already exists. */
-  def init(df: DataFrame, table: String): Int = {
+  private def write(df: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(dir)
+  }
+
+  /** Create version 0 from `df`. Fails if the table already exists.
+    * `partitionCols` lays every snapshot out partitioned (pruned
+    * reads keep working through time travel).
+    */
+  def init(df: DataFrame, table: String,
+      partitionCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     require(currentVersion(spark, table).isEmpty,
       s"versioned table already initialized: $table")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(versionDir(table, 0))
+    write(df, versionDir(table, 0), partitionCols)
     commit(spark, table, 0)
   }
 
@@ -109,7 +120,8 @@ object Versioned {
     * the source. Snapshot `v` stays readable throughout.
     */
   def mergeUpsert(source: DataFrame, table: String, keys: Seq[String],
-      deleteFlag: Option[String] = None): Int = {
+      deleteFlag: Option[String] = None,
+      partitionCols: Seq[String] = Nil): Int = {
     val spark = source.sparkSession
     val v = currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"uninitialized versioned table: $table"))
@@ -122,8 +134,7 @@ object Versioned {
     val merged = upserts
       .unionByName(
         tgt.join(source.select(keyCols: _*), keys, "left_anti"))
-    merged.write.mode(SaveMode.ErrorIfExists)
-      .parquet(versionDir(table, v + 1))
+    write(merged, versionDir(table, v + 1), partitionCols)
     commit(spark, table, v + 1)
   }
 
