@@ -466,6 +466,11 @@ object SparkEntry {
     "e3_sketch_profile" -> ((s, dir) =>
       AnalyticsOps.sketchProfile(Tables.events(s, dir),
         key = "event_type", idCol = "user_id", valueCol = "value")),
+    // e4: the DETERMINISTIC sketch — KMV distinct estimate next to
+    // its exact twin, oracle-checkable unlike e3's HLL tier.
+    "e4_kmv_distinct" -> ((s, dir) =>
+      AnalyticsOps.kmvDistinct(Tables.events(s, dir),
+        key = "event_type", idCol = "user_id")),
 
     // ---- multimodal decode→extract→rollup (integer-exact) ----
     "m2_media_histogram" -> ((s, dir) => {
@@ -1191,6 +1196,34 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.90), 6) AS p90
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC""".stripMargin,
+    "e4_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |kmin AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY h ASC) AS rn
+        |    FROM h) WHERE rn <= 256),
+        |s AS (
+        |  SELECT event_type, count(*) AS n_used, max(h) AS hk
+        |  FROM kmin GROUP BY event_type),
+        |x AS (
+        |  SELECT event_type,
+        |    CASE WHEN n_used < 256 THEN n_used::DOUBLE
+        |         ELSE 255.0 * 1152921504606846976.0 / hk END AS est
+        |  FROM s),
+        |e AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.exact_distinct,
+        |  round(x.est)::BIGINT AS kmv_distinct,
+        |  round(abs(round(x.est) - e.exact_distinct) * 1.0
+        |        / e.exact_distinct, 6) AS rel_err
+        |FROM e JOIN x USING (event_type)
+        |ORDER BY event_type ASC""".stripMargin,
     "s1_hash_sample" ->
       """SELECT lang, count(*) AS n_rows,
         |  sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT

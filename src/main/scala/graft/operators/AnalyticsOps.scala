@@ -262,6 +262,45 @@ object AnalyticsOps {
     distincts.join(pcts, Seq(key)).resultSorted(col(key).asc)
   }
 
+  /** KMV (k-minimum-values) distinct sketch, next to its exact twin:
+    * per key, hash every id to 60 md5 bits, keep the k SMALLEST
+    * distinct hashes, and estimate |distinct| as (k−1)·2⁶⁰/h_k (the
+    * k-th minimum of a uniform hash is ~k/|D| of the hash space);
+    * under k distinct values the sketch is not saturated and the
+    * count is exact. Unlike HLL (e3, rows-only gated) this sketch is
+    * fully DETERMINISTIC — both engines keep the same k hashes — so
+    * the approximate tier itself is oracle-checkable, and the
+    * per-key top-k filter is exactly the shape [[graft.plans
+    * .TopKRewrite]] plans with partial pushdown (the sketch is
+    * mergeable for the same reason: per-partition k-minima union to
+    * the global k-minima). Emits exact, estimate, and relative error.
+    */
+  def kmvDistinct(df: DataFrame, key: String, idCol: String,
+      k: Int = 256): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hashes = df.select(col(key), h.as("h")).distinct()
+    val w = Window.partitionBy(col(key)).orderBy(col("h").asc)
+    val est = hashes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_used"), max(col("h")).as("hk"))
+      .select(col(key),
+        when(col("n_used") < k, col("n_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            lit(1.152921504606846976e18) / col("hk").cast("double"))
+          .as("est"))
+    val exact = df.groupBy(col(key))
+      .agg(countDistinct(col(idCol)).as("exact_distinct"))
+    exact.join(est, Seq(key))
+      .select(col(key), col("exact_distinct"),
+        round(col("est")).cast("long").as("kmv_distinct"),
+        round(abs(round(col("est")) - col("exact_distinct")) /
+          col("exact_distinct"), 6).as("rel_err"))
+      .resultSorted(col(key).asc)
+  }
+
   /** Set algebra between two keyed subsets (INTERSECT / EXCEPT — the
     * §2.7 surface the reference never exercises): ids matching both
     * predicates, and ids matching only the first, tagged in one

@@ -126,6 +126,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kmvDistinct: unsaturated is exact; saturated within KMV error") {
+    import spark.implicits._
+    // 10 distinct ids < k → the sketch IS the exact count
+    val small = (1 to 40).map(i => ("t", (i % 10).toLong))
+      .toDF("event_type", "user_id")
+    val sm = AnalyticsOps.kmvDistinct(small, "event_type", "user_id",
+      k = 256).head
+    assert(sm.getLong(1) == 10L && sm.getLong(2) == 10L &&
+      sm.getDouble(3) == 0.0)
+    // saturated on the real table: standard error ~1/sqrt(k-1) ≈ 6%
+    // at k=256 — hold every key to 4 sigma
+    val rows = AnalyticsOps.kmvDistinct(Tables.events(spark, sfSmoke),
+      "event_type", "user_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= 0.25,
+        s"KMV rel_err ${r.getDouble(3)} for ${r.getString(0)} " +
+          s"(exact=${r.getLong(1)} est=${r.getLong(2)})")
+    }
+    // mergeability argument in miniature: the global k-minima equal
+    // the k-minima of the union of per-partition k-minima
+    val ev = Tables.events(spark, sfSmoke)
+    val repart = AnalyticsOps.kmvDistinct(ev.repartition(7),
+      "event_type", "user_id").collect()
+    assert(rows.map(_.toString).toSeq == repart.map(_.toString).toSeq)
+  }
+
   test("q12 shape: high+low counts cover every joined row") {
     val res = StarSchemaOps.lineStatusPriorityCounts(spark, sfSmoke)
       .collect()
