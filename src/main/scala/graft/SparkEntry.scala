@@ -379,6 +379,19 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .offset(100).limit(50)),
+    // o6: KEYSET pagination — the scale-correct page fetch. OFFSET n
+    // sorts and discards n rows per page (page cost grows with page
+    // number); the keyset form seeks past the previous page's last
+    // (sort-key, tiebreak) cursor with a pushable predicate, so every
+    // page costs one pruned scan + top-k regardless of depth.
+    "o6_keyset_page" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_totalprice") < lit(355000.0) ||
+          (col("o_totalprice") === lit(355000.0) &&
+            col("o_orderkey") > lit(0L)))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50)),
     "f5_ship_latency" -> ((s, dir) => {
       val ord = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -1282,6 +1295,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 50 OFFSET 100""".stripMargin,
+    "o6_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice < 355000.0
+        |   OR (o_totalprice = 355000.0 AND o_orderkey > 0)
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 50""".stripMargin,
     "f5_ship_latency" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  round(avg(date_diff('day', o_orderdate, l_shipdate)), 6)
