@@ -37,7 +37,9 @@ class ScaleShapeSpec extends SparkSpec {
     val queries = Seq("q3_top_revenue_orders", "q5_region_revenue",
       "q10_returned_revenue", "q18_large_orders", "k5_dedup_append",
       "q13_order_distribution", "q21_waiting_suppliers",
-      "q2_min_cost_supplier")
+      "q2_min_cost_supplier", "q8_market_share", "q9_nation_profit",
+      "q16_supplier_diversity", "f5_ship_latency", "t11_lm_score",
+      "t12_bigram_lm", "e4_kmv_distinct")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
