@@ -33,6 +33,16 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // With parallelismFirst=false AQE coalesces to the advisory size.
+      // The 64 MB default is a cluster constant, not a law: against the
+      // ~17 MB local corpus it folds every post-shuffle stage to ONE
+      // partition, serializing any reduce side that carries real compute
+      // (measured: n3's shared-shingle pair join doubled, 1.6 → 3.1 s).
+      // 2 MB keeps tiny exchanges coalesced (floor-tier win retained)
+      // while a compute-heavy reduce keeps ~8-way parallelism. On a real
+      // cluster with TB inputs the default would be appropriate; this is
+      // the honest local-scale equivalent.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
