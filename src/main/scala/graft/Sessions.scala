@@ -43,6 +43,14 @@ object Sessions {
       // cluster with TB inputs the default would be appropriate; this is
       // the honest local-scale equivalent.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      // AQE's runtime-stats broadcast decision (NOT the static planner
+      // estimate): with 128 GiB of executor memory a 64 MB build side
+      // is safely broadcastable, and the vocab-bounded model relations
+      // (LM scoring, FTS postings) sit just above the 10 MB default —
+      // sort-merge-joining a 500k-row stream against them costs more
+      // than the broadcast. Static estimates keep the default
+      // threshold, so only MEASURED small relations qualify.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

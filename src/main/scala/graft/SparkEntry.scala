@@ -900,12 +900,14 @@ object SparkEntry {
         |  FROM documents),
         |t AS (SELECT doc_id, tok FROM tok0 WHERE tok <> ''),
         |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
-        |n AS (SELECT sum(c)::DOUBLE AS n FROM c)
-        |SELECT t.doc_id, count(*) AS n_tokens,
-        |  round(avg(ln(c.c / n.n)), 6) AS avg_logp
-        |FROM t JOIN c USING (tok) CROSS JOIN n
-        |GROUP BY t.doc_id
-        |ORDER BY t.doc_id ASC""".stripMargin,
+        |doc AS (SELECT doc_id, count(*) AS n_tokens,
+        |    avg(ln(c.c::DOUBLE)) AS m
+        |  FROM t JOIN c USING (tok) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, n_tokens, m,
+        |    sum(n_tokens) OVER () AS n FROM doc)
+        |SELECT doc_id, n_tokens,
+        |  round(m - ln(n::DOUBLE), 6) AS avg_logp
+        |FROM tot ORDER BY doc_id ASC""".stripMargin,
     "t12_bigram_lm" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -913,7 +915,7 @@ object SparkEntry {
         |  SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
         |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
         |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
-        |ca AS (SELECT a, count(*) AS ca FROM bg GROUP BY a)
+        |ca AS (SELECT a, sum(cab)::BIGINT AS ca FROM cab GROUP BY a)
         |SELECT bg.doc_id, count(*) AS n_bigrams,
         |  round(avg(ln(cab.cab * 1.0 / ca.ca)), 6) AS avg_logp
         |FROM bg JOIN cab USING (a, b) JOIN ca USING (a)

@@ -180,6 +180,11 @@ object StreamingOps {
   def sessionWindowAgg(events: DataFrame, tsCol: String, gap: String)
       : DataFrame =
     events
+      // The merging-sessions aggregate is NOT whole-stage-codegen'd, so
+      // every byte of the grouped row costs interpreted work — project
+      // down to the three columns the aggregate reads before grouping
+      // (round-5 verdict item 4: full event rows made st4 ~8× its twin).
+      .select(col("user_id"), col(tsCol), col("value"))
       .groupBy(col("user_id"), session_window(col(tsCol), gap))
       .agg(
         min(col(tsCol)).as("session_start"),
