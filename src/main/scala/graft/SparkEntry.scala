@@ -374,6 +374,15 @@ object SparkEntry {
             col("total_chars"))
         at(0).unionByName(at(1)).resultSorted(col("version").asc)
       }),
+    // k12: copy-on-write merge at FILE granularity — a narrow upsert
+    // into a range-laid-out table rewrites only the overlapping
+    // files; the oracle checks the merged output, VersionedSpec
+    // asserts the rewritten-file count.
+    "k12_merge_pruned" -> ((s, dir) =>
+      prunedMergeTable(s, dir)
+        .filter(col("doc_id") <= 250)
+        .select("doc_id", "source", "n_chars")
+        .resultSorted(col("doc_id").asc)),
     "o5_pagination" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -570,17 +579,53 @@ object SparkEntry {
     * root per invocation — each bench rep measures the full
     * init+merge+read cycle, never a leftover table.
     */
+  /** Fresh temp root per invocation, reclaimed at JVM exit (each
+    * bench rep measures a full init+merge+read cycle without leaking
+    * a table copy per rep — round-5 advice).
+    */
+  private def tempTableRoot(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(); ()
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
   private def mergedDocsTable(s: SparkSession, dir: String)(
       read: String => DataFrame): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_versioned").toString + "/docs"
+    val root = tempTableRoot("graft_versioned") + "/docs"
     Versioned.init(docs.filter(col("doc_id") % 3 =!= 0), root)
     Versioned.mergeUpsert(
       docs.filter(col("doc_id") % 2 === 0)
         .withColumn("n_chars", col("n_chars") + lit(1000L)),
       root, Seq("doc_id"))
     read(root)
+  }
+
+  /** k12 fixture: the FILE-GRANULAR merge path — v0 is laid out as
+    * several range-partitioned files on the merge key, the source
+    * touches only the low end of the key space, so the copy-on-write
+    * planner rewrites the overlapping file(s) and carries the rest
+    * into v1 by reference (VersionedSpec asserts the written-file
+    * count; this query puts the OUTPUT through the oracle gate).
+    */
+  private def prunedMergeTable(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+    val root = tempTableRoot("graft_versioned_pruned") + "/docs"
+    Versioned.init(
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .repartitionByRange(6, col("doc_id")),
+      root)
+    Versioned.mergeUpsert(
+      docs.filter(col("doc_id") % 2 === 0 && col("doc_id") <= 200)
+        .withColumn("n_chars", col("n_chars") + lit(500L)),
+      root, Seq("doc_id"))
+    Versioned.current(s, root)
   }
 
   /** k10/k11 shared oracle CTEs — the merge's relational definition:
@@ -1293,6 +1338,21 @@ object SparkEntry {
         |SELECT 1 AS version, count(*) AS n_docs,
         |  sum(n_chars)::BIGINT AS total_chars FROM merged
         |ORDER BY version ASC""".stripMargin,
+    "k12_merge_pruned" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |upd AS (
+        |  SELECT doc_id, source, n_chars + 500 AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id <= 200),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b LEFT JOIN upd u ON b.doc_id = u.doc_id
+        |  WHERE u.doc_id IS NULL)
+        |SELECT doc_id, source, n_chars FROM merged
+        |WHERE doc_id <= 250
+        |ORDER BY doc_id ASC""".stripMargin,
     "o5_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC

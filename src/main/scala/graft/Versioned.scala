@@ -1,72 +1,103 @@
 package graft
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Versioned parquet tables: snapshot isolation, MERGE upsert and time
-  * travel over a plain filesystem — the minimal transactional layer
-  * for the reference's refresh/upsert verb (L6, ethical_crawler.py:
-  * 939–1005), which round 4 shipped as overwrite-swap only.
+/** Versioned parquet tables: snapshot isolation, file-granular MERGE
+  * upsert and time travel over a plain filesystem — the minimal
+  * transactional layer for the reference's refresh/upsert verb (L6,
+  * ethical_crawler.py:939–1005), which round 4 shipped as
+  * overwrite-swap only.
   *
-  * Layout: `<table>/v=<k>/part-*.parquet` snapshot directories plus a
-  * one-line `<table>/_latest` manifest naming the current version.
-  * Writers NEVER mutate a published snapshot: a commit writes the new
-  * `v=<k+1>` directory completely, then swaps the manifest via
-  * write-temp-then-rename (atomic on HDFS and a single local fs) — the
-  * same single-pointer commit protocol a transactional table format
-  * uses with a log in place of the pointer. Readers resolve the
-  * manifest once and then read an immutable directory, so a reader is
-  * never torn across a concurrent commit and any historical version
-  * stays readable until vacuumed.
+  * Layout: data files live in `<table>/v=<k>/` (the version that
+  * WROTE them — files are immutable and may be referenced by any
+  * number of later versions), and each committed version has a
+  * manifest `<table>/_commits/v=<k>` listing its data files, one
+  * relative path per line. A commit writes its new data files
+  * completely, then CREATES the manifest with overwrite=false — the
+  * create is the commit point (atomic on HDFS and a single local fs),
+  * so two racing committers of the same version see exactly one
+  * winner and the loser fails fast; nothing is ever deleted or
+  * renamed on the commit path, so there is no window where the table
+  * appears uninitialized to a concurrent reader (a delete-then-rename
+  * pointer swap had both defects — round-5 advice). This is the same
+  * append-only manifest-log protocol a transactional table format
+  * uses. Readers resolve a manifest once and then read immutable
+  * files, so a reader is never torn across a concurrent commit and
+  * any historical version stays readable until vacuumed.
   *
-  * 100 TB notes: MERGE here rewrites the full table (one anti-join +
-  * union — O(|target| + |source|), one shuffle on the key). The
-  * production refinement is copy-on-write at FILE granularity (join
-  * the source keys against file-level min/max stats to rewrite only
-  * matched files) or merge-on-read deltas — both change the write
-  * cost, not the semantics or this API. Old snapshots are reclaimed
-  * with [[vacuum]], exactly like a format's expire-snapshots job.
+  * 100 TB notes: MERGE is copy-on-write at FILE granularity — source
+  * keys are joined against per-file key ranges (parquet footer
+  * min/max, or the partition value when the key is a partition
+  * column), only overlapping files are rewritten, and every other
+  * file carries into the new manifest BY REFERENCE. A 1-row upsert
+  * into a range-partitioned table rewrites one file, not the table.
+  * The planning join and the matched-file collect are metadata-scale
+  * (#files, not rows) — the same driver-side manifest pruning every
+  * copy-on-write format performs before a write. Old snapshots are
+  * reclaimed with [[vacuum]], which deletes only files no kept
+  * manifest references — exactly a format's expire-snapshots job.
   */
 object Versioned {
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifest(table: String) = new Path(table, "_latest")
+  private def commitMarker(table: String, v: Int) =
+    new Path(table, s"_commits/v=$v")
 
   private def versionDir(table: String, v: Int) = s"$table/v=$v"
 
-  /** Current committed version, None for an uninitialized table. */
-  def currentVersion(spark: SparkSession, table: String): Option[Int] = {
-    val f = fs(spark, table)
-    val m = manifest(table)
-    if (!f.exists(m)) None
-    else {
-      val in = f.open(m)
-      try {
-        val s = scala.io.Source.fromInputStream(in).mkString.trim
-        Some(s.toInt)
-      } finally in.close()
-    }
-  }
-
-  /** All committed versions, oldest first (directory listing — cheap:
-    * one entry per snapshot, independent of data size).
+  /** All committed versions, oldest first (one listing of the commit
+    * log — cheap: one entry per snapshot, independent of data size).
+    * Listed from the MANIFESTS, not the data directories, so a
+    * mid-write snapshot or a race loser's orphan directory never
+    * reads as committed.
     */
   def versions(spark: SparkSession, table: String): Seq[Int] = {
     val f = fs(spark, table)
-    val p = new Path(table)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
+    val dir = new Path(table, "_commits")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
       .sorted
   }
 
-  /** Time travel: read snapshot `v` (immutable once committed). */
+  /** Current committed version, None for an uninitialized table. */
+  def currentVersion(spark: SparkSession, table: String): Option[Int] =
+    versions(spark, table).lastOption
+
+  /** The data files of snapshot `v`, relative to the table root —
+    * the manifest's contents (a format's `inputFiles`). Files from
+    * earlier version directories are carried by reference.
+    */
+  def snapshotFiles(spark: SparkSession, table: String, v: Int)
+      : Seq[String] = {
+    val f = fs(spark, table)
+    val in = f.open(commitMarker(table, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Time travel: read snapshot `v` (immutable once committed).
+    * Files are read grouped by their birth version directory with
+    * that directory as `basePath`, so partition-column values encoded
+    * in subdirectory names survive the by-file read.
+    */
   def snapshot(spark: SparkSession, table: String, v: Int): DataFrame =
-    spark.read.parquet(versionDir(table, v))
+    snapshotFiles(spark, table, v)
+      .groupBy(_.takeWhile(_ != '/'))
+      .toSeq.sortBy(_._1)
+      .map { case (birth, files) =>
+        spark.read
+          .option("basePath", s"$table/$birth")
+          .parquet(files.map(f => s"$table/$f"): _*)
+      }
+      .reduce(_.unionByName(_))
 
   /** Read the current snapshot (manifest resolved once per call). */
   def current(spark: SparkSession, table: String): DataFrame = {
@@ -75,16 +106,41 @@ object Versioned {
     snapshot(spark, table, v)
   }
 
-  private def commit(spark: SparkSession, table: String, v: Int): Int = {
+  private[graft] def commit(spark: SparkSession, table: String, v: Int,
+      files: Seq[String]): Int = {
     val f = fs(spark, table)
-    val tmp = new Path(table, s"_latest.tmp$v")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // Single-pointer swap: rename is the commit point.
-    f.delete(manifest(table), false)
-    if (!f.rename(tmp, manifest(table)))
-      throw new IllegalStateException(s"commit of $table v$v lost a race")
+    // CREATE with overwrite=false is the commit point: exactly one
+    // writer of version v succeeds, the loser gets the exception
+    // instead of silently clobbering the winner.
+    val out =
+      try f.create(commitMarker(table, v), false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"commit of $table v$v lost a race", e)
+      }
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
     v
+  }
+
+  /** Recursive listing of the data files under one version directory
+    * (relative to the table root) — partitioned layouts nest them
+    * under `<col>=<value>/` subdirectories.
+    */
+  private def listDataFiles(spark: SparkSession, table: String, v: Int)
+      : Seq[String] = {
+    val f = fs(spark, table)
+    val root = new Path(versionDir(table, v))
+    val it = f.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val prefix = new Path(table).toUri.getPath.stripSuffix("/") + "/"
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.startsWith("part-"))
+        buf += st.getPath.toUri.getPath.stripPrefix(prefix)
+    }
+    buf.toList.sorted
   }
 
   private def write(df: DataFrame, dir: String,
@@ -96,7 +152,8 @@ object Versioned {
 
   /** Create version 0 from `df`. Fails if the table already exists.
     * `partitionCols` lays every snapshot out partitioned (pruned
-    * reads keep working through time travel).
+    * reads keep working through time travel, and a partition column
+    * used as the leading merge key prunes from the path alone).
     */
   def init(df: DataFrame, table: String,
       partitionCols: Seq[String] = Nil): Int = {
@@ -104,7 +161,99 @@ object Versioned {
     require(currentVersion(spark, table).isEmpty,
       s"versioned table already initialized: $table")
     write(df, versionDir(table, 0), partitionCols)
-    commit(spark, table, 0)
+    commit(spark, table, 0, listDataFiles(spark, table, 0))
+  }
+
+  /** Per-file [min, max] of the leading merge key, AS STRINGS (cast
+    * back to the key's type in the pruning join, so numeric ordering
+    * is restored): from the `<key>=<value>` path segment when the key
+    * is a partition column, else from the parquet footer column
+    * statistics. None = unknown → the file is conservatively
+    * rewritten. Driver-side, O(#files) footer reads — metadata scale,
+    * the manifest-stats read of a copy-on-write format.
+    */
+  private def fileKeyRanges(spark: SparkSession, table: String,
+      files: Seq[String], key: String)
+      : Seq[(String, Option[(String, String)])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seg = s"$key="
+    files.map { rel =>
+      val fromPath = rel.split('/').find(_.startsWith(seg))
+        .map(_.drop(seg.length))
+        .map(v => (v, v))
+      val range = fromPath.orElse {
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(s"$table/$rel"), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks
+            // Min/max reduced across row groups in NATIVE Comparable
+            // space (string ordering would put "10" < "9"), then
+            // stringified once for the typed cast downstream.
+            val ranges = scala.jdk.CollectionConverters
+              .ListHasAsScala(blocks).asScala.toSeq.flatMap { b =>
+                scala.jdk.CollectionConverters
+                  .ListHasAsScala(b.getColumns).asScala
+                  .find(_.getPath.toDotString == key)
+                  .flatMap { c =>
+                    val st = c.getStatistics
+                    if (st == null || !st.hasNonNullValue) None
+                    else Some((
+                      st.genericGetMin.asInstanceOf[Comparable[Any]],
+                      st.genericGetMax.asInstanceOf[Comparable[Any]]))
+                  }
+              }
+            if (ranges.isEmpty) None
+            else {
+              val lo = ranges.map(_._1)
+                .reduce((a, b) => if (a.compareTo(b) <= 0) a else b)
+              val hi = ranges.map(_._2)
+                .reduce((a, b) => if (a.compareTo(b) >= 0) a else b)
+              Some((statToString(lo.asInstanceOf[AnyRef]),
+                statToString(hi.asInstanceOf[AnyRef])))
+            }
+          } finally reader.close()
+        } catch { case _: Exception => None }
+      }
+      (rel, range)
+    }
+  }
+
+  /** Decimal strings order correctly only after the cast back to the
+    * key type; binary stats decode as UTF-8 (Spark-written string
+    * columns).
+    */
+  private def statToString(v: AnyRef): String = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other.toString
+  }
+
+  /** Min/max string ordering is NOT value ordering for numerics, so
+    * the per-file ranges are compared in key space: both sides cast
+    * to the target column's type. Types whose strings don't survive
+    * the round-trip (timestamps, decimals with exotic scales) simply
+    * never produce a range (None upstream) and stay conservative.
+    */
+  private def matchedFiles(source: DataFrame, key: String,
+      keyType: DataType,
+      ranges: Seq[(String, Option[(String, String)])]): Set[String] = {
+    val spark = source.sparkSession
+    val always = ranges.collect { case (f, None) => f }.toSet
+    val known = ranges.collect { case (f, Some((lo, hi))) => (f, lo, hi) }
+    if (known.isEmpty) return always
+    import spark.implicits._
+    val statsDf = known.toDF("__file", "__lo", "__hi")
+      .select(col("__file"),
+        col("__lo").cast(keyType).as("__lo"),
+        col("__hi").cast(keyType).as("__hi"))
+    val hit = source.select(col(key).as("__k"))
+      .where(col("__k").isNotNull)
+      .join(broadcast(statsDf),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    always ++ hit
   }
 
   /** MERGE (whole-row upsert): source rows REPLACE target rows that
@@ -114,10 +263,15 @@ object Versioned {
     * source column, flagged rows instead DELETE their target match
     * (and insert nothing). Commits and returns the new version.
     *
-    * Cost: one left-anti join of target against the source keys
-    * (shuffle on the key, or broadcast when the source is small — the
-    * common refresh case, left to AQE) + one column-pruned pass over
-    * the source. Snapshot `v` stays readable throughout.
+    * Cost — copy-on-write at file granularity: one metadata-scale
+    * pruning join of source keys against per-file ranges of
+    * `keys.head`, one anti-join + rewrite of ONLY the overlapping
+    * files (shuffle on the key, or broadcast when the source is small
+    * — the common refresh case, left to AQE); every non-overlapping
+    * file is carried into the new manifest by reference, zero IO.
+    * The collect() in the planner gathers FILE NAMES (#files rows) —
+    * metadata, not data; the query path stays fully distributed.
+    * Snapshot `v` stays readable throughout.
     */
   def mergeUpsert(source: DataFrame, table: String, keys: Seq[String],
       deleteFlag: Option[String] = None,
@@ -125,17 +279,35 @@ object Versioned {
     val spark = source.sparkSession
     val v = currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"uninitialized versioned table: $table"))
+    val files = snapshotFiles(spark, table, v)
     val tgt = snapshot(spark, table, v)
+    val keyType = tgt.schema(keys.head).dataType
+    val ranges = fileKeyRanges(spark, table, files, keys.head)
+    val matched = matchedFiles(source, keys.head, keyType, ranges)
+    val untouched = files.filterNot(matched)
     val keyCols = keys.map(col)
     val upserts = deleteFlag match {
       case Some(flag) => source.filter(!col(flag)).drop(flag)
       case None => source
     }
-    val merged = upserts
-      .unionByName(
-        tgt.join(source.select(keyCols: _*), keys, "left_anti"))
+    val merged =
+      if (matched.isEmpty) upserts
+      else {
+        val rewrite = matched.toSeq.sorted
+          .groupBy(_.takeWhile(_ != '/'))
+          .toSeq.sortBy(_._1)
+          .map { case (birth, fls) =>
+            spark.read
+              .option("basePath", s"$table/$birth")
+              .parquet(fls.map(f => s"$table/$f"): _*)
+          }
+          .reduce(_.unionByName(_))
+        upserts.unionByName(
+          rewrite.join(source.select(keyCols: _*), keys, "left_anti"))
+      }
     write(merged, versionDir(table, v + 1), partitionCols)
-    commit(spark, table, v + 1)
+    commit(spark, table, v + 1,
+      untouched ++ listDataFiles(spark, table, v + 1))
   }
 
   /** Per-version row counts — the table's history report. */
@@ -148,13 +320,24 @@ object Versioned {
   }
 
   /** Drop all snapshots older than `keepLast` versions (expire
-    * snapshots). The manifest never points at a dropped version.
+    * snapshots). A data file is deleted only when NO kept manifest
+    * references it; markers are dropped FIRST so no reader resolves a
+    * version whose files are mid-delete. The current version is
+    * always retained.
     */
   def vacuum(spark: SparkSession, table: String, keepLast: Int = 1): Unit = {
     val vs = versions(spark, table)
+    val keep = vs.takeRight(math.max(1, keepLast))
+    val dropped = vs.dropRight(math.max(1, keepLast))
+    if (dropped.isEmpty) return
+    val referenced = keep
+      .flatMap(v => snapshotFiles(spark, table, v)).toSet
     val f = fs(spark, table)
-    vs.dropRight(math.max(1, keepLast)).foreach { v =>
-      f.delete(new Path(versionDir(table, v)), true)
+    dropped.foreach { v =>
+      f.delete(commitMarker(table, v), false)
+      listDataFiles(spark, table, v)
+        .filterNot(referenced)
+        .foreach(rel => f.delete(new Path(s"$table/$rel"), false))
     }
   }
 }

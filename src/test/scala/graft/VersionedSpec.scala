@@ -73,6 +73,104 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.current(spark, t).count() == 3)
   }
 
+  test("racing committers of the same version: one wins, loser fails fast") {
+    val t = tmpDir("versioned") + "/t"
+    Versioned.init(docs(Seq(1L, 2L), _ => 1L), t)
+    // The exact interleaving the delete-then-rename protocol lost:
+    // two writers both observed v0 and both try to commit v1. The
+    // marker create (overwrite=false) lets exactly one through; the
+    // second MUST fail instead of silently becoming the last writer.
+    assert(Versioned.commit(spark, t, 1,
+      Versioned.snapshotFiles(spark, t, 0)) == 1)
+    val e = intercept[IllegalStateException] {
+      Versioned.commit(spark, t, 1, Versioned.snapshotFiles(spark, t, 0))
+    }
+    assert(e.getMessage.contains("lost a race"))
+    // The winner's commit is untouched and the table never read as
+    // uninitialized (nothing on the commit path deletes or renames).
+    assert(Versioned.currentVersion(spark, t).contains(1))
+  }
+
+  test("concurrent mergeUpsert writers: no lost update, distinct versions") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmpDir("versioned") + "/t"
+    Versioned.init(docs(Seq(1L, 2L), _ => 1L), t)
+    val sources = Seq(docs(Seq(3L), _ => 3L), docs(Seq(4L), _ => 4L))
+    val results = Await.result(
+      Future.sequence(sources.map(s => Future(
+        try Right(Versioned.mergeUpsert(s, t, Seq("doc_id")))
+        catch { case e: Exception => Left(e) }))),
+      2.minutes)
+    val won = results.collect { case Right(v) => v }
+    // Outcomes: serialized (both commit, distinct versions) or raced
+    // (one fails fast). NEVER two writers claiming the same version.
+    assert(won.nonEmpty && won.distinct == won, s"got $results")
+    assert(Versioned.currentVersion(spark, t).contains(won.max))
+    val got = rows(Versioned.current(spark, t))
+    // No lost update: every SUCCESSFUL writer's row is in the final
+    // state iff its version is the max or its rows were carried
+    // forward by the later merge (merge carries all unmatched rows).
+    if (won.size == 2) {
+      assert(got.contains((3L, "src_0", 3L)) &&
+        got.contains((4L, "src_1", 4L)))
+    } else {
+      assert(got.contains((3L, "src_0", 3L)) ||
+        got.contains((4L, "src_1", 4L)))
+    }
+  }
+
+  test("file-granular merge: narrow upsert rewrites only overlapping files") {
+    val t = tmpDir("versioned") + "/t"
+    val base = docs(1L to 120L, _ => 10L)
+      .repartitionByRange(6, col("doc_id"))
+    Versioned.init(base, t)
+    val v0Files = Versioned.snapshotFiles(spark, t, 0)
+    assert(v0Files.size >= 4, s"fixture needs several files, got $v0Files")
+    // Source touches only the low end of the key range.
+    Versioned.mergeUpsert(docs(Seq(2L, 5L, 121L), _ => 99L), t,
+      Seq("doc_id"))
+    val v1Files = Versioned.snapshotFiles(spark, t, 1)
+    val carried = v1Files.filter(_.startsWith("v=0/")).toSet
+    val rewritten = v0Files.filterNot(carried).size
+    // Most of the table carried by reference; only the file(s) whose
+    // [min,max] overlaps {2,5,121} were rewritten.
+    assert(carried.nonEmpty, "no files carried by reference")
+    assert(rewritten < v0Files.size,
+      s"expected a partial rewrite, rewrote all ${v0Files.size}")
+    assert(rewritten <= 2, s"pruning too weak: rewrote $rewritten files")
+    // Output identical to the relational merge definition.
+    val expect = (1L to 120L).map {
+      case i if i == 2L || i == 5L => (i, s"src_${i % 3}", 99L)
+      case i => (i, s"src_${i % 3}", 10L)
+    }.toSet + ((121L, "src_1", 99L))
+    assert(rows(Versioned.current(spark, t)) == expect)
+  }
+
+  test("partition-column merge key prunes from the path alone") {
+    val t = tmpDir("versioned") + "/t"
+    Versioned.init(docs(1L to 30L, _ => 10L), t,
+      partitionCols = Seq("source"))
+    val v0Files = Versioned.snapshotFiles(spark, t, 0)
+    assert(v0Files.exists(_.contains("source=")), s"not partitioned: $v0Files")
+    // Leading key = the partition column; source rows touch src_1 only.
+    import spark.implicits._
+    val src = Seq(("src_1", 4L, 77L), ("src_1", 31L, 77L))
+      .toDF("source", "doc_id", "n_chars")
+    Versioned.mergeUpsert(src, t, Seq("source", "doc_id"))
+    val v1Files = Versioned.snapshotFiles(spark, t, 1)
+    // src_0 and src_2 partitions carried by reference, never read.
+    assert(v1Files.filter(_.startsWith("v=0/"))
+      .forall(f => !f.contains("source=src_1")))
+    assert(v1Files.exists(f =>
+      f.startsWith("v=0/") && f.contains("source=src_0")))
+    val got = rows(Versioned.current(spark, t))
+    assert(got.contains((4L, "src_1", 77L)) &&
+      got.contains((31L, "src_1", 77L)) && got.contains((3L, "src_0", 10L)))
+    assert(got.size == 31)
+  }
+
   test("init refuses an existing table; merge refuses uninitialized") {
     val t = tmpDir("versioned") + "/t"
     Versioned.init(docs(Seq(1L), _ => 1L), t)
