@@ -39,7 +39,24 @@ object FanOut {
 
   def byKey(df: DataFrame, key: Column): DataFrame = {
     val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, slots / 2)) df
+    // Split count read from the plan's LEAF SCANS — driver-side split
+    // planning only. `df.rdd` here would physically plan (and, under
+    // AQE, could eagerly execute) the whole input a second time and
+    // then discard it (round-5 advice). Callers pass scan-only
+    // projections, where leaf splits == input partitions; an unknown
+    // leaf shape conservatively counts as already-parallel so the
+    // exchange is never added on a plan this heuristic can't read.
+    val splits = df.queryExecution.sparkPlan.collectLeaves().map {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.execute().getNumPartitions
+      case s: org.apache.spark.sql.execution.LocalTableScanExec =>
+        s.execute().getNumPartitions
+      case _ => Int.MaxValue
+    }
+    val total =
+      if (splits.isEmpty) Int.MaxValue
+      else splits.map(n => math.min(n, 1 << 20)).sum
+    if (total >= math.max(2, slots / 2)) df
     else df.repartition(width(slots), key)
   }
 }

@@ -28,6 +28,17 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
+  /** Dimension tables below this on-disk size are kept in executor
+    * memory (`cache()`): every star query pays its dim broadcasts out
+    * of memory instead of re-scanning parquet per query — the same
+    * size-gated judgment auto-broadcast applies, so a dimension that
+    * GROWS past the gate at scale silently reverts to scan-per-query
+    * with full pushdown rather than polluting the cache.
+    */
+  private val DimCacheMaxBytes = 64L << 20
+  private val DimTables =
+    Set("region", "nation", "customer", "supplier", "part")
+
   private def load(spark: SparkSession, p: String): DataFrame = {
     val perSession = cache.computeIfAbsent(spark, s => {
       s.sparkContext.addSparkListener(
@@ -38,7 +49,15 @@ object Tables {
         })
       new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     })
-    perSession.computeIfAbsent(p, _ => spark.read.parquet(p))
+    perSession.computeIfAbsent(p, _ => {
+      val df = spark.read.parquet(p)
+      val name = p.split('/').last.stripSuffix(".parquet")
+      val small = DimTables.contains(name) && {
+        val f = new java.io.File(p)
+        f.exists && f.length < DimCacheMaxBytes
+      }
+      if (small) df.cache() else df
+    })
   }
 
   private def path(sfDir: String, table: String): String =

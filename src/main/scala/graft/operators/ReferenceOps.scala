@@ -156,8 +156,17 @@ object ReferenceOps {
     */
   def lastRowPerKey(df: DataFrame, keys: Seq[String], orderCol: String)
       : DataFrame = {
+    // Deterministic tiebreaker: a batch carrying two revisions of a
+    // key with EQUAL orderCol must pick the same row on replay
+    // (mergeUpsertSink's idempotence guarantee — round-5 advice), so
+    // ties break on a content hash of the remaining columns rather
+    // than arbitrary partition order.
+    val others = df.columns
+      .filterNot(c => keys.contains(c) || c == orderCol)
+    val tiebreak =
+      if (others.isEmpty) lit(0L) else xxhash64(others.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc)
+      .orderBy(col(orderCol).desc, tiebreak.desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
