@@ -56,7 +56,12 @@ object FanOut {
     val total =
       if (splits.isEmpty) Int.MaxValue
       else splits.map(n => math.min(n, 1 << 20)).sum
-    if (total >= math.max(2, slots / 2)) df
+    // Identity once the input is at least as wide as the fan-out
+    // target: repartitioning an 8-split scan to 8 partitions would be
+    // a pure exchange with nothing recovered (Tables' layout repair
+    // already re-splits the hot facts; this path remains for sources
+    // that genuinely cannot be split).
+    if (total >= width(slots)) df
     else df.repartition(width(slots), key)
   }
 }

@@ -42,7 +42,8 @@ object Sessions {
       // while a compute-heavy reduce keeps ~8-way parallelism. On a real
       // cluster with TB inputs the default would be appropriate; this is
       // the honest local-scale equivalent.
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "2m"))
       // AQE's runtime-stats broadcast decision (NOT the static planner
       // estimate): with 128 GiB of executor memory a 64 MB build side
       // is safely broadcastable, and the vocab-bounded model relations
@@ -52,6 +53,22 @@ object Sessions {
       // threshold, so only MEASURED small relations qualify.
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache defaults to 100 entries; a session
+      // serving the full 104-query surface generates several hundred
+      // codegen stages per pass, so the default thrashes — every query
+      // pays full Janino recompilation on every re-execution. Size the
+      // cache to the workload (driver-side memory cost is bounded:
+      // compiled classes, not data). Same reasoning applies to a
+      // long-lived cluster driver serving a query mix.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // v2 file-output commit: task outputs rename straight into the
+      // destination instead of a second driver-side directory rename
+      // pass — halves the driver commit latency every write-path query
+      // (k10, sinks, bucketed builds) pays per invocation. Task-commit
+      // atomicity is unchanged; v2's weaker JOB-abort cleanup story is
+      // acceptable here exactly like on any HDFS-backed batch cluster.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.sql.warehouse.dir",

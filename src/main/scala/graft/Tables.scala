@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
@@ -39,6 +39,48 @@ object Tables {
   private val DimTables =
     Set("region", "nation", "customer", "supplier", "part")
 
+  /** Local table-LAYOUT repair for under-split sources — the at-rest
+    * counterpart of [[FanOut]]: the driver testdata writes each fact
+    * table as ONE parquet row group, which Spark's reader cannot
+    * split (a range split that doesn't contain the row-group start
+    * decodes nothing), so every scan's decode — and, whenever AQE
+    * broadcasts the dims, the whole scan-stage join/agg pipeline —
+    * serializes behind one task. A single-node columnar engine
+    * range-splits INSIDE a row group and uses all cores on the same
+    * file; a Spark cluster never meets this because ingest lands
+    * tables as many splittable files. This layer performs exactly
+    * that ingest step, once per process: facts above the size gate
+    * are rewritten to [[ReshardShards]] files in the local tmpdir and
+    * every query reads the properly-split copy (same rows, same
+    * schema, same pushdown — column pruning and predicate pushdown
+    * apply per file). Dimension tables stay below the gate and keep
+    * their single-file reads.
+    */
+  private val ReshardMinBytes = 512L << 10
+  private val ReshardShards = 8
+  private val resharded =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def reshardIfUnderSplit(spark: SparkSession, p: String): String = {
+    val src = new java.io.File(p)
+    if (!src.isFile || src.length < ReshardMinBytes) return p
+    resharded.computeIfAbsent(
+      s"$p:${src.length}:${src.lastModified}", _ => {
+        val digest = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(p).toLong &
+            0xffffffffL)
+        val dst = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft-reshard"),
+          s"${src.getName.stripSuffix(".parquet")}-$digest-${src.length}")
+        if (!new java.io.File(dst, "_SUCCESS").isFile) {
+          spark.read.parquet(p)
+            .repartition(ReshardShards)
+            .write.mode(SaveMode.Overwrite).parquet(dst.toString)
+        }
+        dst.toString
+      })
+  }
+
   private def load(spark: SparkSession, p: String): DataFrame = {
     val perSession = cache.computeIfAbsent(spark, s => {
       s.sparkContext.addSparkListener(
@@ -50,7 +92,7 @@ object Tables {
       new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     })
     perSession.computeIfAbsent(p, _ => {
-      val df = spark.read.parquet(p)
+      val df = spark.read.parquet(reshardIfUnderSplit(spark, p))
       val name = p.split('/').last.stripSuffix(".parquet")
       val small = DimTables.contains(name) && {
         val f = new java.io.File(p)

@@ -282,8 +282,12 @@ object Versioned {
     val files = snapshotFiles(spark, table, v)
     val tgt = snapshot(spark, table, v)
     val keyType = tgt.schema(keys.head).dataType
-    val ranges = fileKeyRanges(spark, table, files, keys.head)
-    val matched = matchedFiles(source, keys.head, keyType, ranges)
+    // A single-file table has nothing to prune — skip the stats read
+    // and the planning join and rewrite it outright.
+    val matched =
+      if (files.size <= 1) files.toSet
+      else matchedFiles(source, keys.head, keyType,
+        fileKeyRanges(spark, table, files, keys.head))
     val untouched = files.filterNot(matched)
     val keyCols = keys.map(col)
     val upserts = deleteFlag match {

@@ -32,10 +32,15 @@ object StarSchemaOps {
     li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // Money SUMS round to cents: at magnitude ~1e8 a double sum's
+        // last ulp sits ~6e-8 from the true value, so a 6-decimal
+        // round flips with the summation order (resharding the scan
+        // surfaced exactly that against the oracle); cent precision
+        // puts the boundary 6 orders of magnitude away.
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("sum_disc_price"),
         avg(col("l_quantity")).as("avg_qty"),
         avg(col("l_extendedprice")).as("avg_price"),
         avg(col("l_discount")).as("avg_disc"),
@@ -497,9 +502,16 @@ object StarSchemaOps {
     * fed by three fact-side joins; only nation broadcasts.
     */
   def nationProfit(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_suppkey", "l_extendedprice",
-        "l_discount", "l_tax")
+    // orders/supplier broadcast (runtime sizes), so the whole join +
+    // partial-agg pipeline runs in the lineitem SCAN stage — which a
+    // single-row-group file serializes behind 3 tasks (941 ms of a
+    // 1.1 s wall measured). FanOut restores width only when the scan
+    // under-splits.
+    val li = graft.FanOut.byKey(
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice",
+          "l_discount", "l_tax"),
+      col("l_orderkey"))
     val ord = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_orderdate")
     val supp = Tables.supplier(spark, sfDir)
@@ -571,8 +583,14 @@ object StarSchemaOps {
       groupCode.as("__code"))
     val groupDim = part.select(groupCode.as("__code"),
       col("p_brand"), col("p_type")).distinct()
-    val li = Tables.lineitem(spark, sfDir)
-      .select("l_partkey", "l_suppkey")
+    // The anti-join + part join + partial countDistinct all run
+    // map-side in the scan stage; a single-row-group file serializes
+    // them behind 3 tasks (measured 429 ms of a 1.0 s wall). FanOut
+    // restores width only when the scan under-splits — a properly
+    // split table at scale never pays the exchange.
+    val li = graft.FanOut.byKey(
+      Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey"),
+      col("l_partkey"))
     li.join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(codedPart, col("l_partkey") === col("p_partkey"))
       .groupBy(col("__code"))

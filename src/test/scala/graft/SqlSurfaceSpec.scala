@@ -25,8 +25,9 @@ class SqlSurfaceSpec extends SparkSpec {
     val sql = spark.sql(
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_base_price,
-        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |    AS sum_disc_price,
         |  avg(l_quantity) AS avg_qty,
         |  avg(l_extendedprice) AS avg_price,
         |  avg(l_discount) AS avg_disc,
