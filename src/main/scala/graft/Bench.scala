@@ -26,15 +26,18 @@ import org.apache.spark.sql.DataFrame
 object Bench {
 
   /** DuckDB total at sf0.1 (tools/duckdb_baseline.py, 32 threads,
-    * warm, min-of-3 runs — measured 2026-08-13 for the 102-query
-    * round-6 suite; see BASELINE.md).
+    * warm, min-of-3 runs — the 102-query quiet-machine bake of
+    * 2026-08-13 plus k13_change_feed's measured 0.004 s; the full
+    * 103-query re-bake ran only on a loaded machine (20.44–22.69 s,
+    * load avg 10), and recording an inflated baseline would flatter
+    * the ratio. See BASELINE.md.
     * Valid ONLY for the oracle-suite size it was measured against:
     * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  val RecordedDuckdbSf01: Double = 19.2581
-  val RecordedDuckdbQueries: Int = 102
+  val RecordedDuckdbSf01: Double = 19.2621
+  val RecordedDuckdbQueries: Int = 103
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

@@ -383,6 +383,14 @@ object SparkEntry {
         .filter(col("doc_id") <= 250)
         .select("doc_id", "source", "n_chars")
         .resultSorted(col("doc_id").asc)),
+    // k13: CHANGE DATA FEED from the manifest diff — only the files
+    // v0 lost and v1 gained are read (a 1-file upsert into a 10k-file
+    // table diffs 2 files regardless of table size), and rewritten-
+    // but-unchanged rows are dropped, so the feed reports logical
+    // changes. The oracle recomputes the same diff relationally.
+    "k13_change_feed" -> ((s, dir) =>
+      Versioned.changes(s, prunedMergeRoot(s, dir), 0, 1, Seq("doc_id"))
+        .resultSorted(col("doc_id").asc)),
     "o5_pagination" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -638,8 +646,8 @@ object SparkEntry {
     * into v1 by reference (VersionedSpec asserts the written-file
     * count; this query puts the OUTPUT through the oracle gate).
     */
-  private def prunedMergeTable(s: SparkSession, dir: String): DataFrame = {
-    val root = versionedFixtures.computeIfAbsent((s, dir, "pruned"), _ => {
+  private def prunedMergeRoot(s: SparkSession, dir: String): String =
+    versionedFixtures.computeIfAbsent((s, dir, "pruned"), _ => {
       val docs = Tables.documents(s, dir)
         .select("doc_id", "source", "n_chars")
       val r = tempTableRoot("graft_versioned_pruned") + "/docs"
@@ -653,8 +661,9 @@ object SparkEntry {
         r, Seq("doc_id"))
       r
     })
-    Versioned.current(s, root)
-  }
+
+  private def prunedMergeTable(s: SparkSession, dir: String): DataFrame =
+    Versioned.current(s, prunedMergeRoot(s, dir))
 
   /** k10/k11 shared oracle CTEs — the merge's relational definition:
     * updates win, unmatched target rows carry over, unmatched source
@@ -1382,6 +1391,24 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM merged
         |WHERE doc_id <= 250
         |ORDER BY doc_id ASC""".stripMargin,
+    // The fixture's merge updates every matched key (n_chars + 500 is
+    // always a real change) and inserts the rest; no deletes, so the
+    // feed is exactly the source keys classified by v0 membership.
+    "k13_change_feed" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |upd AS (
+        |  SELECT doc_id, source, n_chars + 500 AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id <= 200)
+        |SELECT u.doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'insert'
+        |       ELSE 'update' END AS change_type,
+        |  u.source, u.n_chars
+        |FROM upd u LEFT JOIN base b ON u.doc_id = b.doc_id
+        |WHERE b.doc_id IS NULL OR u.n_chars <> b.n_chars
+        |   OR u.source <> b.source
+        |ORDER BY u.doc_id ASC""".stripMargin,
     "o5_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC

@@ -83,21 +83,26 @@ object Versioned {
     finally in.close()
   }
 
-  /** Time travel: read snapshot `v` (immutable once committed).
-    * Files are read grouped by their birth version directory with
-    * that directory as `basePath`, so partition-column values encoded
-    * in subdirectory names survive the by-file read.
+  /** Reads a set of manifest-relative data files, grouped by their
+    * birth version directory with that directory as `basePath`, so
+    * partition-column values encoded in subdirectory names survive
+    * the by-file read.
     */
-  def snapshot(spark: SparkSession, table: String, v: Int): DataFrame =
-    snapshotFiles(spark, table, v)
+  private def readFilesByBirth(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame =
+    files.sorted
       .groupBy(_.takeWhile(_ != '/'))
       .toSeq.sortBy(_._1)
-      .map { case (birth, files) =>
+      .map { case (birth, fls) =>
         spark.read
           .option("basePath", s"$table/$birth")
-          .parquet(files.map(f => s"$table/$f"): _*)
+          .parquet(fls.map(f => s"$table/$f"): _*)
       }
       .reduce(_.unionByName(_))
+
+  /** Time travel: read snapshot `v` (immutable once committed). */
+  def snapshot(spark: SparkSession, table: String, v: Int): DataFrame =
+    readFilesByBirth(spark, table, snapshotFiles(spark, table, v))
 
   /** Read the current snapshot (manifest resolved once per call). */
   def current(spark: SparkSession, table: String): DataFrame = {
@@ -297,21 +302,65 @@ object Versioned {
     val merged =
       if (matched.isEmpty) upserts
       else {
-        val rewrite = matched.toSeq.sorted
-          .groupBy(_.takeWhile(_ != '/'))
-          .toSeq.sortBy(_._1)
-          .map { case (birth, fls) =>
-            spark.read
-              .option("basePath", s"$table/$birth")
-              .parquet(fls.map(f => s"$table/$f"): _*)
-          }
-          .reduce(_.unionByName(_))
+        val rewrite = readFilesByBirth(spark, table, matched.toSeq)
         upserts.unionByName(
           rewrite.join(source.select(keyCols: _*), keys, "left_anti"))
       }
     write(merged, versionDir(table, v + 1), partitionCols)
     commit(spark, table, v + 1,
       untouched ++ listDataFiles(spark, table, v + 1))
+  }
+
+  /** Change data feed between two committed snapshots, computed from
+    * the MANIFEST DIFF alone: data files are immutable and carried by
+    * reference, so rows in files present in both manifests cannot
+    * have changed — the whole diff is confined to the files `fromV`
+    * lost and `toV` gained. Only those files are read: a one-file
+    * upsert into a 10k-file table diffs two files' rows regardless of
+    * table size (the reason a CoW format can serve CDC without
+    * storing a change log). Rows that were merely REWRITTEN —
+    * copy-on-write copies a whole file to change one row — match
+    * across the key join with equal values and are dropped, so the
+    * feed reports logical changes, not physical rewrites.
+    *
+    * Output: key columns, `change_type` ∈ insert/update/delete, and
+    * the value columns (after-image; before-image for deletes). Keys
+    * must be non-null and unique per snapshot (the MERGE contract).
+    */
+  def changes(spark: SparkSession, table: String, fromV: Int, toV: Int,
+      keys: Seq[String]): DataFrame = {
+    require(fromV < toV, s"changes requires fromV < toV ($fromV, $toV)")
+    val f1 = snapshotFiles(spark, table, fromV)
+    val f2 = snapshotFiles(spark, table, toV)
+    val removed = f1.diff(f2) // before-image side
+    val added = f2.diff(f1)   // after-image side
+    val schema = readFilesByBirth(spark, table,
+      if (added.nonEmpty) added else f2).schema
+    def readOrEmpty(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFilesByBirth(spark, table, files)
+    val valueCols = schema.fieldNames.toSeq.filterNot(keys.contains)
+    val before = readOrEmpty(removed).select(
+      schema.fieldNames.toSeq.map(c => col(c).as(s"__b_$c")): _*)
+    val after = readOrEmpty(added).select(
+      schema.fieldNames.toSeq.map(c => col(c).as(s"__a_$c")): _*)
+    val keyEq = keys.map(k => col(s"__b_$k") === col(s"__a_$k"))
+      .reduce(_ && _)
+    val isIns = col(s"__b_${keys.head}").isNull
+    val isDel = col(s"__a_${keys.head}").isNull
+    val differs = valueCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    before.join(after, keyEq, "full_outer")
+      .filter(isIns || isDel || differs)
+      .select(
+        keys.map(k => coalesce(col(s"__a_$k"), col(s"__b_$k")).as(k)) ++
+        Seq(when(isIns, "insert").when(isDel, "delete")
+          .otherwise("update").as("change_type")) ++
+        valueCols.map(c =>
+          when(isDel, col(s"__b_$c")).otherwise(col(s"__a_$c")).as(c)): _*)
   }
 
   /** Per-version row counts — the table's history report. */

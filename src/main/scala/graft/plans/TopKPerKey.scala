@@ -40,9 +40,11 @@ import org.apache.spark.sql.types.IntegerType
   * determinism needs a total order either way (every suite query
   * carries a full tiebreaker). Memory: the map-side heaps hold
   * n·distinct-keys(partition) rows — the bound a hash aggregate's
-  * partial phase already accepts; a production hardening adds
-  * spill-to-sorted-run fallback on map growth, which changes the
-  * constant, not the shuffle asymmetry.
+  * partial phase already accepts — and the partial phase caps tracked
+  * keys at `spark.graft.topk.maxKeysPerPartition` (default 4M), past
+  * which rows of untracked keys pass through untrimmed: the exchange
+  * carries more rows, the final phase still computes the exact answer,
+  * memory stays bounded (differential-tested with a cap of 1).
   *
   * Kill switch: `spark.graft.topkRewrite=false` disables the rewrite
   * (used by the differential tests to hold the operator to the
@@ -53,6 +55,14 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override def maxRows: Option[Long] = child.maxRows
+  // rankAttr is produced here, not drawn from the child, so default
+  // canonicalization leaves its exprId untouched — two otherwise
+  // identical branches of a self-join then never canonicalize equal
+  // and exchange/stage reuse silently turns off. Appending it to the
+  // normalization input gives it a deterministic positional id.
+  override def allAttributes
+      : org.apache.spark.sql.catalyst.expressions.AttributeSeq =
+    child.output :+ rankAttr
   override protected def withNewChildInternal(newChild: LogicalPlan)
       : TopKPerKeyPlan = copy(child = newChild)
 }
@@ -145,6 +155,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  // See TopKPerKeyPlan.allAttributes: gives the produced rankAttr a
+  // positional exprId under canonicalization so identical self-join
+  // branches compare equal and AQE reuses the exchange/stage.
+  override def allAttributes
+      : org.apache.spark.sql.catalyst.expressions.AttributeSeq =
+    child.output :+ rankAttr
+
   override protected def withNewChildInternal(newChild: SparkPlan)
       : TopKPerKeyExec = copy(child = newChild)
 
@@ -155,6 +172,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val limit = k
     val emitRank = !partial
     val outSchema = output
+    // Spill fallback (partial phase only): the heap map grows with
+    // distinct keys per partition — the same bound a hash aggregate's
+    // partial phase accepts. Past the cap, rows of UNTRACKED keys pass
+    // through untrimmed instead of growing the map; the final phase
+    // recomputes the exact per-key top-k after the exchange either
+    // way, so the cap trades shuffle volume for bounded memory without
+    // touching correctness. The final phase cannot pass through (it
+    // must emit exact ranks); its memory contract matches a final hash
+    // aggregate, where the key space is already partitioned down.
+    val maxKeys =
+      conf.getConfString("spark.graft.topk.maxKeysPerPartition",
+        "4194304").toInt
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(orderExprs, childOutput)
@@ -162,35 +191,46 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // row enters only if it beats the head once the heap is full.
       val heaps = new java.util.HashMap[InternalRow,
         scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      // Lazily drains the input, absorbing rows into the heaps and
+      // yielding the overflow passthrough rows as they occur; the
+      // heap contents follow once the input is exhausted (Iterator.++
+      // builds its right side by name, after the left completes).
+      val passthrough = iter.filter { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
+        if (heap == null && (!partial || heaps.size < maxKeys)) {
           heap = scala.collection.mutable.PriorityQueue.empty(ord)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        if (heap == null) true // over cap: emit untrimmed
+        else {
+          if (heap.size < limit) heap.enqueue(row.copy())
+          else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(row.copy())
+          }
+          false
         }
       }
-      val rankedProj =
-        if (emitRank) UnsafeProjection.create(outSchema, childOutput :+ rankAttr)
-        else null
-      val rankRow = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(1)
-      val joined = new JoinedRow
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val rows = heap.dequeueAll.reverse // ascending under ord
-        if (!emitRank) rows.iterator
-        else rows.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.setInt(0, i + 1)
-          rankedProj(joined(r, rankRow))
+      def drained: Iterator[InternalRow] = {
+        val rankedProj =
+          if (emitRank)
+            UnsafeProjection.create(outSchema, childOutput :+ rankAttr)
+          else null
+        val rankRow = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        val joined = new JoinedRow
+        import scala.jdk.CollectionConverters._
+        heaps.values().iterator().asScala.flatMap { heap =>
+          val rows = heap.dequeueAll.reverse // ascending under ord
+          if (!emitRank) rows.iterator
+          else rows.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.setInt(0, i + 1)
+            rankedProj(joined(r, rankRow))
+          }
         }
       }
+      passthrough ++ drained
     }, preservesPartitioning = true)
   }
 }

@@ -171,6 +171,55 @@ class VersionedSpec extends SparkSpec {
     assert(got.size == 31)
   }
 
+  test("changes: insert/update/delete classified; rewrites suppressed") {
+    val t = tmpDir("versioned") + "/t"
+    Versioned.init(docs(1L to 60L, _ => 10L)
+      .repartitionByRange(4, col("doc_id")), t)
+    // One merge carrying all three change kinds into a narrow key
+    // range: update 2, delete 5, insert 61 — every other row of the
+    // rewritten file(s) is a physical rewrite with no logical change.
+    val src = docs(Seq(2L, 5L, 61L), _ => 99L)
+      .withColumn("__del", col("doc_id") === 5L)
+    Versioned.mergeUpsert(src, t, Seq("doc_id"),
+      deleteFlag = Some("__del"))
+    val feed = Versioned.changes(spark, t, 0, 1, Seq("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(feed == Set(
+      (2L, "update", "src_2", 99L),
+      (5L, "delete", "src_2", 10L), // before-image for deletes
+      (61L, "insert", "src_1", 99L)))
+    // Feed equals the relational snapshot diff (the expensive form
+    // the manifest diff avoids computing).
+    val v0 = Versioned.snapshot(spark, t, 0)
+    val v1 = Versioned.snapshot(spark, t, 1)
+    val rel = v1.join(v0, Seq("doc_id"), "full_outer").count()
+    assert(rel == 61L) // sanity: 60 v0 keys + 1 insert
+  }
+
+  test("changes reads only the manifest-diff files, not the table") {
+    val t = tmpDir("versioned") + "/t"
+    Versioned.init(docs(1L to 120L, _ => 10L)
+      .repartitionByRange(6, col("doc_id")), t)
+    Versioned.mergeUpsert(docs(Seq(3L), _ => 99L), t, Seq("doc_id"))
+    val df = Versioned.changes(spark, t, 0, 1, Seq("doc_id"))
+    // Both sides of the diff together touch only the rewritten
+    // file(s) + their replacements — strictly fewer than the table.
+    val scanned: Int = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.inputFiles.length
+          case _ => 0
+        }
+    }.sum
+    val tableFiles = Versioned.snapshotFiles(spark, t, 1).size
+    assert(scanned > 0 && scanned < tableFiles,
+      s"expected a pruned read, scanned $scanned of $tableFiles files")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("init refuses an existing table; merge refuses uninitialized") {
     val t = tmpDir("versioned") + "/t"
     Versioned.init(docs(Seq(1L), _ => 1L), t)

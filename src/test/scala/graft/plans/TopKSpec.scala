@@ -100,6 +100,42 @@ class TopKSpec extends SparkSpec {
       s"expected bounded shuffle, wrote $written rows")
   }
 
+  test("partial key cap: overflow passthrough preserves exact output") {
+    // cap of 1 tracked key per partition → almost every row passes
+    // through untrimmed; the final phase must still produce exactly
+    // the window form's answer.
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "1")
+    try {
+      val base = data(3000, 23).repartition(4)
+      val capped = windowForm(base, 4)
+        .orderBy(col("k"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+      val ref = withRewriteOff {
+        windowForm(base, 4)
+          .orderBy(col("k"), col("rank"))
+          .collect().map(_.toSeq).toSeq
+      }
+      assert(capped == ref)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
+  test("self-join branches canonicalize equal: exchange/stage reused") {
+    // n12's shape: one top-k-per-key relation joined to itself. The
+    // produced rank attribute must canonicalize positionally or the
+    // two branches never compare equal and the expensive subtree runs
+    // twice.
+    val base = data(2000, 40)
+    val topk = windowForm(base, 2).select(col("k"), col("id"))
+    val joined = topk.as("a").join(topk.as("b"), "k")
+      .filter(col("a.id") < col("b.id"))
+    // collect() (not write) so AQE finalizes THIS Dataset's plan
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("Reused"),
+      s"self-join did not reuse the top-k branch:\n$plan")
+  }
+
   private def withRewriteOff[A](body: => A): A = {
     spark.conf.set("spark.graft.topkRewrite", "false")
     try body finally spark.conf.set("spark.graft.topkRewrite", "true")
