@@ -57,24 +57,34 @@ object Tables {
     * their single-file reads.
     */
   private val ReshardMinBytes = 512L << 10
-  private val ReshardShards = 8
   private val resharded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shard count tracks the session's parallelism: a scan stage can
+    * use at most one task per file (single-row-group files split no
+    * further), so fewer shards than cores leaves cores idle in every
+    * scan-stage-heavy query. Floor of 8 keeps small-core sessions
+    * from producing unsplittable near-original layouts.
+    */
+  private def reshardShards(spark: SparkSession): Int =
+    math.max(8, spark.sparkContext.defaultParallelism)
 
   private def reshardIfUnderSplit(spark: SparkSession, p: String): String = {
     val src = new java.io.File(p)
     if (!src.isFile || src.length < ReshardMinBytes) return p
+    val shards = reshardShards(spark)
     resharded.computeIfAbsent(
-      s"$p:${src.length}:${src.lastModified}", _ => {
+      s"$p:${src.length}:${src.lastModified}:s$shards", _ => {
         val digest = java.lang.Long.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(p).toLong &
             0xffffffffL)
         val dst = new java.io.File(
           new java.io.File(sys.props("java.io.tmpdir"), "graft-reshard"),
-          s"${src.getName.stripSuffix(".parquet")}-$digest-${src.length}")
+          s"${src.getName.stripSuffix(".parquet")}-$digest-" +
+            s"${src.length}-s$shards")
         if (!new java.io.File(dst, "_SUCCESS").isFile) {
           spark.read.parquet(p)
-            .repartition(ReshardShards)
+            .repartition(shards)
             .write.mode(SaveMode.Overwrite).parquet(dst.toString)
         }
         dst.toString
