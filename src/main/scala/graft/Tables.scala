@@ -60,14 +60,17 @@ object Tables {
   private val resharded =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Shard count tracks the session's parallelism: a scan stage can
-    * use at most one task per file (single-row-group files split no
-    * further), so fewer shards than cores leaves cores idle in every
-    * scan-stage-heavy query. Floor of 8 keeps small-core sessions
-    * from producing unsplittable near-original layouts.
+  /** Fixed 8-way: measured A/B at local[32] (BASELINE.md round 6) —
+    * core-count-many shards LOST to 8 on every scan-heavy query
+    * (n4 2.03 vs 1.62, n9 2.81 vs 2.55, q9 0.39 vs 0.34): at ~10 MB
+    * per table, per-task fixed cost dominates long before scan width
+    * binds, and FanOut already widens the few scan stages that carry
+    * real compute. On a cluster the ingest analogue is a TARGET FILE
+    * SIZE (128–512 MB), not a file-per-core; 8 plays that role for
+    * the local corpus. `SPARK_GRAFT_RESHARD` overrides for experiments.
     */
   private def reshardShards(spark: SparkSession): Int =
-    math.max(8, spark.sparkContext.defaultParallelism)
+    sys.env.get("SPARK_GRAFT_RESHARD").map(_.toInt).getOrElse(8)
 
   private def reshardIfUnderSplit(spark: SparkSession, p: String): String = {
     val src = new java.io.File(p)
