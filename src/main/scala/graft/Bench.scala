@@ -27,17 +27,19 @@ object Bench {
 
   /** DuckDB total at sf0.1 (tools/duckdb_baseline.py, 32 threads,
     * warm, min-of-3 runs — the 102-query quiet-machine bake of
-    * 2026-08-13 plus k13_change_feed's measured 0.004 s; the full
-    * 103-query re-bake ran only on a loaded machine (20.44–22.69 s,
-    * load avg 10), and recording an inflated baseline would flatter
-    * the ratio. See BASELINE.md.
+    * 2026-08-13 plus the individually measured times of the queries
+    * added since (k13 0.004 s; k14 0.0039 + k15 0.0047 + k16 0.0146 s
+    * from the round-6 bake, whose load-inflated total — 21.12 at load
+    * 4.2 vs 19.26 quiet — was NOT recorded: an inflated baseline
+    * would flatter the ratio; n14 0.2948 s measured min-of-3 warm on
+    * the same machine). See BASELINE.md.
     * Valid ONLY for the oracle-suite size it was measured against:
     * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  val RecordedDuckdbSf01: Double = 19.2621
-  val RecordedDuckdbQueries: Int = 103
+  val RecordedDuckdbSf01: Double = 19.5801
+  val RecordedDuckdbQueries: Int = 107
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

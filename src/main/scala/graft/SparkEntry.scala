@@ -127,6 +127,14 @@ object SparkEntry {
     "n13_kmeans_refine" -> ((s, dir) =>
       SimilarityOps.kmeansRefine(Tables.embeddings(s, dir),
         stride = 50)),
+    // n14: PRODUCT QUANTIZATION — the compressed-domain tier: encode
+    // once into nSub codebook ids per vector, answer the query from
+    // a broadcast lookup table over the codes (ADC); the scan never
+    // touches full-width vectors. Deterministic codebook (strided,
+    // as n8) → fully oracle-backed, unlike most PQ implementations.
+    "n14_pq_topk" -> ((s, dir) =>
+      SimilarityOps.pqTopK(Tables.embeddings(s, dir), 0L, k = 10,
+        stride = 50, nSub = 4)),
     "r1_salted_counts" -> ((s, dir) =>
       SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
 
@@ -391,6 +399,38 @@ object SparkEntry {
     "k13_change_feed" -> ((s, dir) =>
       Versioned.changes(s, prunedMergeRoot(s, dir), 0, 1, Seq("doc_id"))
         .resultSorted(col("doc_id").asc)),
+    // k14: DATA-SKIPPING scan — the read-path twin of k12's merge
+    // pruning: a range predicate on the layout key reads only the
+    // files whose footer [min,max] intersects it (VersionedSpec
+    // asserts the file count; this query puts the rows through the
+    // oracle gate — pruning must cut IO, never rows).
+    "k14_pruned_scan" -> ((s, dir) =>
+      Versioned.scanRange(s, prunedMergeRoot(s, dir), "doc_id",
+          301L, 400L)
+        .select("doc_id", "source", "n_chars")
+        .resultSorted(col("doc_id").asc)),
+    // k15: OPTIMIZE — three narrow merges leave small-file debris,
+    // compaction bin-packs it into one commit; the read sees
+    // bit-identical content (the oracle recomputes the merge chain
+    // relationally, blind to the physical reorganization).
+    "k15_compacted_read" -> ((s, dir) =>
+      Versioned.current(s, compactedDocsRoot(s, dir))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .resultSorted(col("source").asc)),
+    // k16: Z-ORDER clustering — the table is laid out on the Morton
+    // code of (custkey, totalprice), so footer stats are tight on
+    // BOTH columns and this two-dimensional range scan skips files
+    // on each (a single-column sort prunes only its leading key).
+    // The oracle is the plain filter: clustering must never change
+    // rows, only which files hold them.
+    "k16_zorder_scan" -> ((s, dir) =>
+      Versioned.scanRanges(s, zorderOrdersRoot(s, dir), Seq(
+          ("o_custkey", 100L, 500L),
+          ("o_totalprice", 100000.0, 200000.0)))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .resultSorted(col("o_orderkey").asc)),
     "o5_pagination" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -665,6 +705,46 @@ object SparkEntry {
   private def prunedMergeTable(s: SparkSession, dir: String): DataFrame =
     Versioned.current(s, prunedMergeRoot(s, dir))
 
+  /** k15 fixture: a merge chain that strands small files (each CoW
+    * commit writes its upserts fresh), then OPTIMIZE packs the
+    * debris. The second merge replaces whole rows — a key matching
+    * both predicates ends at original+7, which the oracle's CASE
+    * mirrors. Cached: reading a compacted table is the steady state.
+    */
+  private def compactedDocsRoot(s: SparkSession, dir: String): String =
+    versionedFixtures.computeIfAbsent((s, dir, "compacted"), _ => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      val r = tempTableRoot("graft_versioned_compact") + "/docs"
+      Versioned.init(docs.repartitionByRange(4, col("doc_id")), r)
+      Versioned.mergeUpsert(
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + lit(100L)),
+        r, Seq("doc_id"))
+      Versioned.mergeUpsert(
+        docs.filter(col("doc_id") % 7 === 1)
+          .withColumn("n_chars", col("n_chars") + lit(7L)),
+        r, Seq("doc_id"))
+      Versioned.compact(s, r)
+      r
+    })
+
+  /** k16 fixture: orders re-laid-out in Z-order over
+    * (o_custkey, o_totalprice). Initialized wide (4 unclustered
+    * files) so the relayout, not the initial write, provides the
+    * pruning. Cached: scanning a clustered table is the steady state.
+    */
+  private def zorderOrdersRoot(s: SparkSession, dir: String): String =
+    versionedFixtures.computeIfAbsent((s, dir, "zorder"), _ => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val r = tempTableRoot("graft_versioned_zorder") + "/orders"
+      Versioned.init(o.repartition(4), r)
+      Versioned.clusterBy(s, r, ("o_custkey", "o_totalprice"),
+        nFiles = 8)
+      r
+    })
+
   /** k10/k11 shared oracle CTEs — the merge's relational definition:
     * updates win, unmatched target rows carry over, unmatched source
     * rows insert.
@@ -784,6 +864,37 @@ object SparkEntry {
         |    AS score
         |FROM n a JOIN members USING (vec_id), q
         |WHERE a.vec_id <> 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // n14: PQ encode (per-subspace argmin vs the strided codebook,
+    // the constant ||vs||^2 dropped from the argmin on both sides)
+    // + ADC scoring from the (subspace, code) lookup table.
+    "n14_pq_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |sub(s) AS (VALUES (0), (1), (2), (3)),
+        |vs AS (SELECT vec_id, s,
+        |    list_slice(v, s*16 + 1, s*16 + 16) AS vs
+        |  FROM e, sub),
+        |cents AS (SELECT vec_id AS cid, s,
+        |    list_slice(v, s*16 + 1, s*16 + 16) AS cs
+        |  FROM e, sub WHERE vec_id % 50 = 0),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT v.vec_id, v.s, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.s
+        |        ORDER BY round(list_dot_product(c.cs, c.cs)
+        |          - 2 * list_dot_product(v.vs, c.cs), 6) ASC,
+        |          c.cid ASC) AS rn
+        |    FROM vs v JOIN cents c USING (s)) WHERE rn = 1),
+        |q AS (SELECT s, vs AS qs FROM vs WHERE vec_id = 0),
+        |lut AS (SELECT c.s, c.cid,
+        |    round(list_dot_product(q.qs, c.cs), 6) AS contrib
+        |  FROM cents c JOIN q USING (s))
+        |SELECT co.vec_id, round(sum(l.contrib), 6) AS score
+        |FROM codes co JOIN lut l USING (s, cid)
+        |WHERE co.vec_id <> 0
+        |GROUP BY co.vec_id
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "n13_kmeans_refine" ->
       """WITH e AS (SELECT vec_id,
@@ -1409,6 +1520,43 @@ object SparkEntry {
         |WHERE b.doc_id IS NULL OR u.n_chars <> b.n_chars
         |   OR u.source <> b.source
         |ORDER BY u.doc_id ASC""".stripMargin,
+    // k14 reads the same merged table as k12, restricted to a key
+    // range the data-skipping scan serves from the overlapping files.
+    "k14_pruned_scan" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |upd AS (
+        |  SELECT doc_id, source, n_chars + 500 AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id <= 200),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b LEFT JOIN upd u ON b.doc_id = u.doc_id
+        |  WHERE u.doc_id IS NULL)
+        |SELECT doc_id, source, n_chars FROM merged
+        |WHERE doc_id BETWEEN 301 AND 400
+        |ORDER BY doc_id ASC""".stripMargin,
+    // k15: the merge chain's relational definition — the second merge
+    // replaces whole rows, so a key matching both predicates ends at
+    // original+7 (CASE order mirrors last-write-wins).
+    "k15_compacted_read" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    n_chars + (CASE WHEN doc_id % 7 = 1 THEN 7
+        |               WHEN doc_id % 5 = 0 THEN 100
+        |               ELSE 0 END) AS n_chars
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM m GROUP BY source ORDER BY source ASC""".stripMargin,
+    // k16: clustering must never change rows — the oracle is the
+    // plain two-dimensional filter on the source table.
+    "k16_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 500
+        |  AND o_totalprice BETWEEN 100000 AND 200000
+        |ORDER BY o_orderkey ASC""".stripMargin,
     "o5_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC

@@ -363,6 +363,162 @@ object Versioned {
           when(isDel, col(s"__b_$c")).otherwise(col(s"__a_$c")).as(c)): _*)
   }
 
+  /** Data-skipping scan: read only the files of snapshot `v` (default
+    * current) whose `key` range intersects `[lo, hi]` — the READ-path
+    * twin of the MERGE planner's file pruning, and the manifest-stats
+    * scan a transactional format serves `WHERE key BETWEEN ...` with.
+    * File ranges come from the partition path or the parquet footer
+    * ([[fileKeyRanges]]); a file with no usable stats is
+    * conservatively read. The residual filter is still applied (and
+    * pushed to the surviving scans), so the result is exactly
+    * `snapshot(v).filter(key between lo and hi)` — pruning only cuts
+    * IO, never rows.
+    *
+    * 100 TB: the interval test runs on #files rows of metadata; the
+    * data read is proportional to the files that can match — a
+    * point/range lookup into a range-laid-out table touches one file
+    * of a 10k-file snapshot. Bounds compare through Spark casts (the
+    * same semantics as the MERGE planner), never string order.
+    */
+  def scanRange(spark: SparkSession, table: String, key: String,
+      lo: Any, hi: Any, v: Option[Int] = None): DataFrame =
+    scanRanges(spark, table, Seq((key, lo, hi)), v)
+
+  /** Multi-column data skipping: files must overlap EVERY bound to be
+    * read — on a [[clusterBy]] Z-ordered table each clustered
+    * column's footer stats are tight, so a predicate on any subset of
+    * them skips files (a single-column sort gives that for the
+    * leading column only). One metadata job evaluates all bounds'
+    * interval tests together on #files rows.
+    */
+  def scanRanges(spark: SparkSession, table: String,
+      bounds: Seq[(String, Any, Any)], v: Option[Int] = None)
+      : DataFrame = {
+    require(bounds.nonEmpty, "scanRanges requires at least one bound")
+    val ver = v.orElse(currentVersion(spark, table)).getOrElse(
+      throw new IllegalStateException(s"uninitialized versioned table: $table"))
+    val files = snapshotFiles(spark, table, ver)
+    val full = snapshot(spark, table, ver)
+    val types = bounds.map { case (k, _, _) => full.schema(k).dataType }
+    val residual = bounds.zip(types).map { case ((k, lo, hi), t) =>
+      col(k) >= lit(lo).cast(t) && col(k) <= lit(hi).cast(t)
+    }.reduce(_ && _)
+    if (files.size <= 1) return full.filter(residual)
+    val perCol = bounds.map { case (k, _, _) =>
+      fileKeyRanges(spark, table, files, k).toMap }
+    val fields = StructField("__file", StringType) +:
+      bounds.indices.flatMap(i => Seq(
+        StructField(s"__lo_$i", StringType),
+        StructField(s"__hi_$i", StringType)))
+    val rows = files.map { rel =>
+      org.apache.spark.sql.Row.fromSeq(rel +: perCol.flatMap {
+        _(rel) match {
+          case Some((lo, hi)) => Seq(lo, hi)
+          case None => Seq(null, null)
+        }
+      })
+    }
+    import scala.jdk.CollectionConverters._
+    val statsDf = spark.createDataFrame(rows.asJava,
+      StructType(fields.toArray))
+    // A file with no usable stats for a column passes that column's
+    // test conservatively; it is skipped only if ANOTHER bound's
+    // known stats exclude it.
+    val keepCond = bounds.zip(types).zipWithIndex.map {
+      case (((_, lo, hi), t), i) =>
+        col(s"__lo_$i").isNull ||
+          (col(s"__hi_$i").cast(t) >= lit(lo).cast(t) &&
+            col(s"__lo_$i").cast(t) <= lit(hi).cast(t))
+    }.reduce(_ && _)
+    val kept = statsDf.filter(keepCond)
+      .select("__file").collect().map(_.getString(0)).toSeq
+    if (kept.isEmpty) full.filter(lit(false))
+    else readFilesByBirth(spark, table, kept).filter(residual)
+  }
+
+  /** Multi-dimensional CLUSTERING rewrite: lays the current snapshot
+    * out sorted by the Z-order (Morton) code of two columns
+    * ([[graft.functions.ZOrder.zvalue2]]) in `nFiles` range-split
+    * files, and commits the relayout as a new version (content
+    * unchanged — same protocol as [[compact]]). After it, every
+    * file's footer [min,max] is tight on BOTH columns, so
+    * [[scanRanges]] skips files for predicates on either or both —
+    * the property a single-column sort only gives its leading key.
+    *
+    * Bucket indices come from `width_bucket` over driver-computed
+    * min/max (one tiny agg; NULLs sort first, a degenerate lo=hi
+    * column collapses to bucket 0). Linear bucketing is
+    * skew-sensitive; rank/quantile boundaries (approx_percentile at
+    * metadata cost) are the production hardening for skewed keys —
+    * same Z-code, different bucketer.
+    */
+  def clusterBy(spark: SparkSession, table: String,
+      cols: (String, String), nFiles: Int, bits: Int = 20): Int = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"uninitialized versioned table: $table"))
+    val df = snapshot(spark, table, v)
+    val (c1, c2) = cols
+    val mm = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    val n = 1 << math.min(bits, 30)
+    // An all-NULL or constant column collapses to bucket 0 (its stats
+    // can't discriminate anyway); NULL values bucket to 0 via the
+    // coalesce so the Z-code stays non-null and range-splittable.
+    def bucket(c: String, i: Int): Column =
+      if (mm.isNullAt(i) || !(mm.getDouble(i + 1) > mm.getDouble(i)))
+        lit(0L)
+      else coalesce(least(expr(
+        s"width_bucket(cast(`$c` as double), ${mm.getDouble(i)}, " +
+          s"${mm.getDouble(i + 1)}, $n)"), lit(n)) - 1, lit(0L))
+    val z = graft.functions.ZOrder.zvalue2(
+      bucket(c1, 0), bucket(c2, 2), bits)
+    val out = df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
+    write(out, versionDir(table, v + 1), Nil)
+    commit(spark, table, v + 1, listDataFiles(spark, table, v + 1))
+  }
+
+  /** OPTIMIZE (compaction): bin-pack the current snapshot's small
+    * files — the debris MERGE leaves behind (each CoW commit writes
+    * its upserts as fresh small files) — into ~`targetFileBytes`
+    * outputs and commit the result as a new version. Content is
+    * bit-identical: files at or above half the target carry into the
+    * new manifest BY REFERENCE; only the small tail is read, coalesced
+    * (no shuffle — compaction is IO-bound and needs no re-keying) and
+    * rewritten. Returns the new version, or the current one untouched
+    * when there is nothing to pack (fewer than two small files).
+    *
+    * Because data files are immutable and versions are manifests,
+    * compaction composes with the rest of the layer for free: old
+    * snapshots still time-travel, [[vacuum]] reclaims the packed
+    * debris once its versions expire, and [[changes]] across a
+    * compaction commit is EMPTY (rewritten-unchanged rows are
+    * suppressed) — physical reorganization is invisible to CDC.
+    */
+  def compact(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): Int = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"uninitialized versioned table: $table"))
+    val files = snapshotFiles(spark, table, v)
+    val f = fs(spark, table)
+    val sized = files.map(r =>
+      (r, f.getFileStatus(new Path(s"$table/$r")).getLen))
+    val small = sized.collect {
+      case (r, len) if len < targetFileBytes / 2 => r }
+    if (small.size < 2) return v
+    val smallSet = small.toSet
+    val keep = files.filterNot(smallSet)
+    val smallBytes = sized.collect {
+      case (r, len) if smallSet(r) => len }.sum
+    val nOut = math.max(1,
+      math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+    val packed = readFilesByBirth(spark, table, small).coalesce(nOut)
+    write(packed, versionDir(table, v + 1), partitionCols)
+    commit(spark, table, v + 1,
+      keep ++ listDataFiles(spark, table, v + 1))
+  }
+
   /** Per-version row counts — the table's history report. */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table — the reference's
@@ -333,6 +333,68 @@ object SimilarityOps {
     * oracle-SQL-expressible, covered by the rows-only gate + ScalaTest
     * against the brute-force answer.
     */
+  /** PRODUCT-QUANTIZATION top-k — the compressed-domain ANN tier: the
+    * d-dim space splits into `nSub` subspaces, each vector is encoded
+    * as `nSub` small codebook ids (the PQ code — at 100 TB the codes
+    * table is ~64× smaller than the vectors and is ALL a query scans),
+    * and a query is answered with ASYMMETRIC DISTANCE COMPUTATION: a
+    * tiny (subspace × codebook) lookup table of inner products is
+    * built against the query once and broadcast, and every vector's
+    * score is the sum of `nSub` table lookups — no full-width vector
+    * arithmetic anywhere in the scan.
+    *
+    * The codebook reuses the deterministic strided-centroid convention
+    * of [[ivfAssign]] (rows with `vec_id % stride == 0`; a trained
+    * codebook would come from per-subspace k-means à la
+    * [[kmeansRefine]]) — so encode, LUT and scores are exactly
+    * reproducible in the DuckDB oracle. Encode drops the
+    * per-(vector,subspace) constant ‖vs‖² from the argmin (it cannot
+    * change it) and rounds to 6 dp with centroid-id tiebreak, matching
+    * the oracle bit-for-bit.
+    *
+    * Scale shape: encode is one broadcast join (codebook is constant
+    * size) + one windowed argmin per (vector, subspace); the serving
+    * path is codes ⨝ broadcast LUT + a sum aggregate — one narrow
+    * shuffle on vec_id, never N×N, never N×d after encode.
+    */
+  def pqTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      stride: Int, nSub: Int): DataFrame = {
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(d % nSub == 0, s"dim $d not divisible into $nSub subspaces")
+    val sub = d / nSub
+    def slices(v: Column): Column = explode(array(
+      (0 until nSub).map(s => struct(lit(s).as("s"),
+        slice(v, s * sub + 1, sub).as("x"))): _*))
+    val vs = embeddings
+      .select(col("vec_id"), slices(toDoubleArray(col("embedding"))).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.x").as("vs"))
+    val cents = embeddings.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"),
+        slices(toDoubleArray(col("embedding"))).as("e"))
+      .select(col("cid"), col("e.s").as("s"), col("e.x").as("cs"))
+      .withColumn("cc", dot(col("cs"), col("cs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val codes = vs.join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"),
+        round(col("cc") - lit(2) * dot(col("vs"), col("cs")), 6).as("d2"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("vec_id", "s", "cid")
+    val q = vs.filter(col("vec_id") === queryId)
+      .select(col("s"), col("vs").as("qs"))
+    val lut = cents.join(q, Seq("s"))
+      .select(col("s"), col("cid"),
+        round(dot(col("qs"), col("cs")), 6).as("contrib"))
+    codes.join(broadcast(lut), Seq("s", "cid"))
+      .filter(col("vec_id") =!= queryId)
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val df = embeddings
       .withColumn("features", array_to_vector(col("embedding")))

@@ -220,6 +220,86 @@ class VersionedSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("scanRange prunes files by footer stats; result equals filter") {
+    val t = tmpDir("versioned") + "/t"
+    Versioned.init(docs(1L to 120L, _ => 10L)
+      .repartitionByRange(6, col("doc_id")), t)
+    val total = Versioned.snapshotFiles(spark, t, 0).size
+    assert(total >= 4, s"fixture needs several files, got $total")
+    val pruned = Versioned.scanRange(spark, t, "doc_id", 30L, 50L)
+    // IO cut: only the file(s) whose [min,max] overlaps [30,50] are
+    // in the scan — strictly fewer than the snapshot's files.
+    val scanned = pruned.inputFiles.length
+    assert(scanned > 0 && scanned < total,
+      s"expected a pruned read, scanned $scanned of $total files")
+    // Rows identical to the unpruned filter (pruning cuts IO, not rows).
+    assert(rows(pruned) ==
+      rows(Versioned.current(spark, t)
+        .filter(col("doc_id").between(30L, 50L))))
+    // Empty intersection: no files, no rows, schema intact.
+    val none = Versioned.scanRange(spark, t, "doc_id", 500L, 600L)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("doc_id", "source", "n_chars"))
+  }
+
+  test("compact packs merge debris; content, travel and CDC unaffected") {
+    val t = tmpDir("versioned") + "/t"
+    Versioned.init(docs(1L to 60L, _ => 10L)
+      .repartitionByRange(3, col("doc_id")), t)
+    // Three narrow merges, each leaving fresh small files behind.
+    Seq(Seq(2L), Seq(7L), Seq(61L)).foreach(ids =>
+      Versioned.mergeUpsert(docs(ids, _ => 99L), t, Seq("doc_id")))
+    val vBefore = Versioned.currentVersion(spark, t).get
+    val before = Versioned.snapshotFiles(spark, t, vBefore)
+    val content = rows(Versioned.current(spark, t))
+    val vAfter = Versioned.compact(spark, t)
+    assert(vAfter == vBefore + 1)
+    val after = Versioned.snapshotFiles(spark, t, vAfter)
+    assert(after.size < before.size,
+      s"expected fewer files: ${before.size} -> ${after.size}")
+    // Bit-identical content; the pre-compaction snapshot still reads.
+    assert(rows(Versioned.current(spark, t)) == content)
+    assert(rows(Versioned.snapshot(spark, t, vBefore)) == content)
+    // Physical reorganization is invisible to CDC.
+    assert(Versioned.changes(spark, t, vBefore, vAfter,
+      Seq("doc_id")).count() == 0)
+    // Already-compact table: no-op, no new version.
+    assert(Versioned.compact(spark, t) == vAfter)
+    // Vacuum reclaims the packed debris; current still reads.
+    Versioned.vacuum(spark, t, keepLast = 1)
+    assert(rows(Versioned.current(spark, t)) == content)
+  }
+
+  test("clusterBy: Z-order makes BOTH columns' footer stats prune") {
+    import spark.implicits._
+    val t = tmpDir("versioned") + "/t"
+    // A 20x20 grid: under a single-column (x) sort, y's per-file
+    // [min,max] spans the whole domain and can never prune.
+    val grid = (0L until 400L)
+      .map(i => (i, i % 20L, i / 20L)).toDF("id", "x", "y")
+    Versioned.init(grid.repartition(1), t)
+    Versioned.clusterBy(spark, t, ("x", "y"), nFiles = 8, bits = 8)
+    val total = Versioned.snapshotFiles(spark, t, 1).size
+    assert(total >= 4, s"fixture needs several files, got $total")
+    def scanned(bounds: (String, Any, Any)*) =
+      Versioned.scanRanges(spark, t, bounds).inputFiles.length
+    // Each dimension ALONE prunes — the Z-order property.
+    assert(scanned(("x", 0L, 4L)) < total)
+    assert(scanned(("y", 0L, 4L)) < total)
+    // Both together prune at least as hard as either alone.
+    val both = scanned(("x", 0L, 4L), ("y", 0L, 4L))
+    assert(both <= scanned(("x", 0L, 4L)) &&
+      both <= scanned(("y", 0L, 4L)))
+    // Rows are exactly the unpruned filter's (content unchanged by
+    // the relayout; pruning cuts IO, never rows).
+    val got = Versioned.scanRanges(spark, t,
+        Seq(("x", 0L, 4L), ("y", 0L, 4L)))
+      .select("id").as[Long].collect().toSet
+    val want = (0L until 400L)
+      .filter(i => i % 20L <= 4L && i / 20L <= 4L).toSet
+    assert(got == want)
+  }
+
   test("init refuses an existing table; merge refuses uninitialized") {
     val t = tmpDir("versioned") + "/t"
     Versioned.init(docs(Seq(1L), _ => 1L), t)

@@ -256,6 +256,37 @@ class DedupSimilaritySpec extends SparkSpec {
       s"ann=$ann brute=$brute overlap too small")
   }
 
+  test("pqTopK: ADC ranking overlaps brute-force inner-product top-k") {
+    val emb = Tables.embeddings(spark, sfSmoke).cache()
+    val pq = SimilarityOps.pqTopK(emb, 0L, 10, stride = 50, nSub = 4)
+      .select("vec_id").as[Long].collect()
+    // Deterministic: codebook, encode and LUT carry no randomness.
+    val again = SimilarityOps
+      .pqTopK(emb, 0L, 10, stride = 50, nSub = 4)
+      .select("vec_id").as[Long].collect()
+    assert(pq.toSeq == again.toSeq)
+    // Brute-force ranking by inner product (what ADC approximates).
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(VectorFunctions.toDoubleArray(col("embedding")).as("qv"))
+    def brute(k: Int) = emb.filter(col("vec_id") =!= 0L).crossJoin(q)
+      .select(col("vec_id"),
+        VectorFunctions.dot(
+          VectorFunctions.toDoubleArray(col("embedding")),
+          col("qv")).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+      .limit(k).select("vec_id").as[Long].collect().toSet
+    // A 10-code codebook quantizes hard — PQ is the COARSE retrieval
+    // tier (re-rank candidates exactly for fine order). The honest
+    // claims: its picks concentrate in the true head of the ranking
+    // (top-10 inside the true top-100 of ~500), with real overlap
+    // against the true top-50. Measured on this fixture: 10/10 in
+    // top-100, 7 in top-50; asserted with slack.
+    assert(pq.toSet.intersect(brute(100)).size >= 8,
+      s"pq=${pq.toSet} not concentrated in the true top-100")
+    assert(pq.toSet.intersect(brute(50)).size >= 4,
+      s"pq=${pq.toSet} overlap with true top-50 too small")
+  }
+
   test("embeddingNearDups: planted duplicate vectors found, in-bucket only") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f), 0),

@@ -39,7 +39,8 @@ class ScaleShapeSpec extends SparkSpec {
       "q13_order_distribution", "q21_waiting_suppliers",
       "q2_min_cost_supplier", "q8_market_share", "q9_nation_profit",
       "q16_supplier_diversity", "f5_ship_latency", "t11_lm_score",
-      "t12_bigram_lm", "e4_kmv_distinct")
+      "t12_bigram_lm", "e4_kmv_distinct", "n14_pq_topk",
+      "k14_pruned_scan", "k16_zorder_scan")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
