@@ -138,6 +138,23 @@ final class Graft(spark: SparkSession, tableDir: String) {
   def recordsAsOf(version: Int): DataFrame =
     Versioned.snapshot(spark, versionedPath, version)
 
+  /** Change feed between two refresh commits (insert/update/delete
+    * rows, rewritten-unchanged suppressed) — what an incremental
+    * downstream consumer tails instead of re-reading the table.
+    */
+  def refreshChanges(fromVersion: Int, toVersion: Int): DataFrame =
+    Versioned.changes(spark, versionedPath, fromVersion, toVersion,
+      keys = Seq("source_name", "record_id"))
+
+  /** OPTIMIZE — bin-pack the small-file debris refresh commits leave
+    * behind; content-identical new version (the maintenance verb every
+    * CoW table needs between refreshes). Returns the committed (or
+    * unchanged) version.
+    */
+  def optimizeVersioned(targetFileBytes: Long = 128L << 20): Int =
+    Versioned.compact(spark, versionedPath, targetFileBytes,
+      partitionCols = Seq("source_name"))
+
   /** `analytics` — per-source stats, type counts, and the three
     * reference-stubbed analytics (tags/temporal/license)
     * (ethical_crawler.py:1274–1349).

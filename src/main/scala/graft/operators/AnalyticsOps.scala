@@ -87,6 +87,40 @@ object AnalyticsOps {
     df.filter(bucket < ratePerMille)
   }
 
+  /** TEMPERATURE-style mixture sampling — the data-mixing step of a
+    * training pipeline: each stratum's per-row rate scales with
+    * 1/sqrt(|stratum|) (the T=0.5 temperature reweighting), so rare
+    * sources are upsampled relative to their share and dominant ones
+    * damped, with `gainPerMille` as the overall-volume dial. Rates are
+    * derived per-stratum only (`floor(gain/sqrt(n))`, capped at 1000‰)
+    * — no cross-stratum normalization term, so the arithmetic is a
+    * single IEEE expression over an exact integer count and reproduces
+    * bit-identically in the oracle. Row selection reuses
+    * [[stratifiedSampleCounts]]'s md5 gate: deterministic,
+    * seed/partition/order-independent — re-running the pipeline
+    * selects the same rows.
+    *
+    * Two aggregates over the input (count per stratum → gated count
+    * per stratum) + one broadcast of the tiny rates relation; at
+    * 100 TB the first agg comes free from table stats and the second
+    * is the sampling scan itself.
+    */
+  def mixtureSampleCounts(df: DataFrame, idCol: String,
+      stratumCol: String, gainPerMille: Double): DataFrame = {
+    val rates = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("rate_pm",
+        least(lit(1000L),
+          floor(lit(gainPerMille) / sqrt(col("n_rows")))).cast("long"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % 1000
+    df.join(broadcast(rates), Seq(stratumCol))
+      .groupBy(col(stratumCol), col("n_rows"), col("rate_pm"))
+      .agg(sum(when(bucket < col("rate_pm"), 1).otherwise(0))
+        .cast("long").as("n_sampled"))
+      .resultSorted(col(stratumCol).asc)
+  }
+
   /** Regex scrubbing of a payload column (emails → <EMAIL>, digit runs
     * → <NUM>) with a per-group audit: how many rows changed, how many
     * distinct scrubbed payloads remain. The PII-redaction shape every

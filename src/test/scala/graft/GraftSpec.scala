@@ -188,5 +188,18 @@ class GraftSpec extends SparkSpec {
     // partition layout survives versioning (source_name at rest)
     assert(new java.io.File(dir +
       "/catalog/records_versioned/v=1/source_name=Src").exists())
+    // change feed between the refreshes: a updated, c inserted, b
+    // carried (suppressed as a physical rewrite at most)
+    val feed = g.refreshChanges(0, 1)
+      .select("record_id", "change_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(feed == Map("a" -> "update", "c" -> "insert"))
+    // OPTIMIZE: content-identical commit, prior versions intact
+    val v2 = g.optimizeVersioned()
+    assert(v2 >= 1)
+    val after = g.recordsAsOf(v2).select("record_id", "title").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == now)
+    assert(g.recordsAsOf(0).count() == 2L)
   }
 }

@@ -45,6 +45,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(first.find(_._1 == "en").map(_._3).contains(sampledEn))
   }
 
+  test("mixtureSampleCounts: inverse-sqrt rates upweight rare strata") {
+    import spark.implicits._
+    val df = ((1 to 400).map(i => (s"b$i", "big")) ++
+      (1 to 16).map(i => (s"r$i", "rare"))).toDF("id", "src")
+    def run() = AnalyticsOps
+      .mixtureSampleCounts(df, "id", "src", gainPerMille = 1000.0)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val out = run()
+    // floor(1000/sqrt(400)) = 50‰; floor(1000/sqrt(16)) = 250‰ — the
+    // rare stratum samples at 5x the dominant one's rate.
+    assert(out("big")._1 == 400L && out("big")._2 == 50L)
+    assert(out("rare")._1 == 16L && out("rare")._2 == 250L)
+    out.values.foreach { case (n, _, sampled) =>
+      assert(sampled >= 0L && sampled <= n) }
+    // Deterministic: the md5 gate has no seed or order dependence.
+    assert(run() == out)
+  }
+
   test("redactionStats: emails and digit runs are scrubbed") {
     val df = Seq(
       ("a", "contact bob@example.com now"),
