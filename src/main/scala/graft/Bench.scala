@@ -31,15 +31,16 @@ object Bench {
     * added since (k13 0.004 s; k14 0.0039 + k15 0.0047 + k16 0.0146 s
     * from the round-6 bake, whose load-inflated total — 21.12 at load
     * 4.2 vs 19.26 quiet — was NOT recorded: an inflated baseline
-    * would flatter the ratio; n14 0.2948 s measured min-of-3 warm on
-    * the same machine). See BASELINE.md.
+    * would flatter the ratio; n14 0.2948 s + c4 0.0111 s + n15
+    * 0.3774 s measured min-of-3 warm on the same machine). See
+    * BASELINE.md.
     * Valid ONLY for the oracle-suite size it was measured against:
     * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  val RecordedDuckdbSf01: Double = 19.5801
-  val RecordedDuckdbQueries: Int = 107
+  val RecordedDuckdbSf01: Double = 19.9686
+  val RecordedDuckdbQueries: Int = 109
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

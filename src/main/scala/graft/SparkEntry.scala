@@ -135,6 +135,14 @@ object SparkEntry {
     "n14_pq_topk" -> ((s, dir) =>
       SimilarityOps.pqTopK(Tables.embeddings(s, dir), 0L, k = 10,
         stride = 50, nSub = 4)),
+    // n15: IVF-PQ — the production serving shape: IVF prunes the
+    // corpus to the probed clusters, PQ scores the survivors from a
+    // broadcast per-query lookup table (ADC); one shared plan answers
+    // the whole query batch and never touches a full-width vector
+    // after encode.
+    "n15_ivfpq_batch" -> ((s, dir) =>
+      SimilarityOps.ivfPqTopKBatch(Tables.embeddings(s, dir),
+        queryMod = 73, k = 5, stride = 50, nSub = 4, nProbe = 3)),
     "r1_salted_counts" -> ((s, dir) =>
       SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
 
@@ -526,6 +534,14 @@ object SparkEntry {
       AnalyticsOps.corpusPrep(Tables.documents(s, dir),
         idCol = "doc_id", textCol = "text", charsCol = "n_chars",
         langCol = "lang", minQuality = 0.55, samplePerMille = 500)),
+    // c4: TEMPERATURE mixture sampling — per-source rates scale with
+    // 1/sqrt(|source|) (T=0.5 reweighting: rare sources upsampled,
+    // dominant ones damped), rows gated by the s1 deterministic md5
+    // hash so a re-run selects the same rows.
+    "c4_mixture_sample" -> ((s, dir) =>
+      AnalyticsOps.mixtureSampleCounts(Tables.documents(s, dir),
+        idCol = "doc_id", stratumCol = "source",
+        gainPerMille = 3000.0)),
 
     // ---- streaming aggregate, batch-checked (same code streams) ----
     "st1_tumbling_counts" -> ((s, dir) =>
@@ -896,6 +912,71 @@ object SparkEntry {
         |WHERE co.vec_id <> 0
         |GROUP BY co.vec_id
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // n15: IVFPQ = n10's coarse probe CTEs + n14's codes/LUT CTEs,
+    // with the LUT keyed per query; scores only over IVF candidates.
+    "n15_ivfpq_batch" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id % 50 = 0),
+        |assignment AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_dot_product(a.v, c.cv) /
+        |                       (a.nrm * c.cnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM n a CROSS JOIN cents c) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+        |  FROM n WHERE vec_id % 73 = 0),
+        |probed AS (
+        |  SELECT query_id, centroid_id FROM (
+        |    SELECT q.query_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_dot_product(c.cv, q.qv) /
+        |                       (c.cnrm * q.qnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM qs q CROSS JOIN cents c) WHERE rn <= 3),
+        |sub(s) AS (VALUES (0), (1), (2), (3)),
+        |vs AS (SELECT vec_id, s,
+        |    list_slice(v, s*16 + 1, s*16 + 16) AS vs
+        |  FROM e, sub),
+        |cb AS (SELECT vec_id AS cid, s,
+        |    list_slice(v, s*16 + 1, s*16 + 16) AS cs
+        |  FROM e, sub WHERE vec_id % 50 = 0),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT v.vec_id, v.s, c.cid,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.s
+        |        ORDER BY round(list_dot_product(c.cs, c.cs)
+        |          - 2 * list_dot_product(v.vs, c.cs), 6) ASC,
+        |          c.cid ASC) AS rn
+        |    FROM vs v JOIN cb c USING (s)) WHERE rn = 1),
+        |qsl AS (SELECT vec_id AS query_id, s, vs AS qsl
+        |  FROM vs WHERE vec_id % 73 = 0),
+        |lut AS (SELECT q.query_id, c.s, c.cid,
+        |    round(list_dot_product(q.qsl, c.cs), 6) AS contrib
+        |  FROM cb c JOIN qsl q USING (s)),
+        |cand AS (
+        |  SELECT query_id, vec_id
+        |  FROM assignment JOIN probed USING (centroid_id)
+        |  WHERE vec_id <> query_id),
+        |scored AS (
+        |  SELECT ca.query_id, ca.vec_id,
+        |    round(sum(l.contrib), 6) AS score
+        |  FROM cand ca JOIN codes co USING (vec_id)
+        |    JOIN lut l ON l.query_id = ca.query_id
+        |      AND l.s = co.s AND l.cid = co.cid
+        |  GROUP BY ca.query_id, ca.vec_id),
+        |r AS (SELECT query_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id ASC) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id, score FROM r WHERE rn <= 5
+        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
     "n13_kmeans_refine" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1624,6 +1705,24 @@ object SparkEntry {
         |    AND l_quantity BETWEEN 10 AND 30) OR
         |  (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50
         |    AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+    // c4: rates are per-stratum only (floor(gain/sqrt(n)), capped) —
+    // no cross-stratum normalization, so the IEEE arithmetic over the
+    // exact integer count reproduces bit-identically here.
+    "c4_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_rows FROM documents
+        |  GROUP BY source),
+        |r AS (
+        |  SELECT source, n_rows,
+        |    least(1000, floor(3000.0 / sqrt(n_rows)))::BIGINT AS rate_pm
+        |  FROM c)
+        |SELECT d.source, r.n_rows, r.rate_pm,
+        |  sum(CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))
+        |               ::BIGINT % 1000 < r.rate_pm
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+        |FROM documents d JOIN r USING (source)
+        |GROUP BY d.source, r.n_rows, r.rate_pm
+        |ORDER BY source ASC""".stripMargin,
     "c1_corpus_prep" ->
       """WITH c AS (
         |  SELECT doc_id, lang, text, n_chars,

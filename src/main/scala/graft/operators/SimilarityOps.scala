@@ -395,6 +395,93 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** IVF-PQ BATCH search — the two ANN tiers composed the way a
+    * production vector index serves queries: the IVF coarse quantizer
+    * prunes the corpus to Σ probed-cluster sizes per query
+    * ([[ivfTopKBatch]]'s shape) and the surviving candidates are
+    * scored in the COMPRESSED domain via [[pqTopK]]'s asymmetric
+    * distance computation — per-query LUT of subspace inner products,
+    * score = nSub table lookups per candidate, never a full-width
+    * vector op after encode. At 100 TB the scan reads only the
+    * (vec_id, centroid_id) assignment and the nSub-small-int codes
+    * table (~64× smaller than the vectors); both the codebook and the
+    * (Q × nSub × |codebook|) LUT broadcast.
+    *
+    * Both quantizers reuse the deterministic strided-centroid
+    * convention (vec_id % stride == 0), so encode, probe, LUT and
+    * scores reproduce bit-for-bit in the DuckDB oracle — an
+    * oracle-backed IVFPQ.
+    */
+  def ivfPqTopKBatch(embeddings: DataFrame, queryMod: Int, k: Int,
+      stride: Int, nSub: Int, nProbe: Int): DataFrame = {
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(d % nSub == 0, s"dim $d not divisible into $nSub subspaces")
+    val sub = d / nSub
+    def slices(v: Column): Column = explode(array(
+      (0 until nSub).map(s => struct(lit(s).as("s"),
+        slice(v, s * sub + 1, sub).as("x"))): _*))
+    // coarse tier: one assignment pass + per-query centroid probe
+    val assign = ivfAssign(embeddings, stride)
+      .select("vec_id", "centroid_id")
+    val qs = embeddings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    val cents = embeddings.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"),
+        toDoubleArray(col("embedding")).as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val probed = qs.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
+        round(cosinePrenormed(col("qv"), col("cv"), col("qnrm"),
+          col("cnrm")), 6).as("cscore"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "centroid_id")
+    // PQ tier: encode once, per-query LUT, ADC over candidates only
+    val vs = embeddings
+      .select(col("vec_id"),
+        slices(toDoubleArray(col("embedding"))).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.x").as("vs"))
+    val cb = embeddings.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cid"),
+        slices(toDoubleArray(col("embedding"))).as("e"))
+      .select(col("cid"), col("e.s").as("s"), col("e.x").as("cs"))
+      .withColumn("cc", dot(col("cs"), col("cs")))
+    val wCode = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val codes = vs.join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"), col("cid"),
+        round(col("cc") - lit(2) * dot(col("vs"), col("cs")), 6).as("d2"))
+      .withColumn("__rn", row_number().over(wCode))
+      .filter(col("__rn") === 1)
+      .select("vec_id", "s", "cid")
+    val qSlices = qs
+      .select(col("query_id"), slices(col("qv")).as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.x").as("qsl"))
+    val lut = qSlices.join(cb, Seq("s"))
+      .select(col("query_id"), col("s"), col("cid"),
+        round(dot(col("qsl"), col("cs")), 6).as("contrib"))
+    val cand = assign.join(probed, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
+  }
+
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val df = embeddings
       .withColumn("features", array_to_vector(col("embedding")))

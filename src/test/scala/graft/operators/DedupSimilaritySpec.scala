@@ -425,6 +425,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(p2.size >= p1.size)
   }
 
+  test("ivfPqTopKBatch: candidates bounded by IVF, ranked by ADC") {
+    val emb = Tables.embeddings(spark, sfSmoke).cache()
+    val out = SimilarityOps.ivfPqTopKBatch(emb, queryMod = 73, k = 5,
+      stride = 50, nSub = 4, nProbe = 3).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+    assert(out.nonEmpty)
+    out.values.foreach(hits => assert(hits.size <= 5))
+    // Deterministic end-to-end: strided quantizers carry no randomness.
+    val again = SimilarityOps.ivfPqTopKBatch(emb, queryMod = 73, k = 5,
+      stride = 50, nSub = 4, nProbe = 3).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+      .toMap
+    assert(out == again)
+    // Every hit must come from a cluster its query probed (the IVF
+    // contract) — ADC can reorder within candidates but never widen
+    // the candidate set. ivfTopK with unbounded k IS that set.
+    out.foreach { case (qid, hits) =>
+      val candidates = SimilarityOps.ivfTopK(emb, qid, k = 1000000,
+        stride = 50, nProbe = 3).collect().map(_.getLong(0)).toSet
+      val outside = hits.map(_._1).filterNot(candidates.contains)
+      assert(outside.isEmpty,
+        s"hits $outside for query $qid outside the probed clusters")
+    }
+  }
+
   test("ivfTopKBatch: each query's slice equals the single-query op") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val batch = SimilarityOps.ivfTopKBatch(emb, queryMod = 73, k = 5,

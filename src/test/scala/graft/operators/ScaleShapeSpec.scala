@@ -40,7 +40,8 @@ class ScaleShapeSpec extends SparkSpec {
       "q2_min_cost_supplier", "q8_market_share", "q9_nation_profit",
       "q16_supplier_diversity", "f5_ship_latency", "t11_lm_score",
       "t12_bigram_lm", "e4_kmv_distinct", "n14_pq_topk",
-      "k14_pruned_scan", "k16_zorder_scan")
+      "k14_pruned_scan", "k16_zorder_scan", "n15_ivfpq_batch",
+      "c4_mixture_sample")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
