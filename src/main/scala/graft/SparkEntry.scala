@@ -223,6 +223,11 @@ object SparkEntry {
     // log-probability ln P(w_i | w_{i-1}).
     "t12_bigram_lm" -> ((s, dir) =>
       TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")),
+    // t13: cross-doc boilerplate — per-source mean hot-shingle ratio
+    // (df >= 0.3% of corpus) + docs over the 0.2 drop threshold.
+    "t13_boilerplate" -> ((s, dir) =>
+      TextOps.boilerplate(Tables.documents(s, dir), "doc_id", "source",
+        "text", relDf = 0.003, flagRatio = 0.2)),
     "n9_dup_clusters" -> ((s, dir) =>
       DedupOps.dupClusters(
         DedupOps.minhashPairs(Tables.documents(s, dir),
@@ -542,6 +547,19 @@ object SparkEntry {
       AnalyticsOps.mixtureSampleCounts(Tables.documents(s, dir),
         idCol = "doc_id", stratumCol = "source",
         gainPerMille = 3000.0)),
+    // c5: SEQUENCE PACKING — concatenate-and-split shard layout per
+    // source stream; a doc belongs to the shard where it starts.
+    "c5_sequence_pack" -> ((s, dir) =>
+      AnalyticsOps.sequencePack(Tables.documents(s, dir),
+        idCol = "doc_id", groupCol = "source", textCol = "text",
+        budgetTokens = 8192)),
+    // c6: GLOBAL packing over the one id-ordered stream — the two-pass
+    // distributed prefix sum (range buckets → offset window → join),
+    // never a corpus-wide single-partition window.
+    "c6_global_pack" -> ((s, dir) =>
+      AnalyticsOps.sequencePackGlobal(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", budgetTokens = 8192,
+        bucketWidth = 1024L)),
 
     // ---- streaming aggregate, batch-checked (same code streams) ----
     "st1_tumbling_counts" -> ((s, dir) =>
@@ -1182,6 +1200,28 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  round(m - ln(n::DOUBLE), 6) AS avg_logp
         |FROM tot ORDER BY doc_id ASC""".stripMargin,
+    // t13: df is counted over the SAME hashed-shingle relation the
+    // Spark side uses (shared generator); the threshold is a scalar
+    // subquery mirroring the broadcast 1-row aggregate.
+    "t13_boilerplate" ->
+      s"""WITH sh0 AS (
+        |${operators.DedupOps.shinglesSql("documents", "doc_id", "text")}),
+        |sh AS (SELECT doc_id,
+        |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh0),
+        |dfx AS (SELECT x, count(*) AS dfc FROM sh GROUP BY 1),
+        |th AS (SELECT ceil(count(*) * 0.003)::BIGINT AS min_df
+        |       FROM documents),
+        |perdoc AS (
+        |  SELECT s.doc_id, count(*) AS n_sh,
+        |    sum(CASE WHEN d.dfc >= th.min_df THEN 1 ELSE 0 END) AS n_hot
+        |  FROM sh s JOIN dfx d USING (x), th GROUP BY 1),
+        |rt AS (SELECT doc_id, n_hot * 1.0 / n_sh AS ratio FROM perdoc)
+        |SELECT doc.source, count(*) AS n_docs,
+        |  round(avg(rt.ratio), 6) AS avg_boilerplate,
+        |  sum(CASE WHEN rt.ratio >= 0.2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS flagged_docs
+        |FROM rt JOIN documents doc USING (doc_id)
+        |GROUP BY doc.source ORDER BY doc.source ASC""".stripMargin,
     "t12_bigram_lm" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1723,6 +1763,40 @@ object SparkEntry {
         |FROM documents d JOIN r USING (source)
         |GROUP BY d.source, r.n_rows, r.rate_pm
         |ORDER BY source ASC""".stripMargin,
+    // c5: shard = floor(tokens-before-this-doc / budget) over the
+    // per-source doc_id-ordered stream; token convention is the c1/t1
+    // whitespace split, so both sides count identically.
+    "c5_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, floor((cum - n_tok) / 8192.0)::BIGINT AS shard_id,
+        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS shard_tokens
+        |FROM c GROUP BY source, shard_id
+        |ORDER BY source ASC, shard_id ASC""".stripMargin,
+    // c6: the oracle states the SEMANTICS (one global ordered cumsum);
+    // the Spark side implements it as the two-pass prefix sum — same
+    // result, differential-tested.
+    "c6_global_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT floor((cum - n_tok) / 8192.0)::BIGINT AS shard_id,
+        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS shard_tokens
+        |FROM c GROUP BY shard_id
+        |ORDER BY shard_id ASC""".stripMargin,
     "c1_corpus_prep" ->
       """WITH c AS (
         |  SELECT doc_id, lang, text, n_chars,

@@ -335,6 +335,97 @@ object AnalyticsOps {
       .resultSorted(col(key).asc)
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * shards — the concatenate-and-split layout every LLM pre-training
+    * export runs (docs are concatenated in a deterministic order and
+    * the stream is cut every `budget` tokens; a document belongs to
+    * the shard where it STARTS, and may straddle into the next).
+    * Token convention is [[TextOps.tokens]] (= the c1/t1 whitespace
+    * split), so the count is oracle-reproducible.
+    *
+    * Packing is per `groupCol` stream (source/language), which is the
+    * distributed shape: each group's shard sequence is independent, so
+    * the ordered window parallelizes across groups — one shuffle on
+    * the group key, one in-partition sort. A single GLOBAL stream
+    * would serialize the cumulative sum into one partition; the scale
+    * path there is the classic two-pass prefix sum (per-partition
+    * partial token totals → broadcast running offsets → in-partition
+    * cumsum), which this per-group form degenerates to with one group.
+    * Output: (group, shard_id, n_docs, shard_tokens) — the shard
+    * manifest a packing job writes next to the shards themselves.
+    */
+  def sequencePack(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, budgetTokens: Int): DataFrame = {
+    // Project to 3 narrow columns BEFORE the window shuffle: the
+    // exchange on the group key carries (group, id, n_tok), never the
+    // payload — at 100 TB the text column never leaves the scan stage.
+    val toks = df.select(col(groupCol), col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("shard_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) /
+          lit(budgetTokens.toDouble)).cast("long"))
+      .groupBy(col(groupCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("shard_tokens"))
+      .resultSorted(col(groupCol).asc, col("shard_id").asc)
+  }
+
+  /** GLOBAL sequence packing — [[sequencePack]]'s single-stream
+    * variant, built as the two-pass distributed prefix sum instead of
+    * one global ordered window (which would serialize the whole corpus
+    * into a single partition):
+    *
+    *  1. docs land in contiguous id RANGES (`bucket = id / width`);
+    *     the in-bucket cumulative sum is an ordinary partitioned
+    *     window — parallel across buckets;
+    *  2. per-bucket token totals reduce off the SAME bucket exchange
+    *     (max of the in-bucket cumsum — no second shuffle of the
+    *     relation), and their exclusive prefix sum runs as a window
+    *     over the |buckets|-row relation — the only global-ordered
+    *     step, bounded by bucket count, never by corpus size;
+    *  3. offsets broadcast-join back; global position = offset +
+    *     in-bucket cumsum.
+    *
+    * Shard semantics are identical to [[sequencePack]] over the
+    * id-ordered global stream (differential-tested against the naive
+    * single-window form). Range bucketing composes because prefix
+    * sums are associative over ordered contiguous ranges — id density
+    * doesn't matter, only that bucket k's ids all precede bucket
+    * k+1's. On a cluster, `width` sizes each bucket's window to one
+    * task (e.g. 10⁶ ids per bucket at 100 TB).
+    */
+  def sequencePackGlobal(df: DataFrame, idCol: String,
+      textCol: String, budgetTokens: Int, bucketWidth: Long)
+      : DataFrame = {
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = df
+      .select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("bucket", floor(col(idCol) / lit(bucketWidth)))
+      .withColumn("cum_in", sum(col("n_tok")).over(wIn))
+    // total per bucket == max in-bucket cumsum: reduces the window
+    // output in place (already hash-partitioned by bucket — no new
+    // exchange), and AQE reuses the bucket exchange for both branches.
+    val wOff = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = inBucket.groupBy(col("bucket"))
+      .agg(max(col("cum_in")).as("tot"))
+      .withColumn("offset", sum(col("tot")).over(wOff) - col("tot"))
+      .select(col("bucket"), col("offset"))
+    inBucket.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("shard_id",
+        floor((col("offset") + col("cum_in") - col("n_tok")) /
+          lit(budgetTokens.toDouble)).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("shard_tokens"))
+      .resultSorted(col("shard_id").asc)
+  }
+
   /** Set algebra between two keyed subsets (INTERSECT / EXCEPT — the
     * §2.7 surface the reference never exercises): ids matching both
     * predicates, and ids matching only the first, tagged in one

@@ -396,4 +396,45 @@ object TextOps {
         round(col("m") - log(col("n")), 6).as("avg_logp"))
       .orderBy(col(idCol).asc)
   }
+
+  /** Cross-document boilerplate detection (the CCNet/RefinedWeb-style
+    * template-text pass): a doc's boilerplate ratio is the fraction of
+    * its distinct 3-gram shingles whose document frequency reaches
+    * `relDf` × |corpus| — navbars, footers, licence blurbs repeat
+    * near-verbatim across many pages, while body text shingles stay
+    * rare. Reported per `groupCol`: doc count, mean ratio, and docs
+    * whose ratio reaches `flagRatio` (the drop candidates).
+    *
+    * Shape: the [[DedupOps.hashedShingles]] relation (fixed-width
+    * 60-bit keys, payload never leaves the scan), df counted with the
+    * same window-over-x form as [[DedupOps.capShingleDf]] (one
+    * exchange on x), per-doc fold on the id (second exchange), join
+    * back to the (id, group) projection — co-partitioned with the
+    * fold — and a tiny final agg. The df threshold is a 1-row
+    * aggregate broadcast into the plan, not a driver-side action, so
+    * the whole thing is one declarative plan at any scale. A 10⁸-doc
+    * corpus makes the hot-x window skewed exactly like the capped
+    * shingle join; the df-cap blacklist-form note applies unchanged.
+    */
+  def boilerplate(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, relDf: Double, flagRatio: Double): DataFrame = {
+    val sh = DedupOps.hashedShingles(df, idCol, textCol)
+    val withDf = sh.withColumn("dfc", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("x"))))
+    val thresh = df.agg(
+      ceil(count(lit(1)) * lit(relDf)).cast("long").as("min_df"))
+    val perDoc = withDf.crossJoin(broadcast(thresh))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("dfc") >= col("min_df"), 1).otherwise(0))
+          .cast("long").as("n_hot"))
+      .withColumn("ratio", col("n_hot") * lit(1.0) / col("n_sh"))
+    perDoc.join(df.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ratio")), 6).as("avg_boilerplate"),
+        sum(when(col("ratio") >= flagRatio, 1).otherwise(0))
+          .cast("long").as("flagged_docs"))
+      .resultSorted(col(groupCol).asc)
+  }
 }

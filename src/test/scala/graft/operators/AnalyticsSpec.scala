@@ -65,6 +65,78 @@ class AnalyticsSpec extends SparkSpec {
     assert(run() == out)
   }
 
+  test("sequencePack: greedy budget cut, start-shard assignment") {
+    // Per-group streams: docs ordered by id, shard = floor(before/10).
+    val df = Seq(
+      ("s1", "d1", "a b c d"),            // 4 tok, before=0  → shard 0
+      ("s1", "d2", "e f g h i"),          // 5 tok, before=4  → shard 0
+      ("s1", "d3", "j k l"),              // 3 tok, before=9  → shard 0
+      ("s1", "d4", "m n"),                // 2 tok, before=12 → shard 1
+      ("s2", "d5", "x y z")               // other group restarts at 0
+    ).toDF("source", "doc_id", "text")
+    val rows = AnalyticsOps
+      .sequencePack(df, "doc_id", "source", "text", budgetTokens = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("s1", 0L, 3L, 12L),   // d1..d3 start before the 10-token cut
+      ("s1", 1L, 1L, 2L),
+      ("s2", 0L, 1L, 3L)))
+    // conservation: shard token totals sum to the corpus token total
+    val corpus = Tables.documents(spark, sfSmoke)
+    val packed = AnalyticsOps.sequencePack(corpus, "doc_id", "source",
+      "text", budgetTokens = 8192)
+    val shardSum = packed.agg(sum("shard_tokens")).head.getLong(0)
+    val tokSum = corpus.select(
+      sum(size(TextOps.tokens(col("text")))).cast("long"))
+      .head.getLong(0)
+    assert(shardSum == tokSum)
+    // every full shard (all but each group's last) holds >= 1 doc and
+    // starts strictly inside its budget window: shard ids are dense
+    val ids = packed.groupBy("source")
+      .agg(collect_list(col("shard_id")).as("ids")).collect()
+    ids.foreach { r =>
+      val s = r.getSeq[Long](1).sorted
+      assert(s == (0L until s.length.toLong), s"dense ids per group: $s")
+    }
+  }
+
+  test("sequencePackGlobal: two-pass prefix sum == naive global window") {
+    // bucket boundary case: width 2 puts d1,d2 | d3,d4 in different
+    // buckets; the offset join must carry d1+d2's total across.
+    val df = Seq(
+      (1L, "a b c d"), (2L, "e f g"),        // bucket 0: 7 tokens
+      (3L, "h i j k l"), (4L, "m n")         // bucket 1: before=7,12
+    ).toDF("doc_id", "text")
+    val rows = AnalyticsOps
+      .sequencePackGlobal(df, "doc_id", "text", budgetTokens = 10,
+        bucketWidth = 2L)  // ids 0-1, 2-3, 4-5 ... per bucket
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // before: d1=0, d2=4, d3=7, d4=12 → shards 0,0,0,1
+    assert(rows.toSeq == Seq((0L, 3L, 12L), (1L, 1L, 2L)))
+    // differential vs the naive single-window form on the real corpus
+    val corpus = Tables.documents(spark, sfSmoke)
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      corpus.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("shard_id",
+          floor((sum(col("n_tok")).over(w) - col("n_tok")) / 8192.0)
+            .cast("long"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("shard_tokens"))
+        .orderBy("shard_id").collect().toSeq
+    }
+    val twoPass = AnalyticsOps.sequencePackGlobal(corpus, "doc_id",
+      "text", 8192, 64L).collect().toSeq
+    assert(twoPass == naive,
+      "two-pass prefix sum must equal the single-window form")
+  }
+
   test("redactionStats: emails and digit runs are scrubbed") {
     val df = Seq(
       ("a", "contact bob@example.com now"),

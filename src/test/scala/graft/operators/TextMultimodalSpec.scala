@@ -261,4 +261,35 @@ class TextMultimodalSpec extends SparkSpec {
       .select("doc_id", "avg_logp").as[(Long, Double)].collect().toMap
     assert(s(4L) < s(1L), s"rare continuation must score lower: $s")
   }
+
+  test("boilerplate: template shingles flagged, unique text clean") {
+    // 10 docs: 8 share the template "sign up to our newsletter now"
+    // (its 3-grams hit df=8 >= ceil(10 * 0.3) = 3); each doc also has
+    // a unique tail so no doc is pure template. Docs 9/10 are fully
+    // unique -> ratio 0.
+    val tmpl = "sign up to our newsletter now"
+    val docs = (1 to 8).map(i =>
+      (i.toLong, "g1", s"$tmpl unique$i tail$i words$i here$i")) ++
+      Seq((9L, "g2", "nine alpha beta gamma delta epsilon"),
+        (10L, "g2", "ten zeta eta theta iota kappa"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = TextOps.boilerplate(df, "doc_id", "source", "text",
+      relDf = 0.3, flagRatio = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // g1 docs: 10 tokens -> 8 distinct shingles, 4 from the template
+    // (df=8) -> ratio 0.5 >= 0.3 flagged; g2: all shingles df=1.
+    assert(out("g1")._1 == 8L && out("g2")._1 == 2L)
+    assert(out("g1")._2 == 0.5 && out("g1")._3 == 8L)
+    assert(out("g2")._2 == 0.0 && out("g2")._3 == 0L)
+    // deterministic on real data + ratio bounds
+    val corpus = Tables.documents(spark, sfSmoke)
+    val a = TextOps.boilerplate(corpus, "doc_id", "source", "text",
+      0.003, 0.2).collect()
+    a.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0) }
+    val b = TextOps.boilerplate(corpus, "doc_id", "source", "text",
+      0.003, 0.2).collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
