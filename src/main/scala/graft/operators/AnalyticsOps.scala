@@ -402,10 +402,16 @@ object AnalyticsOps {
       : DataFrame = {
     val wIn = Window.partitionBy(col("bucket")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The explicit isnotnull(bucket) matches the filter the offset
+    // join would otherwise infer on its left branch ONLY — with it on
+    // both branches the window subtrees canonicalize equal and AQE
+    // reuses one scan + one bucket exchange for the whole plan
+    // (verified in the spec; a null id has no position in the stream).
     val inBucket = df
       .select(col(idCol),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
       .withColumn("bucket", floor(col(idCol) / lit(bucketWidth)))
+      .where(col("bucket").isNotNull)
       .withColumn("cum_in", sum(col("n_tok")).over(wIn))
     // total per bucket == max in-bucket cumsum: reduces the window
     // output in place (already hash-partitioned by bucket — no new

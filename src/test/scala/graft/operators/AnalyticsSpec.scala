@@ -131,10 +131,17 @@ class AnalyticsSpec extends SparkSpec {
           sum(col("n_tok")).cast("long").as("shard_tokens"))
         .orderBy("shard_id").collect().toSeq
     }
-    val twoPass = AnalyticsOps.sequencePackGlobal(corpus, "doc_id",
-      "text", 8192, 64L).collect().toSeq
+    val twoPassDf = AnalyticsOps.sequencePackGlobal(corpus, "doc_id",
+      "text", 8192, 64L)
+    val twoPass = twoPassDf.collect().toSeq
     assert(twoPass == naive,
       "two-pass prefix sum must equal the single-window form")
+    // the in-bucket window and the offsets branch must share ONE scan
+    // + bucket exchange (the symmetric isnotnull keeps the branches
+    // canonically equal — see sequencePackGlobal)
+    val plan = twoPassDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"offsets branch did not reuse the bucket exchange:\n$plan")
   }
 
   test("redactionStats: emails and digit runs are scrubbed") {
