@@ -41,7 +41,8 @@ class ScaleShapeSpec extends SparkSpec {
       "q16_supplier_diversity", "f5_ship_latency", "t11_lm_score",
       "t12_bigram_lm", "e4_kmv_distinct", "n14_pq_topk",
       "k14_pruned_scan", "k16_zorder_scan", "n15_ivfpq_batch",
-      "c4_mixture_sample")
+      "c4_mixture_sample", "c5_sequence_pack", "c6_global_pack",
+      "t13_boilerplate")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
