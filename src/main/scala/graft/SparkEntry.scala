@@ -560,6 +560,12 @@ object SparkEntry {
       AnalyticsOps.sequencePackGlobal(Tables.documents(s, dir),
         idCol = "doc_id", textCol = "text", budgetTokens = 8192,
         bucketWidth = 1024L)),
+    // c7: LEAKAGE-SAFE split — train/val/test hashed at the GROUP
+    // level so near-dups inside a group never straddle splits.
+    "c7_split_assign" -> ((s, dir) =>
+      AnalyticsOps.splitAssign(Tables.documents(s, dir),
+        groupCol = "source", textCol = "text",
+        trainPerMille = 800, valPerMille = 100)),
 
     // ---- streaming aggregate, batch-checked (same code streams) ----
     "st1_tumbling_counts" -> ((s, dir) =>
@@ -1780,6 +1786,21 @@ object SparkEntry {
         |  count(*) AS n_docs, sum(n_tok)::BIGINT AS shard_tokens
         |FROM c GROUP BY source, shard_id
         |ORDER BY source ASC, shard_id ASC""".stripMargin,
+    // c7: same md5-gate arithmetic as s1/c4; the CASE bounds mirror
+    // the when-chain bit-identically over exact integers.
+    "c7_split_assign" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(source), 1, 15))::BIGINT % 1000 AS bk,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 800 THEN 'train'
+        |            WHEN bk < 900 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(DISTINCT source) AS n_groups,
+        |  count(*) AS n_docs,
+        |  sum(n_tok)::BIGINT AS total_tokens
+        |FROM b GROUP BY split ORDER BY split ASC""".stripMargin,
     // c6: the oracle states the SEMANTICS (one global ordered cumsum);
     // the Spark side implements it as the two-pass prefix sum — same
     // result, differential-tested.

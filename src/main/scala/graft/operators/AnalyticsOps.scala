@@ -432,6 +432,35 @@ object AnalyticsOps {
       .resultSorted(col("shard_id").asc)
   }
 
+  /** Leakage-safe train/val/test split assignment: the split is a
+    * deterministic hash of the GROUP key (source here; a duplicate-
+    * cluster id from [[DedupOps.dupClusters]] plugs in identically),
+    * so every member of a group lands in the same split — near-dups
+    * inside a group can never straddle train/test, the contamination
+    * mode a doc-level random split invites. Same md5-bucket gate as
+    * the s1/c4 samplers: seedless, order-independent, re-runs
+    * reproduce the split exactly.
+    *
+    * Output is the split manifest (split, n_groups, n_docs,
+    * total_tokens): one scan, one tiny aggregate; the assignment
+    * itself is a pure projection any downstream export filter reuses.
+    * `perMille = (train, train+val)` bounds in ‰ of the hash space.
+    */
+  def splitAssign(df: DataFrame, groupCol: String, textCol: String,
+      trainPerMille: Int, valPerMille: Int): DataFrame = {
+    val bucket = conv(substring(md5(col(groupCol)), 1, 15), 16, 10)
+      .cast("long") % 1000
+    val split = when(bucket < trainPerMille, "train")
+      .when(bucket < trainPerMille + valPerMille, "val")
+      .otherwise("test")
+    df.groupBy(split.as("split"))
+      .agg(countDistinct(col(groupCol)).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol)))).cast("long")
+          .as("total_tokens"))
+      .resultSorted(col("split").asc)
+  }
+
   /** Set algebra between two keyed subsets (INTERSECT / EXCEPT — the
     * §2.7 surface the reference never exercises): ids matching both
     * predicates, and ids matching only the first, tagged in one

@@ -144,6 +144,33 @@ class AnalyticsSpec extends SparkSpec {
       s"offsets branch did not reuse the bucket exchange:\n$plan")
   }
 
+  test("splitAssign: group-consistent, conserving, deterministic") {
+    val corpus = Tables.documents(spark, sfSmoke)
+    val out = AnalyticsOps.splitAssign(corpus, "source", "text",
+      trainPerMille = 800, valPerMille = 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // conservation: docs and groups partition exactly
+    assert(out.values.map(_._2).sum == corpus.count())
+    assert(out.values.map(_._1).sum ==
+      corpus.select("source").distinct().count())
+    // leakage safety: a group's docs all carry the same split — the
+    // split of a doc is a function of source alone, so distinct
+    // (source, split) pairs == distinct sources
+    import org.apache.spark.sql.functions.{conv => fconv}
+    val bucket = fconv(substring(md5(col("source")), 1, 15), 16, 10)
+      .cast("long") % 1000
+    val split = when(bucket < 800, "train")
+      .when(bucket < 900, "val").otherwise("test")
+    assert(corpus.select(col("source"), split.as("s")).distinct()
+      .count() == corpus.select("source").distinct().count())
+    // deterministic
+    val again = AnalyticsOps.splitAssign(corpus, "source", "text",
+      800, 100).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == out)
+  }
+
   test("redactionStats: emails and digit runs are scrubbed") {
     val df = Seq(
       ("a", "contact bob@example.com now"),
