@@ -90,11 +90,24 @@ object FtsOps {
       .limit(k)
   }
 
-  /** [[searchRanked]] building the index inline from the corpus. */
+  /** [[searchRanked]] building the index inline from the corpus.
+    * The IN-filtered postings are cached so the df branch and the
+    * scoring branch share ONE corpus scan (the optimizer's column
+    * pruning otherwise specializes the two subtrees just enough that
+    * no exchange reuse fires, and the explode+aggregate runs twice —
+    * measured 8 → 5 job waves at sf0.1). The cached relation is
+    * |matched postings|, term-bounded. The at-rest path
+    * ([[searchRankedIndexed]]) needs none of this: its two reads are
+    * bucket-pruned file scans.
+    */
   def searchRankedDocs(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int): DataFrame =
-    searchRanked(buildIndex(docs, idCol, textCol),
-      docs.agg(count(lit(1)).as("n_docs")), idCol, terms, k)
+      terms: Seq[String], k: Int): DataFrame = {
+    val normTerms = terms.map(_.toLowerCase).distinct
+    val pruned = buildIndex(docs, idCol, textCol)
+      .filter(col("token").isInCollection(normTerms)).cache()
+    searchRanked(pruned, docs.agg(count(lit(1)).as("n_docs")),
+      idCol, terms, k)
+  }
 
   /** [[searchRanked]] over a persisted [[writeIndex]] table (the
     * corpus count rides in as a one-row relation so the index itself
@@ -141,15 +154,22 @@ object FtsOps {
 
   /** [[searchBm25]] building index and length relation from the
     * corpus (length = whitespace token count, matching the index's
-    * tokenizer).
+    * tokenizer). Filtered postings cached for the same single-scan
+    * reason as [[searchRankedDocs]]; the lens relation is inherently
+    * a second (narrow, two-column) pass — at rest it is index
+    * metadata, not a scan.
     */
   def searchBm25Docs(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int): DataFrame =
+      terms: Seq[String], k: Int): DataFrame = {
+    val normTerms = terms.map(_.toLowerCase).distinct
+    val pruned = buildIndex(docs, idCol, textCol)
+      .filter(col("token").isInCollection(normTerms)).cache()
     searchBm25(
-      buildIndex(docs, idCol, textCol),
+      pruned,
       docs.select(col(idCol),
         size(split(lower(col(textCol)), " ")).cast("double").as("len")),
       idCol, terms, k)
+  }
 
   /** Persist the inverted index AT REST, bucketed (and sorted) by
     * token: the corpus scan is paid once here; afterwards a term
