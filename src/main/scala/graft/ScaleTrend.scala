@@ -56,6 +56,21 @@ object ScaleTrend {
     }
     println(f"[scale] n4 x$factor min=${n4Times.min}%.3f " +
       s"all=${n4Times.map(t => f"$t%.3f").mkString(",")}")
+    // t13 (boilerplate) over the same disjoint-shingle replicas: the
+    // df window + per-doc fold + join-back are all data-proportional,
+    // so time should track N with no quadratic term (relDf is held
+    // fixed — the threshold scales with corpus size, which empties
+    // the hot set at high N; that changes the REPORT, not the cost
+    // shape being measured).
+    val qt13 = () => operators.TextOps.boilerplate(bigDisjoint,
+      "doc_id", "source", "text", relDf = 0.003, flagRatio = 0.2)
+    val t13Times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qt13().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] t13 x$factor min=${t13Times.min}%.3f " +
+      s"all=${t13Times.map(t => f"$t%.3f").mkString(",")}")
     // w1 (top-3 orders per customer) over N×-replicated orders with
     // per-replica custkey offsets: the TopKPerKey pushdown vs Spark's
     // window path (kill switch off) on the SAME input — the shuffle

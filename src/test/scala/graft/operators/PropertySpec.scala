@@ -132,6 +132,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sequence packing conserves tokens; shards cut correctly") {
+    // random corpora × random budgets: (1) shard token totals sum to
+    // the corpus total; (2) a doc's shard equals floor(before/budget)
+    // recomputed from scratch per group; (3) global two-pass == the
+    // same law over the single stream.
+    val docGen = Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(0L, 500L), Gen.oneOf("g1", "g2", "g3"),
+      Gen.chooseNum(1, 12).map(n => Seq.fill(n)("w").mkString(" "))))
+      .map(_.distinctBy(_._1))
+    val budgetGen = Gen.chooseNum(5, 40)
+    samples(Gen.zip(docGen, budgetGen)).foreach { case (rows, budget) =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val out = AnalyticsOps
+        .sequencePack(df, "doc_id", "source", "text", budget)
+        .as[(String, Long, Long, Long)].collect()
+      val tokens = rows.map(_._3.split(" ").length.toLong)
+      assert(out.map(_._4).sum == tokens.sum, "token conservation")
+      // recompute shard assignment per group sequentially
+      val expected = rows.groupBy(_._2).flatMap { case (g, ds) =>
+        var before = 0L
+        ds.sortBy(_._1).map { case (_, _, text) =>
+          val n = text.split(" ").length.toLong
+          val shard = before / budget
+          before += n
+          (g, shard, n)
+        }
+      }.groupBy(t => (t._1, t._2))
+        .map { case ((g, s), ts) =>
+          (g, s, ts.size.toLong, ts.map(_._3).sum) }.toSet
+      assert(out.toSet == expected, s"budget=$budget")
+      // global variant obeys the same law over the one stream
+      val g = AnalyticsOps.sequencePackGlobal(df, "doc_id", "text",
+        budget, bucketWidth = 7L)
+        .as[(Long, Long, Long)].collect()
+      var before = 0L
+      val gExpected = rows.sortBy(_._1).map { case (_, _, text) =>
+        val n = text.split(" ").length.toLong
+        val shard = before / budget; before += n; (shard, n)
+      }.groupBy(_._1).map { case (s, ts) =>
+        (s, ts.size.toLong, ts.map(_._2).sum) }.toSet
+      assert(g.toSet == gExpected, s"global budget=$budget")
+    }
+  }
+
   test("property: robots parse — disallowed paths deny (incl. subpaths)") {
     val pathGen = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(Gen.alphaLowerChar).map("/" + _.mkString))
