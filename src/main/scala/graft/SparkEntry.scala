@@ -624,6 +624,19 @@ object SparkEntry {
     "st4_native_sessions" -> ((s, dir) =>
       graft.streaming.StreamingOps.sessionWindowAgg(
         Tables.events(s, dir), "ts", "30 minutes")),
+    // st5: STREAMING sequence packing — per-source custom state (one
+    // long per group) assigns docs to shards as they arrive; the batch
+    // run sorts per group by doc_id, so the manifest is c5's exactly
+    // and st5 is held to c5's oracle SQL verbatim.
+    "st5_stream_pack" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(graft.operators.TextOps.tokens(col("text")))
+            .cast("long").as("n_tok"))
+        .as[graft.streaming.StreamingOps.PackDoc]
+      graft.streaming.StreamingOps.packManifest(docs, 8192L)
+    }),
     "q2_min_cost_supplier" -> ((s, dir) =>
       StarSchemaOps.minCostSuppliers(s, dir)),
     // w4: time-based RANGE frame (trailing 1 hour per user) — the one
@@ -1773,6 +1786,22 @@ object SparkEntry {
     // per-source doc_id-ordered stream; token convention is the c1/t1
     // whitespace split, so both sides count identically.
     "c5_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, floor((cum - n_tok) / 8192.0)::BIGINT AS shard_id,
+        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS shard_tokens
+        |FROM c GROUP BY source, shard_id
+        |ORDER BY source ASC, shard_id ASC""".stripMargin,
+    // st5: the custom-state streaming packer reduces to c5's manifest
+    // in batch (per-group doc_id order) — same oracle, verbatim.
+    "st5_stream_pack" ->
       """WITH t AS (
         |  SELECT source, doc_id,
         |    len(string_split(text, ' '))::BIGINT AS n_tok

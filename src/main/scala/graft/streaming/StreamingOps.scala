@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
+import graft.Sorting.ResultSortOps
 
 /** Structured Streaming slice over the `events` stream (SURVEY §2.9
   * extension — the reference is batch-only; this is the capability a
@@ -85,6 +86,64 @@ object StreamingOps {
   final case class UserSession(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, total_value: Double)
+
+  final case class PackDoc(doc_id: Long, source: String, n_tok: Long)
+
+  /** Per-group packing state: tokens already emitted into the group's
+    * shard stream. One long per group — the smallest possible state.
+    */
+  final case class PackState(before: Long)
+
+  final case class PackAssign(
+      source: String, doc_id: Long, shard_id: Long, n_tok: Long)
+
+  /** STREAMING sequence packing via `flatMapGroupsWithState`: docs are
+    * appended to each source's open shard as they arrive; a doc is
+    * assigned to the shard where it starts (`before / budget`), and
+    * the only state carried between triggers is the group's running
+    * token count — one long per source, never evicted (an open shard
+    * is genuinely open; state size is |groups|, not |docs|).
+    *
+    * In arrival-order streaming the shard layout is arrival-defined;
+    * the batch run (Spark calls the same function once per whole
+    * group) sorts each group by doc_id, which makes it exactly
+    * [[graft.operators.AnalyticsOps.sequencePack]]'s id-ordered
+    * semantics — the st5 query folds the assignments to the shard
+    * manifest and is checked against c5's oracle SQL verbatim (the
+    * "same code streams" duality st1–st3 establish).
+    */
+  def packStream(docs: Dataset[PackDoc], budgetTokens: Long)
+      : Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+
+    def fold(source: String, it: Iterator[PackDoc],
+        state: GroupState[PackState]): Iterator[PackAssign] = {
+      val sorted = it.toSeq.sortBy(_.doc_id)
+      var before = state.getOption.map(_.before).getOrElse(0L)
+      val out = sorted.map { d =>
+        val shard = before / budgetTokens
+        before += d.n_tok
+        PackAssign(d.source, d.doc_id, shard, d.n_tok)
+      }
+      state.update(PackState(before))
+      out.iterator
+    }
+
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fold)
+  }
+
+  /** [[packStream]] folded to the shard manifest — the st5 batch
+    * query shape, column-identical to c5 (same oracle SQL).
+    */
+  def packManifest(docs: Dataset[PackDoc], budgetTokens: Long)
+      : DataFrame =
+    packStream(docs, budgetTokens)
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("shard_tokens"))
+      .resultSorted(col("source").asc, col("shard_id").asc)
 
   /** Custom-state sessionization via `flatMapGroupsWithState`: events
     * per user are folded into sessions split wherever the gap between

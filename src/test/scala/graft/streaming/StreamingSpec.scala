@@ -374,4 +374,45 @@ class StreamingSpec extends SparkSpec {
     val total = agg.agg(sum("cnt")).head.getLong(0)
     assert(total == ev.count())
   }
+
+  test("packStream batch twin equals c5; state spans micro-batches") {
+    import spark.implicits._
+    // batch: the custom-state packer's manifest == sequencePack's
+    val corpus = Tables.documents(spark, sfSmoke)
+    val docs = corpus.select(col("doc_id"), col("source"),
+        size(graft.operators.TextOps.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      .as[StreamingOps.PackDoc]
+    val st = StreamingOps.packManifest(docs, 8192L).collect().toSeq
+    val c5 = graft.operators.AnalyticsOps.sequencePack(corpus,
+      "doc_id", "source", "text", 8192).collect().toSeq
+    assert(st.map(_.toString) == c5.map(_.toString))
+    // streaming: a doc arriving in trigger 2 must CONTINUE the open
+    // shard (state carries the group's running token count across
+    // micro-batches, not restart at shard 0)
+    val dir = tmpDir("stpack")
+    def mk(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("doc_id", "source", "n_tok")
+    mk(Seq((1L, "s1", 6L), (2L, "s1", 5L)))   // before=0,6 → shards 0,0
+      .coalesce(1).write.parquet(dir + "/staged/b0")
+    mk(Seq((3L, "s1", 4L)))                    // before=11 → shard 1
+      .coalesce(1).write.parquet(dir + "/staged/b1")
+    val schema = spark.read.parquet(dir + "/staged/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir + "/staged/*")
+      .as[StreamingOps.PackDoc]
+    val q = StreamingOps.packStream(stream, budgetTokens = 10L)
+      .writeStream.format("memory").queryName("stpack")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("stpack").as[StreamingOps.PackAssign]
+      .collect().sortBy(_.doc_id)
+    assert(got.map(a => (a.doc_id, a.shard_id)).toSeq ==
+      Seq((1L, 0L), (2L, 0L), (3L, 1L)),
+      s"state must carry across micro-batches: ${got.toSeq}")
+  }
 }
