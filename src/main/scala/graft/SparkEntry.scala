@@ -228,6 +228,15 @@ object SparkEntry {
     "t13_boilerplate" -> ((s, dir) =>
       TextOps.boilerplate(Tables.documents(s, dir), "doc_id", "source",
         "text", relDf = 0.003, flagRatio = 0.2)),
+    // t14: Gopher-style rule gate — per-source pass/fail report over
+    // four structural rules, every ratio bound in exact integer form.
+    "t14_gopher_gate" -> ((s, dir) =>
+      TextOps.gopherGate(Tables.documents(s, dir), "source", "text",
+        "n_chars")),
+    // t15: adjacent-pair counts — the BPE vocab-induction merge
+    // statistic; top-50 pairs with a total-order tiebreak.
+    "t15_pair_counts" -> ((s, dir) =>
+      TextOps.pairCounts(Tables.documents(s, dir), "text", 50)),
     "n9_dup_clusters" -> ((s, dir) =>
       DedupOps.dupClusters(
         DedupOps.minhashPairs(Tables.documents(s, dir),
@@ -1241,6 +1250,52 @@ object SparkEntry {
         |    AS flagged_docs
         |FROM rt JOIN documents doc USING (doc_id)
         |GROUP BY doc.source ORDER BY doc.source ASC""".stripMargin,
+    // t14: same integer-arithmetic rule forms as the Spark side —
+    // cross-multiplied bounds, so no float boundary exists to flap.
+    "t14_gopher_gate" ->
+      """WITH t AS (
+        |  SELECT source, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, n_chars, len(toks) AS n_tok,
+        |    len(list_filter(toks,
+        |      w -> w IN ('the','a','of','and','is','in'))) AS n_stop,
+        |    (SELECT max(cnt) FROM (
+        |       SELECT count(*) AS cnt FROM unnest(toks) AS u(tok)
+        |       GROUP BY tok)) AS max_cnt
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |    (n_tok BETWEEN 20 AND 80) AS r_len,
+        |    ((n_chars - n_tok + 1) * 4 >= n_tok * 17
+        |      AND n_chars - n_tok + 1 <= n_tok * 10) AS r_wordlen,
+        |    (n_stop >= 2) AS r_stop,
+        |    (max_cnt * 5 <= n_tok) AS r_rep
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN r_len AND r_wordlen AND r_stop AND r_rep
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        |  sum(CASE WHEN NOT r_len THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_fail_len,
+        |  sum(CASE WHEN NOT r_wordlen THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_fail_wordlen,
+        |  sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_fail_stop,
+        |  sum(CASE WHEN NOT r_rep THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_fail_rep
+        |FROM r GROUP BY source ORDER BY source ASC""".stripMargin,
+    // t15: pairs via list_zip of the two offset slices — the same
+    // shifted-self zip the Spark side builds with slice + zip_with.
+    "t15_pair_counts" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT unnest(list_zip(toks[1:len(toks)-1],
+        |                         toks[2:len(toks)])) AS z
+        |  FROM t)
+        |SELECT z[1] || ' ' || z[2] AS pair, count(*) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
     "t12_bigram_lm" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

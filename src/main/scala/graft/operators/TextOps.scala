@@ -437,4 +437,80 @@ object TextOps {
           .cast("long").as("flagged_docs"))
       .resultSorted(col(groupCol).asc)
   }
+
+  /** Gopher-style composite quality gate (the rule-based document
+    * filter of the Gopher/MassiveText pipeline, adapted to the
+    * single-spaced corpus): a doc passes when ALL four structural
+    * rules hold —
+    *   token count in [20, 80];
+    *   mean word length in [4.25, 10];
+    *   ≥ 2 function words ([[EnStopwords]]);
+    *   modal-token share ≤ 1/5 (repetitive spam).
+    * Every ratio bound is cross-multiplied into EXACT integer
+    * arithmetic (`4·chars ≥ 17·n_tok`, `5·max_cnt ≤ n_tok`), so the
+    * oracle twin can never flap on a float boundary. Output is the
+    * per-group filter report: docs, passes, and per-rule failure
+    * counts (rules are judged independently, as the pipeline's drop
+    * diagnostics would be).
+    *
+    * Shape: one token-stream pass per row (`graft_token_mode` yields
+    * (n_tok, max_cnt) in a single scan; the stopword count is one
+    * filtered-array pass) → one hash aggregate on the bounded group
+    * domain. No explode, no join, nothing grows with corpus size but
+    * the scan.
+    */
+  def gopherGate(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String): DataFrame = {
+    val m = call_function("graft_token_mode", col(textCol))
+    val base = df.select(col(groupCol),
+        col(charsCol).cast("long").as("__nc"), m.as("__m"),
+        countIn(tokens(col(textCol)), EnStopwords).cast("long")
+          .as("__stop"))
+      .select(col(groupCol),
+        col("__m.n_tok").cast("long").as("__nt"),
+        col("__m.max_cnt").cast("long").as("__mc"),
+        col("__nc"), col("__stop"))
+    // total word characters = n_chars minus the n_tok−1 separators
+    val chars = col("__nc") - col("__nt") + lit(1L)
+    val rLen = col("__nt").between(20L, 80L)
+    val rWord = chars * 4 >= col("__nt") * 17 &&
+      chars <= col("__nt") * 10
+    val rStop = col("__stop") >= 2L
+    val rRep = col("__mc") * 5 <= col("__nt")
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(rLen && rWord && rStop && rRep).as("n_pass"),
+        cnt(!rLen).as("n_fail_len"),
+        cnt(!rWord).as("n_fail_wordlen"),
+        cnt(!rStop).as("n_fail_stop"),
+        cnt(!rRep).as("n_fail_rep"))
+      .resultSorted(col(groupCol).asc)
+  }
+
+  /** Adjacent-token-pair counts — the corpus statistic a BPE/WordPiece
+    * vocabulary-induction step ranks candidate merges by (the most
+    * frequent adjacent pair is the next merge). Pairs are built per
+    * row by zipping the token array against itself shifted by one
+    * (two `slice`s of length n−1 — both clamp to empty on one-token
+    * docs, so no guard row is needed), then ONE hash aggregate on the
+    * pair string and a top-k with a total-order tiebreak.
+    *
+    * At 100 TB this is the canonical map-side-combine shape: the
+    * partial aggregate collapses each partition to its distinct-pair
+    * counts before the single exchange on the pair key, and the final
+    * top-k is TakeOrderedAndProject — no global sort.
+    */
+  def pairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val pairs = zip_with(
+      slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
 }

@@ -292,4 +292,48 @@ class TextMultimodalSpec extends SparkSpec {
       0.003, 0.2).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("gopherGate: each rule fires independently; counts conserve") {
+    // one doc per failure mode + one clean pass, all in one group.
+    val pass = (1 to 30).map(i => s"tok$i").mkString(" ") +
+      " the a of and" // 34 tokens, >=2 stopwords, all distinct
+    val shortDoc = "the a of and tiny" // 5 tokens -> fails len only...
+    val repet = (1 to 30).map(_ => "spam").mkString(" ") +
+      " the a of and distinct" // modal share 30/35 -> fails rep
+    val thin = (1 to 30).map(i => s"w$i").mkString(" ") +
+      " the a of and" // mean word len (2-3 chars) < 4.25 -> wordlen
+    val noStop = (1 to 30).map(i => s"token$i").mkString(" ")
+    def row(id: Long, t: String) = (id, "g", t, t.length.toLong)
+    val df = Seq(row(1, pass), row(2, shortDoc), row(3, repet),
+      row(4, thin), row(5, noStop)).toDF(
+      "doc_id", "source", "text", "n_chars")
+    val r = TextOps.gopherGate(df, "source", "text", "n_chars")
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    val (_, nDocs, nPass, fLen, fWord, fStop, fRep) = r
+    assert(nDocs == 5L && nPass == 1L)
+    assert(fLen == 1L)  // only the 5-token doc
+    assert(fWord >= 1L) // the thin-words doc (short doc may too)
+    assert(fStop == 1L) // only the no-stopword doc
+    assert(fRep == 1L)  // only the spam doc
+    // real corpus: failures never exceed docs; pass <= docs - fails
+    TextOps.gopherGate(Tables.documents(spark, sfSmoke), "source",
+      "text", "n_chars").collect().foreach { row =>
+      val d = row.getLong(1)
+      (2 to 6).foreach(i => assert(row.getLong(i) <= d))
+      assert(row.getLong(2) + (3 to 6).map(row.getLong).max <= d)
+    }
+  }
+
+  test("pairCounts: hand-built corpus; one-token docs drop out") {
+    val df = Seq("a b a b c", "a b", "x").toDF("text")
+    val out = TextOps.pairCounts(df, "text", 10)
+      .as[(String, Long)].collect().toSeq
+    // pairs: doc1 -> (a b),(b a),(a b),(b c); doc2 -> (a b); doc3 none
+    assert(out == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+    // top-k tiebreak is total-ordered -> deterministic on real data
+    val corpus = Tables.documents(spark, sfSmoke)
+    val a = TextOps.pairCounts(corpus, "text", 50).collect().toSeq
+    assert(a == TextOps.pairCounts(corpus, "text", 50).collect().toSeq)
+    assert(a.size == 50)
+  }
 }
