@@ -127,6 +127,11 @@ object SparkEntry {
     "n13_kmeans_refine" -> ((s, dir) =>
       SimilarityOps.kmeansRefine(Tables.embeddings(s, dir),
         stride = 50)),
+    // n16: SemDeDup-style centroid-distance pruning — the 30 vectors
+    // least cohesive with their own label's mean (6-dp-rounded
+    // centroids, the n13 convention).
+    "n16_centroid_outliers" -> ((s, dir) =>
+      SimilarityOps.centroidOutliers(Tables.embeddings(s, dir), 30)),
     // n14: PRODUCT QUANTIZATION — the compressed-domain tier: encode
     // once into nSub codebook ids per vector, answer the query from
     // a broadcast lookup table over the codes (ADC); the scan never
@@ -1023,6 +1028,27 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, vec_id, score FROM r WHERE rn <= 5
         |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
+    // n16: label centroids with the same 6-dp-rounded per-dim means
+    // as n13, lowest cosine-to-own-centroid first.
+    "n16_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |mdim AS (
+        |  SELECT label, t.i, round(avg(v[t.i]), 6) AS m
+        |  FROM n, unnest(generate_series(1, len(v))) AS t(i)
+        |  GROUP BY label, t.i),
+        |c1 AS (SELECT label, list(m ORDER BY i) AS cv
+        |  FROM mdim GROUP BY label),
+        |c1n AS (SELECT label, cv,
+        |    sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1)
+        |SELECT a.vec_id, a.label,
+        |  round(list_dot_product(a.v, c.cv) / (a.nrm * c.cnrm), 6)
+        |    AS cscore
+        |FROM n a JOIN c1n c USING (label)
+        |ORDER BY cscore ASC, vec_id ASC LIMIT 30""".stripMargin,
     "n13_kmeans_refine" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

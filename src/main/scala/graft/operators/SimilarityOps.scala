@@ -482,6 +482,41 @@ object SimilarityOps {
       .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
   }
 
+  /** Centroid-distance outlier pruning (the SemDeDup / SSL-prototype
+    * quality pass): each label's centroid is the per-dimension mean
+    * of its members — every mean rounded to 6 dp BEFORE use, the n13
+    * convention, so both engines cosine against bit-identical
+    * centroid arrays — and the report is the k vectors LEAST cohesive
+    * with their own cluster (lowest cosine to centroid; ties break on
+    * vec_id). These are the prune candidates: mislabeled points,
+    * embedding-space junk, or genuine semantic outliers.
+    *
+    * Shape: one narrow (label, dim) shuffle for the means — the
+    * |labels|·d relation, bounded by the clustering fan-out, never by
+    * N — broadcast-joined back on the label, then a global top-k via
+    * TakeOrderedAndProject. No pair joins, nothing quadratic.
+    */
+  def centroidOutliers(embeddings: DataFrame, k: Int): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val means = vecs
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("cv"))
+      .withColumn("cnrm", l2Norm(col("cv")))
+    vecs.join(broadcast(means), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosinePrenormed(col("v"), col("cv"), col("nrm"),
+          col("cnrm")), 6).as("cscore"))
+      .orderBy(col("cscore").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val df = embeddings
       .withColumn("features", array_to_vector(col("embedding")))

@@ -469,4 +469,25 @@ class DedupSimilaritySpec extends SparkSpec {
         s"batch slice for query $qid diverges from the per-query op")
     }
   }
+
+  test("centroidOutliers: the anti-aligned vector ranks first") {
+    // label 0: three vectors near +x, one pointing -x (the outlier);
+    // label 1: a tight pair so its members never beat the outlier.
+    val df = Seq(
+      (1L, Array(1.0f, 0.1f), 0), (2L, Array(0.9f, 0.0f), 0),
+      (3L, Array(1.0f, -0.1f), 0), (4L, Array(-1.0f, 0.0f), 0),
+      (5L, Array(0.0f, 1.0f), 1), (6L, Array(0.1f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.centroidOutliers(df, 6)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out.head._1 == 4L, s"outlier must rank first: $out")
+    assert(out.head._3 < 0.0) // anti-aligned with its centroid
+    assert(out.map(_._3) == out.map(_._3).sorted) // ascending cohesion
+    // real corpus: deterministic, k rows, scores within [-1, 1]
+    val e = Tables.embeddings(spark, sfSmoke)
+    val a = SimilarityOps.centroidOutliers(e, 30).collect().toSeq
+    assert(a == SimilarityOps.centroidOutliers(e, 30).collect().toSeq)
+    assert(a.size == 30)
+    a.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+  }
 }
