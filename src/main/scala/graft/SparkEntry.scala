@@ -170,6 +170,11 @@ object SparkEntry {
     "n4_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashPairs(Tables.documents(s, dir),
         "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)),
+    // n17: cross-source duplication matrix — n3's near-dup pairs
+    // rolled up to (source_a, source_b); the mixture diagnostic.
+    "n17_source_overlap" -> ((s, dir) =>
+      DedupOps.sourceOverlap(Tables.documents(s, dir), "doc_id",
+        "source", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)),
     // Both decontamination tiers split ONE cached shingle relation
     // instead of exploding+hashing the text once per side.
     "c2_decontamination" -> ((s, dir) => {
@@ -1177,6 +1182,9 @@ object SparkEntry {
     "n3_ngram_jaccard" ->
       operators.DedupOps.jaccardPairsSql("documents", "doc_id", "text",
         0.8, maxDf = ShingleMaxDf),
+    "n17_source_overlap" ->
+      operators.DedupOps.sourceOverlapSql("documents", "doc_id",
+        "source", "text", 0.8, maxDf = ShingleMaxDf),
     "n4_minhash_lsh" ->
       operators.DedupOps.minhashPairsSql("documents", "doc_id", "text",
         0.8, maxDf = ShingleMaxDf),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Sorting.ResultSortOps
 
 /** Content-based deduplication over the `documents` table — the
   * training-data-pipeline extension surface (reference intent:
@@ -689,6 +690,55 @@ object DedupOps {
        |JOIN sizes sb ON sb.$idCol = id_b
        |WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= $minJaccard
        |ORDER BY id_a ASC, id_b ASC""".stripMargin
+
+  /** Cross-SOURCE duplication matrix — which sources copy from each
+    * other: [[jaccardPairs]]' near-dup pairs (same threshold, same
+    * df-cap) rolled up to the (source_a, source_b) level, each pair
+    * normalized with least/greatest so the matrix is upper-triangular
+    * regardless of doc-id interleaving (the diagonal = within-source
+    * duplication). This is the corpus diagnostic behind mixture
+    * decisions: a source that largely duplicates another adds tokens
+    * but no signal.
+    *
+    * Shape: the bounded shared-shingle pair join (never all-pairs),
+    * then two joins of the TINY pair list against the (id, group)
+    * projection — AQE broadcasts them — and one hash agg on the
+    * |sources|² bounded domain.
+    */
+  def sourceOverlap(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, minJaccard: Double, maxDf: Int): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, minJaccard,
+      maxDf = maxDf)
+    val srcs = df.select(col(idCol), col(groupCol))
+    pairs
+      .join(srcs.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed(groupCol, "__ga"), Seq("id_a"))
+      .join(srcs.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed(groupCol, "__gb"), Seq("id_b"))
+      .select(least(col("__ga"), col("__gb")).as("source_a"),
+        greatest(col("__ga"), col("__gb")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("avg_jaccard"))
+      .resultSorted(col("source_a").asc, col("source_b").asc)
+  }
+
+  /** [[sourceOverlap]] oracle — [[jaccardPairsSql]] verbatim as the
+    * pair subquery, the same least/greatest fold around it.
+    */
+  def sourceOverlapSql(table: String, idCol: String, groupCol: String,
+      textCol: String, minJaccard: Double, maxDf: Int): String =
+    s"""WITH s AS (SELECT $idCol, $groupCol FROM $table)
+       |SELECT least(sa.$groupCol, sb.$groupCol) AS source_a,
+       |  greatest(sa.$groupCol, sb.$groupCol) AS source_b,
+       |  count(*) AS n_pairs, round(avg(jaccard), 6) AS avg_jaccard
+       |FROM (${jaccardPairsSql(table, idCol, textCol, minJaccard,
+                maxDf = maxDf)}) p
+       |JOIN s sa ON sa.$idCol = p.id_a
+       |JOIN s sb ON sb.$idCol = p.id_b
+       |GROUP BY source_a, source_b
+       |ORDER BY source_a ASC, source_b ASC""".stripMargin
 
   /** Full [[minhashPairs]] oracle query — same seeds, same bands, same
     * verification, in SQL.

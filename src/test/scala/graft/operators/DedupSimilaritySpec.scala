@@ -470,6 +470,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap: matrix cells normalized, diagonal = within") {
+    // docs 1/2 near-dup across srcA/srcB; docs 3/4 near-dup inside
+    // srcC; doc 5 unique. Base text long enough that one changed
+    // token keeps jaccard >= 0.8.
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "srcB", base + " tail1"), (2L, "srcA", base + " tail2"),
+      (3L, "srcC", base + " xal3"), (4L, "srcC", base + " xal4"),
+      (5L, "srcD", (1 to 20).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = DedupOps.sourceOverlap(df, "doc_id", "source", "text",
+      minJaccard = 0.8, maxDf = Int.MaxValue)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val cells = out.map(r => (r._1, r._2) -> r._3).toMap
+    // (srcB, srcA) must normalize to (srcA, srcB); docs 1/2 and 3/4
+    // also cross-match srcC (both contain base) -> check key cells
+    assert(cells(("srcA", "srcB")) >= 1L)
+    assert(cells(("srcC", "srcC")) >= 1L)
+    assert(out.forall(r => r._1 <= r._2), s"not normalized: $out")
+    assert(out.forall(r => r._4 >= 0.8 && r._4 <= 1.0))
+  }
+
   test("centroidOutliers: the anti-aligned vector ranks first") {
     // label 0: three vectors near +x, one pointing -x (the outlier);
     // label 1: a tight pair so its members never beat the outlier.
