@@ -42,7 +42,9 @@ class ScaleShapeSpec extends SparkSpec {
       "t12_bigram_lm", "e4_kmv_distinct", "n14_pq_topk",
       "k14_pruned_scan", "k16_zorder_scan", "n15_ivfpq_batch",
       "c4_mixture_sample", "c5_sequence_pack", "c6_global_pack",
-      "t13_boilerplate")
+      "t13_boilerplate", "t14_gopher_gate", "t15_pair_counts",
+      "n16_centroid_outliers", "n17_source_overlap", "c7_split_assign",
+      "st5_stream_pack")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
