@@ -585,6 +585,11 @@ object SparkEntry {
       AnalyticsOps.splitAssign(Tables.documents(s, dir),
         groupCol = "source", textCol = "text",
         trainPerMille = 800, valPerMille = 100)),
+    // c8: quality-proportional mixture weights — sampling mass per
+    // source ∝ its CLEAN-token share under the t14 gate.
+    "c8_mixture_weights" -> ((s, dir) =>
+      TextOps.mixtureWeights(Tables.documents(s, dir), "source",
+        "text", "n_chars")),
 
     // ---- streaming aggregate, batch-checked (same code streams) ----
     "st1_tumbling_counts" -> ((s, dir) =>
@@ -1904,6 +1909,37 @@ object SparkEntry {
         |  count(*) AS n_docs, sum(n_tok)::BIGINT AS shard_tokens
         |FROM c GROUP BY source, shard_id
         |ORDER BY source ASC, shard_id ASC""".stripMargin,
+    // c8: the t14 rule arithmetic verbatim; the weight is exact-long
+    // clean tokens over the exact-long total, rounded once.
+    "c8_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, n_chars, len(toks) AS n_tok,
+        |    len(list_filter(toks,
+        |      w -> w IN ('the','a','of','and','is','in'))) AS n_stop,
+        |    (SELECT max(cnt) FROM (
+        |       SELECT count(*) AS cnt FROM unnest(toks) AS u(tok)
+        |       GROUP BY tok)) AS max_cnt
+        |  FROM t),
+        |r AS (
+        |  SELECT source, n_tok,
+        |    ((n_tok BETWEEN 20 AND 80)
+        |      AND (n_chars - n_tok + 1) * 4 >= n_tok * 17
+        |      AND n_chars - n_tok + 1 <= n_tok * 10
+        |      AND n_stop >= 2
+        |      AND max_cnt * 5 <= n_tok) AS pass
+        |  FROM m),
+        |p AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN pass THEN n_tok ELSE 0 END)::BIGINT
+        |      AS clean_tokens
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, clean_tokens,
+        |  round(clean_tokens * 1.0 /
+        |    (SELECT sum(clean_tokens) FROM p), 6) AS weight
+        |FROM p ORDER BY source ASC""".stripMargin,
     // c7: same md5-gate arithmetic as s1/c4; the CASE bounds mirror
     // the when-chain bit-identically over exact integers.
     "c7_split_assign" ->

@@ -461,6 +461,25 @@ object TextOps {
     */
   def gopherGate(df: DataFrame, groupCol: String, textCol: String,
       charsCol: String): DataFrame = {
+    val base = gopherRules(df, groupCol, textCol, charsCol)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("r_len") && col("r_wordlen") && col("r_stop") &&
+          col("r_rep")).as("n_pass"),
+        cnt(!col("r_len")).as("n_fail_len"),
+        cnt(!col("r_wordlen")).as("n_fail_wordlen"),
+        cnt(!col("r_stop")).as("n_fail_stop"),
+        cnt(!col("r_rep")).as("n_fail_rep"))
+      .resultSorted(col(groupCol).asc)
+  }
+
+  /** Per-doc rule relation behind [[gopherGate]] / [[mixtureWeights]]:
+    * (group, n_tok, r_len, r_wordlen, r_stop, r_rep), all rules in
+    * exact integer arithmetic.
+    */
+  private def gopherRules(df: DataFrame, groupCol: String,
+      textCol: String, charsCol: String): DataFrame = {
     val m = call_function("graft_token_mode", col(textCol))
     val base = df.select(col(groupCol),
         col(charsCol).cast("long").as("__nc"), m.as("__m"),
@@ -472,19 +491,41 @@ object TextOps {
         col("__nc"), col("__stop"))
     // total word characters = n_chars minus the n_tok−1 separators
     val chars = col("__nc") - col("__nt") + lit(1L)
-    val rLen = col("__nt").between(20L, 80L)
-    val rWord = chars * 4 >= col("__nt") * 17 &&
-      chars <= col("__nt") * 10
-    val rStop = col("__stop") >= 2L
-    val rRep = col("__mc") * 5 <= col("__nt")
-    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    base.groupBy(col(groupCol))
+    base.select(col(groupCol), col("__nt").as("n_tok"),
+      col("__nt").between(20L, 80L).as("r_len"),
+      (chars * 4 >= col("__nt") * 17 &&
+        chars <= col("__nt") * 10).as("r_wordlen"),
+      (col("__stop") >= 2L).as("r_stop"),
+      (col("__mc") * 5 <= col("__nt")).as("r_rep"))
+  }
+
+  /** Quality-proportional mixture weights — the static reweighting
+    * step between the quality gate and the sampler: each source's
+    * sampling mass is its share of CLEAN tokens (tokens in docs that
+    * pass every [[gopherGate]] rule), so a source that is mostly junk
+    * contributes mass proportional to what survives the filter, not
+    * to its raw size. Output: (source, n_docs, clean_tokens, weight),
+    * weights summing to 1 (6-dp; the division is exact-long over
+    * exact-long, deterministic at any partitioning).
+    *
+    * Shape: the same one-pass rule relation as t14, a bounded-domain
+    * hash agg, and the total folded in as a broadcast 1-row aggregate
+    * — collect-free, nothing grows with N.
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String): DataFrame = {
+    val perSrc = gopherRules(df, groupCol, textCol, charsCol)
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
-        cnt(rLen && rWord && rStop && rRep).as("n_pass"),
-        cnt(!rLen).as("n_fail_len"),
-        cnt(!rWord).as("n_fail_wordlen"),
-        cnt(!rStop).as("n_fail_stop"),
-        cnt(!rRep).as("n_fail_rep"))
+        sum(when(col("r_len") && col("r_wordlen") && col("r_stop") &&
+          col("r_rep"), col("n_tok")).otherwise(0L))
+          .as("clean_tokens"))
+    val total = perSrc.agg(
+      sum(col("clean_tokens")).as("__total"))
+    perSrc.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_docs"), col("clean_tokens"),
+        round(col("clean_tokens").cast("double") / col("__total"), 6)
+          .as("weight"))
       .resultSorted(col(groupCol).asc)
   }
 

@@ -324,6 +324,33 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mixtureWeights: junk sources get zero mass; weights sum to 1") {
+    val clean1 = (1 to 30).map(i => s"tok$i").mkString(" ") +
+      " the a of and"
+    val clean2 = (1 to 50).map(i => s"item$i").mkString(" ") +
+      " the a of and"
+    val junk = (1 to 30).map(_ => "spam").mkString(" ")
+    def row(id: Long, src: String, t: String) =
+      (id, src, t, t.length.toLong)
+    val df = Seq(row(1, "gA", clean1), row(2, "gA", junk),
+      row(3, "gB", clean2), row(4, "gC", junk)).toDF(
+      "doc_id", "source", "text", "n_chars")
+    val out = TextOps.mixtureWeights(df, "source", "text", "n_chars")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val bySrc = out.map(r => r._1 -> r).toMap
+    assert(bySrc("gC")._3 == 0L && bySrc("gC")._4 == 0.0)
+    assert(bySrc("gA")._3 == 34L && bySrc("gB")._3 == 54L)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5)
+    assert(bySrc("gB")._4 > bySrc("gA")._4) // more clean tokens
+    // real corpus: deterministic, weights normalized
+    val corpus = Tables.documents(spark, sfSmoke)
+    val a = TextOps.mixtureWeights(corpus, "source", "text", "n_chars")
+      .collect().toSeq
+    assert(a == TextOps.mixtureWeights(corpus, "source", "text",
+      "n_chars").collect().toSeq)
+    assert(math.abs(a.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
   test("pairCounts: hand-built corpus; one-token docs drop out") {
     val df = Seq("a b a b c", "a b", "x").toDF("text")
     val out = TextOps.pairCounts(df, "text", 10)
