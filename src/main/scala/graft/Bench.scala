@@ -34,15 +34,15 @@ object Bench {
     * would flatter the ratio; n14 0.2948 s + c4 0.0111 s + n15
     * 0.3774 s + c5 0.0280 s + t13 0.7933 s + c6 0.0201 s + c7
     * 0.0232 s + st5 0.0244 s + t14 0.0661 s + t15 0.0773 s + n16
-    * 0.0278 s + n17 1.5857 s + c8 0.0608 s measured min-of-3 warm on
-    * the same machine). See BASELINE.md.
+    * 0.0278 s + n17 1.5857 s + c8 0.0608 s + k17 0.0111 s measured
+    * min-of-3 warm on the same machine). See BASELINE.md.
     * Valid ONLY for the oracle-suite size it was measured against:
     * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  val RecordedDuckdbSf01: Double = 22.6753
-  val RecordedDuckdbQueries: Int = 119
+  val RecordedDuckdbSf01: Double = 22.6864
+  val RecordedDuckdbQueries: Int = 120
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

@@ -414,6 +414,20 @@ object SparkEntry {
             col("total_chars"))
         at(0).unionByName(at(1)).resultSorted(col("version").asc)
       }),
+    // k17: SHALLOW CLONE — the clone (metadata-only manifest over the
+    // source's files) diverged by a clone-side MERGE; both tables
+    // read side by side, the source provably untouched.
+    "k17_shallow_clone" -> ((s, dir) => {
+      val r = cloneFixtureRoot(s, dir)
+      def agg(tbl: String, label: String) =
+        Versioned.current(s, r + "/" + tbl)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .select(lit(label).as("tbl"), col("n_docs"),
+            col("total_chars"))
+      agg("clone", "clone").unionByName(agg("src", "source"))
+        .resultSorted(col("tbl").asc)
+    }),
     // k12: copy-on-write merge at FILE granularity — a narrow upsert
     // into a range-laid-out table rewrites only the overlapping
     // files; the oracle checks the merged output, VersionedSpec
@@ -781,6 +795,31 @@ object SparkEntry {
 
   private def prunedMergeTable(s: SparkSession, dir: String): DataFrame =
     Versioned.current(s, prunedMergeRoot(s, dir))
+
+  /** k17 fixture: the merged-docs table SHALLOW-CLONED (metadata-only
+    * manifest referencing the source's files), then diverged by a
+    * MERGE into the clone only. The query reads both tables side by
+    * side: the clone shows the divergence, the source must not.
+    * Cached: reading a cloned table is the steady state.
+    */
+  private def cloneFixtureRoot(s: SparkSession, dir: String): String =
+    versionedFixtures.computeIfAbsent((s, dir, "clone"), _ => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      val r = tempTableRoot("graft_versioned_clonefx")
+      val src = r + "/src"
+      Versioned.init(docs.filter(col("doc_id") % 3 =!= 0), src)
+      Versioned.mergeUpsert(
+        docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000L)),
+        src, Seq("doc_id"))
+      Versioned.shallowClone(s, src, r + "/clone")
+      Versioned.mergeUpsert(
+        docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("n_chars", col("n_chars") + lit(77L)),
+        r + "/clone", Seq("doc_id"))
+      r
+    })
 
   /** k15 fixture: a merge chain that strands small files (each CoW
     * commit writes its upserts fresh), then OPTIMIZE packs the
@@ -1721,6 +1760,25 @@ object SparkEntry {
         |SELECT 1 AS version, count(*) AS n_docs,
         |  sum(n_chars)::BIGINT AS total_chars FROM merged
         |ORDER BY version ASC""".stripMargin,
+    // k17: the clone = merged + the %11 increment MERGEd on top
+    // (whole-row replace, unmatched insert); the source stays merged.
+    "k17_shallow_clone" ->
+      s"""$MergedDocsCtes,
+        |inc AS (
+        |  SELECT doc_id, source, n_chars + 77 AS n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |clone AS (
+        |  SELECT * FROM inc
+        |  UNION ALL
+        |  SELECT m.* FROM merged m LEFT JOIN inc i
+        |    ON m.doc_id = i.doc_id
+        |  WHERE i.doc_id IS NULL)
+        |SELECT 'clone' AS tbl, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars FROM clone
+        |UNION ALL
+        |SELECT 'source' AS tbl, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars FROM merged
+        |ORDER BY tbl ASC""".stripMargin,
     "k12_merge_pruned" ->
       """WITH base AS (
         |  SELECT doc_id, source, n_chars FROM documents

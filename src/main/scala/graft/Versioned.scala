@@ -83,20 +83,38 @@ object Versioned {
     finally in.close()
   }
 
-  /** Reads a set of manifest-relative data files, grouped by their
-    * birth version directory with that directory as `basePath`, so
-    * partition-column values encoded in subdirectory names survive
-    * the by-file read.
+  /** Manifest entries are table-root-relative (`v=3/part-...`) for
+    * files the table wrote itself, or ABSOLUTE (`/.../other/v=0/...`)
+    * for files inherited from another table by [[shallowClone]].
+    */
+  private def resolved(table: String, entry: String): String =
+    if (entry.startsWith("/")) entry else s"$table/$entry"
+
+  private val AbsBirth = "^(.*/v=\\d+)(?:/.*)$".r
+
+  /** The birth version DIRECTORY of a manifest entry — the `basePath`
+    * for its read, so partition-column values encoded in subdirectory
+    * names survive the by-file read.
+    */
+  private def birthBase(table: String, entry: String): String =
+    if (entry.startsWith("/")) entry match {
+      case AbsBirth(b) => b
+      case _ => new Path(entry).getParent.toString
+    }
+    else s"$table/${entry.takeWhile(_ != '/')}"
+
+  /** Reads a set of manifest data files, grouped by their birth
+    * version directory.
     */
   private def readFilesByBirth(spark: SparkSession, table: String,
       files: Seq[String]): DataFrame =
     files.sorted
-      .groupBy(_.takeWhile(_ != '/'))
+      .groupBy(birthBase(table, _))
       .toSeq.sortBy(_._1)
-      .map { case (birth, fls) =>
+      .map { case (base, fls) =>
         spark.read
-          .option("basePath", s"$table/$birth")
-          .parquet(fls.map(f => s"$table/$f"): _*)
+          .option("basePath", base)
+          .parquet(fls.map(resolved(table, _)): _*)
       }
       .reduce(_.unionByName(_))
 
@@ -137,6 +155,9 @@ object Versioned {
       : Seq[String] = {
     val f = fs(spark, table)
     val root = new Path(versionDir(table, v))
+    // a version that wrote no local files (a shallow clone's v0 is
+    // all inherited references) has no directory at all
+    if (!f.exists(root)) return Nil
     val it = f.listFiles(root, true)
     val buf = scala.collection.mutable.ArrayBuffer[String]()
     val prefix = new Path(table).toUri.getPath.stripSuffix("/") + "/"
@@ -169,6 +190,35 @@ object Versioned {
     commit(spark, table, 0, listDataFiles(spark, table, 0))
   }
 
+  /** SHALLOW CLONE: initialize `target` whose v0 manifest references
+    * the source's current snapshot files BY ABSOLUTE PATH — a
+    * metadata-only copy (one manifest write, O(#files) bytes, zero
+    * data IO), the dev/test-sandbox verb of a transactional format.
+    * After the clone the tables diverge independently: a MERGE into
+    * the clone rewrites only the files it touches (new files land
+    * under the clone root; untouched inherited files carry forward by
+    * absolute reference), and the source never observes any of it.
+    *
+    * Caveat faithfully reproduced from the real formats: [[vacuum]]
+    * on the SOURCE does not know about clones, so expiring source
+    * snapshots can delete files a shallow clone still references —
+    * production either tracks cross-table references or deep-clones.
+    * The clone's own vacuum is safe by construction: it deletes only
+    * files under its own root ([[listDataFiles]] never lists the
+    * inherited absolute entries).
+    */
+  def shallowClone(spark: SparkSession, source: String,
+      target: String): Int = {
+    require(currentVersion(spark, target).isEmpty,
+      s"versioned table already initialized: $target")
+    val v = currentVersion(spark, source).getOrElse(
+      throw new IllegalStateException(
+        s"uninitialized versioned table: $source"))
+    val srcRoot = new Path(source).toUri.getPath.stripSuffix("/")
+    commit(spark, target, 0,
+      snapshotFiles(spark, source, v).map(resolved(srcRoot, _)))
+  }
+
   /** Per-file [min, max] of the leading merge key, AS STRINGS (cast
     * back to the key's type in the pruning join, so numeric ordering
     * is restored): from the `<key>=<value>` path segment when the key
@@ -189,7 +239,7 @@ object Versioned {
       val range = fromPath.orElse {
         try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new Path(s"$table/$rel"), conf)
+            .fromPath(new Path(resolved(table, rel)), conf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
             val blocks = reader.getFooter.getBlocks

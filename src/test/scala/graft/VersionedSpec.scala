@@ -311,4 +311,42 @@ class VersionedSpec extends SparkSpec {
         Seq("doc_id"))
     }
   }
+
+  test("shallowClone: metadata-only; diverges; clone vacuum is safe") {
+    val root = tmpDir("versioned_clone")
+    val (src, cl) = (root + "/src", root + "/clone")
+    Versioned.init(docs(Seq(1L, 2L, 3L, 4L), _ => 100L)
+      .repartitionByRange(2, col("doc_id")), src)
+    Versioned.shallowClone(spark, src, cl)
+    // metadata-only: the clone root holds NO data files at v0
+    def dataFiles(t: String) = {
+      val d = new java.io.File(t)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(d).filter(_.getName.startsWith("part-"))
+    }
+    assert(dataFiles(cl).isEmpty, "clone must not copy data")
+    assert(rows(Versioned.current(spark, cl)) ==
+      rows(Versioned.current(spark, src)))
+    // diverge the clone; the source must not observe it
+    Versioned.mergeUpsert(docs(Seq(1L), _ => 999L), cl, Seq("doc_id"))
+    assert(rows(Versioned.current(spark, cl)) == Set(
+      (1L, "src_1", 999L), (2L, "src_2", 100L),
+      (3L, "src_0", 100L), (4L, "src_1", 100L)))
+    assert(rows(Versioned.current(spark, src)) ==
+      Set((1L, "src_1", 100L), (2L, "src_2", 100L),
+        (3L, "src_0", 100L), (4L, "src_1", 100L)))
+    // the clone's own new files live under its root; only the files
+    // it rewrote, the rest stay inherited by absolute reference
+    assert(dataFiles(cl).nonEmpty)
+    // clone vacuum never deletes the source's files
+    val srcFilesBefore = dataFiles(src).map(_.getPath).toSet
+    Versioned.vacuum(spark, cl, keepLast = 1)
+    assert(dataFiles(src).map(_.getPath).toSet == srcFilesBefore)
+    assert(rows(Versioned.current(spark, cl)).size == 4)
+    // cloning onto an existing table fails fast
+    intercept[IllegalArgumentException] {
+      Versioned.shallowClone(spark, src, cl)
+    }
+  }
 }
