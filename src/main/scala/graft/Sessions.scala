@@ -53,6 +53,15 @@ object Sessions {
       // threshold, so only MEASURED small relations qualify.
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The round-6 testdata writes `events.ts` as parquet
+      // TIMESTAMP(isAdjustedToUTC=false, MICROS) (earlier rounds:
+      // NANOS, handled by the nanosAsLong path above). Spark 4 infers
+      // unadjusted parquet timestamps as TIMESTAMP_NTZ, which
+      // watermarks/event-time ops reject; with the session pinned UTC,
+      // reading them as TimestampType yields the exact instants the
+      // (naive-timestamp) DuckDB oracle sees. Set at construction for
+      // the same shared-session reason as nanosAsLong.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // The generated-class cache defaults to 100 entries; a session
       // serving the full 104-query surface generates several hundred
       // codegen stages per pass, so the default thrashes — every query
