@@ -132,6 +132,12 @@ object SparkEntry {
     // centroids, the n13 convention).
     "n16_centroid_outliers" -> ((s, dir) =>
       SimilarityOps.centroidOutliers(Tables.embeddings(s, dir), 30)),
+    // n18: FULL SemDeDup — near-dup pairs inside each coarse cluster
+    // (cosine ≥ 0.4, the n7 relation) resolved into connected
+    // components, one representative kept per component; per-label
+    // prune report (seen/kept/pruned).
+    "n18_semantic_dedup" -> ((s, dir) =>
+      SimilarityOps.semanticDedup(Tables.embeddings(s, dir), 0.4)),
     // n14: PRODUCT QUANTIZATION — the compressed-domain tier: encode
     // once into nSub codebook ids per vector, answer the query from
     // a broadcast lookup table over the codes (ADC); the scan never
@@ -247,6 +253,11 @@ object SparkEntry {
     // statistic; top-50 pairs with a total-order tiebreak.
     "t15_pair_counts" -> ((s, dir) =>
       TextOps.pairCounts(Tables.documents(s, dir), "text", 50)),
+    // t16: linear quality-classifier gate — soft-margin scoring over
+    // t14's structural features; per-source docs/passes/mean score.
+    "t16_classifier_gate" -> ((s, dir) =>
+      TextOps.classifierGate(Tables.documents(s, dir), "source",
+        "text", "n_chars")),
     "n9_dup_clusters" -> ((s, dir) =>
       DedupOps.dupClusters(
         DedupOps.minhashPairs(Tables.documents(s, dir),
@@ -1098,6 +1109,36 @@ object SparkEntry {
         |    AS cscore
         |FROM n a JOIN c1n c USING (label)
         |ORDER BY cscore ASC, vec_id ASC LIMIT 30""".stripMargin,
+    // n18: n7's in-bucket pair relation + the n9 recursive-CTE
+    // component resolution; non-representatives (cluster_id <> id)
+    // are the pruned set.
+    "n18_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+        |    >= 0.4),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+        |clusters AS (SELECT id, min(r) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |pruned AS (SELECT id FROM clusters WHERE cluster_id <> id)
+        |SELECT em.label, count(*)::BIGINT AS n_vecs,
+        |  (count(*) - count(p.id))::BIGINT AS n_kept,
+        |  count(p.id)::BIGINT AS n_pruned
+        |FROM embeddings em LEFT JOIN pruned p ON em.vec_id = p.id
+        |GROUP BY em.label ORDER BY em.label ASC""".stripMargin,
     "n13_kmeans_refine" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1362,6 +1403,34 @@ object SparkEntry {
         |  sum(CASE WHEN NOT r_rep THEN 1 ELSE 0 END)::BIGINT
         |    AS n_fail_rep
         |FROM r GROUP BY source ORDER BY source ASC""".stripMargin,
+    // t16: same feature extraction as t14; the score is the identical
+    // left-associated double chain, the mean summed in exact
+    // micro-units so no accumulation order can flap the hash.
+    "t16_classifier_gate" ->
+      """WITH t AS (
+        |  SELECT source, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source, n_chars, len(toks) AS n_tok,
+        |    len(list_filter(toks,
+        |      w -> w IN ('the','a','of','and','is','in'))) AS n_stop,
+        |    (SELECT max(cnt) FROM (
+        |       SELECT count(*) AS cnt FROM unnest(toks) AS u(tok)
+        |       GROUP BY tok)) AS max_cnt
+        |  FROM t),
+        |s AS (
+        |  SELECT source,
+        |    round(-3.0 + 0.02 * CAST(n_tok AS DOUBLE)
+        |      + 0.35 * ((n_chars - n_tok + 1) / CAST(n_tok AS DOUBLE))
+        |      + 4.0 * (n_stop / CAST(n_tok AS DOUBLE))
+        |      - 3.0 * (max_cnt / CAST(n_tok AS DOUBLE)), 6) AS score
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_pass,
+        |  round(sum(CAST(round(score * 1e6) AS BIGINT)) / 1e6
+        |    / count(*), 6) AS avg_score
+        |FROM s GROUP BY source ORDER BY source ASC""".stripMargin,
     // t15: pairs via list_zip of the two offset slices — the same
     // shifted-self zip the Spark side builds with slice + zip_with.
     "t15_pair_counts" ->

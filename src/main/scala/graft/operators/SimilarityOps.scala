@@ -517,6 +517,42 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Full SemDeDup semantic deduplication (Abbas et al. 2023): form
+    * near-duplicate pairs inside each coarse cluster (cosine ≥
+    * `minCosine`, the [[embeddingNearDups]] relation), resolve the
+    * pairs into connected components ([[DedupOps.dupClusters]] —
+    * min-label propagation, the same fixpoint the n9 text tier uses),
+    * keep ONE representative per component (the min-id label), and
+    * report the prune per cluster label: vectors seen, kept, pruned.
+    * [[centroidOutliers]] is the complementary pass (prune what is
+    * far from its centroid); this one prunes what is too CLOSE to a
+    * kept neighbor.
+    *
+    * Shape at 100 TB: the pair join is bucketed (Σ|bucket|², never
+    * N²), label propagation is O(diameter) rounds over the pair
+    * relation (which tracks true duplicates, not corpus size), and
+    * the report is a bounded-domain aggregate over a left anti-ish
+    * join on the pruned-id set. Nothing collects to the driver.
+    */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double)
+      : DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val pairs = embeddingNearDups(embeddings, minCosine)
+      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
+    val pruned = DedupOps.dupClusters(pairs)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("pruned_id"))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(pruned, col("vec_id") === col("pruned_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("pruned_id")).as("__np"))
+      .select(col("label"), col("n_vecs"),
+        (col("n_vecs") - col("__np")).as("n_kept"),
+        col("__np").as("n_pruned"))
+      .resultSorted(col("label").asc)
+  }
+
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val df = embeddings
       .withColumn("features", array_to_vector(col("embedding")))

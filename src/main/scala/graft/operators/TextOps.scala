@@ -529,6 +529,59 @@ object TextOps {
       .resultSorted(col(groupCol).asc)
   }
 
+  /** Linear quality-classifier gate (the fasttext/DCLM-style scoring
+    * pass, with a fixed published-weights stand-in model): each doc's
+    * score is a linear function of four structural features — token
+    * count, mean word length, stopword fraction, modal-token share —
+    * and the report is per-group (docs, docs above the decision
+    * threshold, mean score). Where [[gopherGate]] is a hard AND of
+    * rule bounds, this is the soft-margin variant every large corpus
+    * pipeline layers on top (a real model only changes the weight
+    * vector; the plan is identical).
+    *
+    * Determinism: the per-doc score is pure IEEE double +,*,/ in a
+    * fixed left-associated order (no libm), rounded once to 6 dp; the
+    * group MEAN is summed in exact micro-units (longs — order-free)
+    * and divided once, so no float accumulation order can flap the
+    * oracle hash.
+    *
+    * Shape: one token-stream pass per row (`graft_token_mode` + one
+    * filtered-array pass), one bounded-domain hash aggregate. Nothing
+    * grows with N but the scan.
+    */
+  def classifierGate(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String): DataFrame = {
+    val m = call_function("graft_token_mode", col(textCol))
+    val base = df.select(col(groupCol),
+        col(charsCol).cast("long").as("__nc"), m.as("__m"),
+        countIn(tokens(col(textCol)), EnStopwords).cast("long")
+          .as("__stop"))
+      .select(col(groupCol),
+        col("__m.n_tok").cast("double").as("__nt"),
+        col("__m.max_cnt").cast("double").as("__mc"),
+        col("__nc"), col("__stop"))
+    // total word characters = n_chars minus the n_tok−1 separators
+    val chars = (col("__nc") + lit(1L)).cast("double") - col("__nt")
+    val score = round(
+      lit(-3.0)
+        + lit(0.02) * col("__nt")
+        + lit(0.35) * (chars / col("__nt"))
+        + lit(4.0) * (col("__stop").cast("double") / col("__nt"))
+        - lit(3.0) * (col("__mc") / col("__nt")), 6)
+    base.select(col(groupCol), score.as("__score"))
+      .select(col(groupCol), col("__score"),
+        round(col("__score") * lit(1e6)).cast("long").as("__micro"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__score") >= 0.5, 1L).otherwise(0L))
+          .as("n_pass"),
+        sum(col("__micro")).as("__sum"))
+      .select(col(groupCol), col("n_docs"), col("n_pass"),
+        round(col("__sum").cast("double") / lit(1e6)
+          / col("n_docs").cast("double"), 6).as("avg_score"))
+      .resultSorted(col(groupCol).asc)
+  }
+
   /** Adjacent-token-pair counts — the corpus statistic a BPE/WordPiece
     * vocabulary-induction step ranks candidate merges by (the most
     * frequent adjacent pair is the next merge). Pairs are built per

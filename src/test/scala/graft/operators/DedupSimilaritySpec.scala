@@ -492,6 +492,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(r => r._4 >= 0.8 && r._4 <= 1.0))
   }
 
+  test("semanticDedup: keeps one per component; conserves counts") {
+    // label 0: 1≈2≈3 one near-dup chain (keep 1, prune 2,3) + 4
+    // orthogonal (kept singleton); label 1: 5≈6 (keep 5, prune 6).
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.05f), 0),
+      (3L, Array(0.98f, 0.08f), 0), (4L, Array(0.0f, 1.0f), 0),
+      (5L, Array(0.5f, 0.5f), 1), (6L, Array(0.51f, 0.49f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.semanticDedup(df, 0.9)
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0) == ((4L, 2L, 2L))) // 4 seen, keep {1,4}, prune {2,3}
+    assert(out(1) == ((2L, 1L, 1L))) // keep 5, prune 6
+    // real corpus: deterministic; per-label conservation
+    val e = Tables.embeddings(spark, sfSmoke)
+    val a = SimilarityOps.semanticDedup(e, 0.4).collect().toSeq
+    assert(a == SimilarityOps.semanticDedup(e, 0.4).collect().toSeq)
+    a.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), r.toString))
+    assert(a.exists(_.getLong(3) > 0L)) // threshold actually prunes
+  }
+
   test("centroidOutliers: the anti-aligned vector ranks first") {
     // label 0: three vectors near +x, one pointing -x (the outlier);
     // label 1: a tight pair so its members never beat the outlier.

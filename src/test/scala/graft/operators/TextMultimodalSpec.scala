@@ -351,6 +351,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(a.map(_.getDouble(3)).sum - 1.0) < 1e-4)
   }
 
+  test("classifierGate: clean text outscores spam; mean is exact") {
+    val clean = (1 to 24).map(i => s"wordwordw$i").mkString(" ") +
+      " the a of and is in the a of and is in"
+    val spam = (1 to 40).map(_ => "buy").mkString(" ")
+    def row(id: Long, src: String, t: String) =
+      (id, src, t, t.length.toLong)
+    val df = Seq(row(1, "gA", clean), row(2, "gB", spam))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = TextOps.classifierGate(df, "source", "text", "n_chars")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("gA")._3 == 1L, s"clean doc must pass: $out")
+    assert(out("gB")._3 == 0L, s"spam must fail: $out")
+    assert(out("gA")._4 > out("gB")._4)
+    // scores are 6-dp quantized (micro-unit exact summation)
+    out.values.foreach(r => assert(
+      math.abs(r._4 * 1e6 - math.round(r._4 * 1e6)) < 1e-3, r))
+    // real corpus: deterministic, passes strictly between 0 and all
+    val corpus = Tables.documents(spark, sfSmoke)
+    val a = TextOps.classifierGate(corpus, "source", "text", "n_chars")
+      .collect().toSeq
+    assert(a == TextOps.classifierGate(corpus, "source", "text",
+      "n_chars").collect().toSeq)
+    val (pass, docs) =
+      (a.map(_.getLong(2)).sum, a.map(_.getLong(1)).sum)
+    assert(pass > 0L && pass < docs, s"degenerate gate: $pass/$docs")
+  }
+
   test("pairCounts: hand-built corpus; one-token docs drop out") {
     val df = Seq("a b a b c", "a b", "x").toDF("text")
     val out = TextOps.pairCounts(df, "text", 10)
