@@ -26,23 +26,20 @@ import org.apache.spark.sql.DataFrame
 object Bench {
 
   /** DuckDB total at sf0.1 (tools/duckdb_baseline.py, 32 threads,
-    * warm, min-of-3 runs — the 102-query quiet-machine bake of
-    * 2026-08-13 plus the individually measured times of the queries
-    * added since (k13 0.004 s; k14 0.0039 + k15 0.0047 + k16 0.0146 s
-    * from the round-6 bake, whose load-inflated total — 21.12 at load
-    * 4.2 vs 19.26 quiet — was NOT recorded: an inflated baseline
-    * would flatter the ratio; n14 0.2948 s + c4 0.0111 s + n15
-    * 0.3774 s + c5 0.0280 s + t13 0.7933 s + c6 0.0201 s + c7
-    * 0.0232 s + st5 0.0244 s + t14 0.0661 s + t15 0.0773 s + n16
-    * 0.0278 s + n17 1.5857 s + c8 0.0608 s + k17 0.0111 s measured
-    * min-of-3 warm on the same machine). See BASELINE.md.
+    * warm, min-of-3 runs) — the full 125-query re-bake of 2026-08-13
+    * on the round-6 regenerated testdata (24.95 s; the incremental
+    * patch total for 120 queries was 22.69, and the five round-6
+    * additions measure n18 0.30 + n19 0.19 + t16 0.06 + t17 0.17 +
+    * k18 0.96 ≈ 1.69 s, consistent within ~2% load noise — the
+    * re-bake is recorded because one measurement beats a patch
+    * chain; l8 0.1050 min-of-3 warm added after). See BASELINE.md.
     * Valid ONLY for the oracle-suite size it was measured against:
     * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  val RecordedDuckdbSf01: Double = 22.6864
-  val RecordedDuckdbQueries: Int = 120
+  val RecordedDuckdbSf01: Double = 25.0596
+  val RecordedDuckdbQueries: Int = 126
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

@@ -22,6 +22,14 @@ object SparkEntry {
     */
   val ShingleMaxDf = 100
 
+  /** l8's serving batch: three queries with overlapping vocabulary so
+    * the shared postings scan is pruned once by the term UNION.
+    */
+  val BatchFtsQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("batch", "dup"),
+    2 -> Seq("window", "stream"),
+    3 -> Seq("scan", "join", "hash"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's `search` verb shape: ILIKE disjunction + equality
     * filter + recency top-k (SURVEY §3.1).
@@ -138,6 +146,13 @@ object SparkEntry {
     // prune report (seen/kept/pruned).
     "n18_semantic_dedup" -> ((s, dir) =>
       SimilarityOps.semanticDedup(Tables.embeddings(s, dir), 0.4)),
+    // n19: hashing-trick text embedding + SPARSE cosine top-k — the
+    // deterministic stand-in for the reference's stubbed embedding
+    // generation; dot products from the (doc, bucket, weight)
+    // inverted index, exact-integer until the final division.
+    "n19_hashed_embed" -> ((s, dir) =>
+      SimilarityOps.hashedEmbedTopK(Tables.documents(s, dir),
+        "doc_id", "text", dim = 64, queryId = 0L, k = 10)),
     // n14: PRODUCT QUANTIZATION — the compressed-domain tier: encode
     // once into nSub codebook ids per vector, answer the query from
     // a broadcast lookup table over the codes (ADC); the scan never
@@ -258,6 +273,13 @@ object SparkEntry {
     "t16_classifier_gate" -> ((s, dir) =>
       TextOps.classifierGate(Tables.documents(s, dir), "source",
         "text", "n_chars")),
+    // t17: DSIR importance weights — hashed-unigram log-ratio of the
+    // %97 target slice vs the raw corpus, add-one smoothed; the only
+    // libm call is per BUCKET, fixed into micro-longs before any
+    // data-proportional accumulation.
+    "t17_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(Tables.documents(s, dir), "doc_id",
+        "source", "text", modulus = 97, nBuckets = 1024)),
     "n9_dup_clusters" -> ((s, dir) =>
       DedupOps.dupClusters(
         DedupOps.minhashPairs(Tables.documents(s, dir),
@@ -306,6 +328,13 @@ object SparkEntry {
     "l7_fts_bm25" -> ((s, dir) =>
       FtsOps.searchBm25Docs(Tables.documents(s, dir), "doc_id",
         "text", terms = Seq("batch", "dup"), k = 50)),
+
+    // l8: BATCH BM25 serving — the FTS analogue of n10's batch IVF:
+    // one shared plan answers the whole query set; per-query top-k
+    // through the TopKPerKey rank-filter rewrite.
+    "l8_fts_batch" -> ((s, dir) =>
+      FtsOps.searchBm25Batch(Tables.documents(s, dir), "doc_id",
+        "text", BatchFtsQueries, k = 10)),
 
     // ---- remaining §2 aggregate/sort shapes ----
     "a5_filtered_agg" -> ((s, dir) =>
@@ -428,6 +457,24 @@ object SparkEntry {
     // k17: SHALLOW CLONE — the clone (metadata-only manifest over the
     // source's files) diverged by a clone-side MERGE; both tables
     // read side by side, the source provably untouched.
+    // k18: incremental near-dup INGEST GATE — a persisted MinHash
+    // signature store (df-capped shingles + band index, materialized
+    // once) gates an arriving batch: banded candidates, exact
+    // verification, novel docs appended to the store. The write path
+    // (init + append) runs inside the timed query, like k10; the
+    // oracle is the full banded recompute — incremental must equal
+    // recompute.
+    "k18_signature_store" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "text")
+      val root = tempTableRoot("graft_sigstore") + "/store"
+      DedupOps.initSignatureStore(
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        root, ShingleMaxDf)
+      DedupOps.appendIfNovel(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "source",
+        "text", root, minShared = 3)
+    }),
     "k17_shallow_clone" -> ((s, dir) => {
       val r = cloneFixtureRoot(s, dir)
       def agg(tbl: String, label: String) =
@@ -1139,6 +1186,28 @@ object SparkEntry {
         |  count(p.id)::BIGINT AS n_pruned
         |FROM embeddings em LEFT JOIN pruned p ON em.vec_id = p.id
         |GROUP BY em.label ORDER BY em.label ASC""".stripMargin,
+    // n19: same 60-bit md5 token hash; buckets/signs/sums all exact
+    // integers, one division at the end.
+    "n19_hashed_embed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS x FROM toks),
+        |f0 AS (SELECT doc_id, (x // 2) % 64 AS bucket,
+        |    CASE WHEN x % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h),
+        |f AS (SELECT doc_id, bucket, sum(sgn)::BIGINT AS w FROM f0
+        |  GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM f
+        |  GROUP BY 1),
+        |q AS (SELECT bucket, w AS qw FROM f WHERE doc_id = 0),
+        |qn AS (SELECT nrm AS qnrm FROM nrm WHERE doc_id = 0),
+        |dots AS (SELECT f.doc_id, sum(f.w * q.qw)::BIGINT AS dot
+        |  FROM f JOIN q USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, round(d.dot / (n.nrm * qn.qnrm), 6) AS score
+        |FROM dots d JOIN nrm n USING (doc_id), qn
+        |WHERE d.doc_id <> 0
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "n13_kmeans_refine" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1431,6 +1500,38 @@ object SparkEntry {
         |  round(sum(CAST(round(score * 1e6) AS BIGINT)) / 1e6
         |    / count(*), 6) AS avg_score
         |FROM s GROUP BY source ORDER BY source ASC""".stripMargin,
+    // t17: the bucket model in SQL — same hash, same smoothing, same
+    // micro-unit fixing; totals from the bounded bucket relation.
+    "t17_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    (('0x' || substr(md5(t.tok), 1, 15))::BIGINT) % 1024
+        |      AS bucket
+        |  FROM (SELECT doc_id, source,
+        |          unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t),
+        |tc AS (SELECT bucket, count(*) AS ct FROM tok
+        |  WHERE doc_id % 97 = 0 GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS cr FROM tok
+        |  WHERE doc_id % 97 <> 0 GROUP BY 1),
+        |j AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+        |    coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        |  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
+        |tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM j),
+        |model AS (SELECT bucket,
+        |    CAST(round(round(ln(
+        |      CAST((ct + 1) * (r + 1024) AS DOUBLE) /
+        |      CAST((cr + 1) * (t + 1024) AS DOUBLE)), 6) * 1e6)
+        |      AS BIGINT) AS lmicro
+        |  FROM j, tot),
+        |dc AS (SELECT doc_id, source, bucket, count(*) AS cnt
+        |  FROM tok WHERE doc_id % 97 <> 0 GROUP BY 1, 2, 3),
+        |dw AS (SELECT doc_id, source,
+        |    sum(cnt * lmicro)::BIGINT AS wmicro
+        |  FROM dc JOIN model USING (bucket) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  round(sum(wmicro) / 1e6 / count(*), 6) AS mean_weight
+        |FROM dw GROUP BY source ORDER BY source ASC""".stripMargin,
     // t15: pairs via list_zip of the two offset slices — the same
     // shifted-self zip the Spark side builds with slice + zip_with.
     "t15_pair_counts" ->
@@ -1603,6 +1704,9 @@ object SparkEntry {
     "l7_fts_bm25" ->
       operators.FtsOps.searchBm25DocsSql("documents", "doc_id",
         "text", Seq("batch", "dup"), 50),
+    "l8_fts_batch" ->
+      operators.FtsOps.searchBm25BatchSql("documents", "doc_id",
+        "text", BatchFtsQueries, 10),
     "a5_filtered_agg" ->
       """SELECT source, count(*) AS n_docs,
         |  round(avg(n_chars), 6) AS avg_chars
@@ -1831,6 +1935,9 @@ object SparkEntry {
         |ORDER BY version ASC""".stripMargin,
     // k17: the clone = merged + the %11 increment MERGEd on top
     // (whole-row replace, unmatched insert); the source stays merged.
+    "k18_signature_store" ->
+      DedupOps.appendIfNovelSql("documents", "doc_id", "source",
+        "text", modulus = 7, minShared = 3, maxDf = ShingleMaxDf),
     "k17_shallow_clone" ->
       s"""$MergedDocsCtes,
         |inc AS (

@@ -403,6 +403,86 @@ object DedupOps {
       .orderBy(col("bench_id").asc, col("corpus_id").asc)
   }
 
+  /** Persisted MinHash SIGNATURE STORE — the incremental-maintenance
+    * form of near-dup dedup: instead of recomputing the whole banded
+    * pipeline per batch (c3's shape), the corpus's df-capped shingle
+    * relation and its (band, sig) index are materialized ONCE at
+    * init, and each arriving batch is gated against the STORE — one
+    * band equi-join + candidate-restricted exact verification, cost
+    * proportional to the batch and its true near-dups, never to the
+    * corpus. This is how a 100 TB ingest actually runs dedup: the
+    * store is the state, batches stream through it.
+    *
+    * Layout: `root/shingles` = (corpus_id, x) df-capped at init;
+    * `root/bands` = (corpus_id, band, sig). The df-cap blacklist is
+    * frozen at the init snapshot — the honest incremental caveat
+    * (periodic re-init refreshes it, exactly like production LSH
+    * stores rotate their bucket indexes).
+    */
+  def initSignatureStore(docs: DataFrame, idCol: String,
+      textCol: String, root: String, maxDf: Int): Unit = {
+    val sh = capShingleDf(
+      hashedShingles(docs, idCol, textCol)
+        .select(col(idCol).as("corpus_id"), col("x")), maxDf)
+      .cache()
+    sh.write.mode("overwrite").parquet(s"$root/shingles")
+    bandRelation(minhashSignatures(sh, "corpus_id"), "corpus_id")
+      .write.mode("overwrite").parquet(s"$root/bands")
+    sh.unpersist()
+    ()
+  }
+
+  /** Gate a batch against the store: batch docs near-duplicating a
+    * stored doc (banded candidates, exact shared-shingle count ≥
+    * `minShared` — [[crossCorpusOverlapBandedHashed]] semantics
+    * verbatim) are REJECTED; novel docs' shingles and bands are
+    * appended to the store (batch side is uncapped, like the bench
+    * side of c3 — the cap is a corpus property). Returns the
+    * per-`srcCol` ingest report: batch size, rejected, appended.
+    */
+  def appendIfNovel(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, root: String, minShared: Int): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val spark = docs.sparkSession
+    val sa = hashedShingles(docs, idCol, textCol)
+      .select(col(idCol).as("bench_id"), col("x")).cache()
+    val storedSh = spark.read.parquet(s"$root/shingles")
+    val storedBands = spark.read.parquet(s"$root/bands")
+    val bandsA = bandRelation(minhashSignatures(sa, "bench_id"),
+      "bench_id")
+    val cand = bandsA.join(storedBands, Seq("band", "sig"))
+      .select(col("bench_id"), col("corpus_id")).distinct().cache()
+    val saC = sa.join(cand.select("bench_id").distinct(),
+      Seq("bench_id"), "left_semi")
+    val sbC = storedSh.join(cand.select("corpus_id").distinct(),
+      Seq("corpus_id"), "left_semi")
+    // localCheckpoint (EAGER), not cache: the novel-doc append below
+    // writes into the very paths this plan reads, and Spark
+    // invalidates caches over written paths — a lazily-cached plan
+    // would silently recompute the gate against the GROWN store and
+    // reject the batch's own novel docs. Checkpointing materializes
+    // the verdict against the pre-append snapshot and severs lineage.
+    val rejected = saC.join(sbC, Seq("x"))
+      .groupBy(col("bench_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cand, Seq("bench_id", "corpus_id"), "left_semi")
+      .filter(col("shared") >= minShared)
+      .select(col("bench_id")).distinct().localCheckpoint()
+    val novelSh = sa.join(rejected, Seq("bench_id"), "left_anti")
+      .select(col("bench_id").as("corpus_id"), col("x"))
+    novelSh.write.mode("append").parquet(s"$root/shingles")
+    bandRelation(minhashSignatures(novelSh, "corpus_id"), "corpus_id")
+      .write.mode("append").parquet(s"$root/bands")
+    docs.select(col(idCol), col(srcCol))
+      .join(rejected, col(idCol) === col("bench_id"), "left")
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_batch"),
+        count(col("bench_id")).as("n_rejected"))
+      .select(col(srcCol), col("n_batch"), col("n_rejected"),
+        (col("n_batch") - col("n_rejected")).as("n_appended"))
+      .resultSorted(col(srcCol).asc)
+  }
+
   /** Oracle twin of [[crossCorpusOverlapBanded]] with the benchmark
     * set selected by `doc_id % modulus = 0` — same seeds, same bands,
     * same verification, in SQL.
@@ -447,6 +527,37 @@ object DedupOps {
        |JOIN cand USING (bench_id, corpus_id)
        |WHERE s.shared >= $minShared
        |ORDER BY bench_id ASC, corpus_id ASC""".stripMargin
+  }
+
+  /** Oracle twin of [[initSignatureStore]] + [[appendIfNovel]] with
+    * the batch selected by `doc_id % modulus = 0`: since the store is
+    * initialized from the complementary slice and gated once, the
+    * report is exactly the per-source rollup of the banded
+    * cross-corpus overlap's distinct bench ids — the incremental
+    * path must agree with the full recompute.
+    */
+  def appendIfNovelSql(table: String, idCol: String, srcCol: String,
+      textCol: String, modulus: Int, minShared: Int,
+      maxDf: Int = Int.MaxValue): String = {
+    val base = crossCorpusOverlapBandedSql(table, idCol, textCol,
+      modulus, minShared, 3, maxDf)
+    val marker = "SELECT s.bench_id, s.corpus_id, s.shared FROM ("
+    val idx = base.lastIndexOf(marker)
+    require(idx >= 0, "crossCorpusOverlapBandedSql shape changed")
+    val (ctes, finalSel) = base.splitAt(idx)
+    val overl = finalSel
+      .replace("ORDER BY bench_id ASC, corpus_id ASC", "")
+    s"""${ctes.stripSuffix("\n")},
+       |overl AS (
+       |$overl),
+       |contaminated AS (SELECT DISTINCT bench_id FROM overl),
+       |batch AS (SELECT $idCol, $srcCol FROM $table
+       |  WHERE $idCol % $modulus = 0)
+       |SELECT $srcCol, count(*) AS n_batch,
+       |  count(c.bench_id)::BIGINT AS n_rejected,
+       |  (count(*) - count(c.bench_id))::BIGINT AS n_appended
+       |FROM batch LEFT JOIN contaminated c ON batch.$idCol = c.bench_id
+       |GROUP BY $srcCol ORDER BY $srcCol ASC""".stripMargin
   }
 
   /** Oracle twin of [[crossCorpusOverlap]] with the benchmark set

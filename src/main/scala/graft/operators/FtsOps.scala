@@ -171,6 +171,92 @@ object FtsOps {
       idCol, terms, k)
   }
 
+  /** BATCH BM25 serving — the FTS analogue of the IVF batch tier
+    * (n10/n15): one shared plan answers a whole query SET instead of
+    * one job per query. The postings scan is pruned once by the UNION
+    * of all query terms, document frequencies and corpus stats are
+    * computed once, each query fans its terms out via a broadcast
+    * (query_id, token) relation, and the per-query top-k runs as a
+    * rank-filter window — the TopKPerKey rewrite turns it into
+    * partial per-partition heaps, so the exchange carries ≤ k rows
+    * per query per partition, never every scored (query, doc) pair.
+    */
+  def searchBm25Batch(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qrel = queries.flatMap { case (qid, ts) =>
+      ts.map(_.toLowerCase).distinct.map(t => (qid, t))
+    }.toDF("query_id", "token")
+    val allTerms = queries.flatMap(_._2.map(_.toLowerCase)).distinct
+    val pruned = buildIndex(docs, idCol, textCol)
+      .filter(col("token").isInCollection(allTerms)).cache()
+    val dfs = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val lens = docs.select(col(idCol),
+      size(split(lower(col(textCol)), " ")).cast("double").as("len"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("len")).as("avgdl"))
+    val idf = log(col("n_docs") / col("df"))
+    val sat = (col("tf") * (k1 + 1)) /
+      (col("tf") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    pruned
+      .join(broadcast(qrel), Seq("token"))
+      .join(broadcast(dfs), Seq("token"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(idf * sat), 6).as("score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+      .orderBy(col("query_id").asc, col("score").desc, col(idCol).asc)
+  }
+
+  /** Oracle SQL twin of [[searchBm25Batch]] — same tokenization, same
+    * BM25 constants, the query set as a VALUES relation.
+    */
+  def searchBm25BatchSql(table: String, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int): String = {
+    val allTerms = queries.flatMap(_._2.map(_.toLowerCase)).distinct
+    val inList = allTerms.map(t => s"'$t'").mkString(", ")
+    val qvals = queries.flatMap { case (qid, ts) =>
+      ts.map(_.toLowerCase).distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH idx AS (
+       |  SELECT token, $idCol, count(*) AS tf FROM (
+       |    SELECT $idCol, unnest(string_split(lower($textCol), ' '))
+       |      AS token
+       |    FROM $table)
+       |  WHERE token <> '' GROUP BY token, $idCol),
+       |lens AS (SELECT $idCol,
+       |    len(string_split(lower($textCol), ' '))::DOUBLE AS len
+       |  FROM $table),
+       |pl AS (SELECT * FROM idx WHERE token IN ($inList)),
+       |dfs AS (SELECT token, count(*) AS df FROM pl GROUP BY token),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl
+       |  FROM lens),
+       |qrel(query_id, token) AS (VALUES $qvals),
+       |scored AS (
+       |  SELECT query_id, $idCol,
+       |    round(sum(ln(n_docs / df) * (tf * (1.2 + 1)) /
+       |      (tf + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))), 6)
+       |      AS score
+       |  FROM pl JOIN qrel USING (token) JOIN dfs USING (token)
+       |    JOIN lens USING ($idCol) CROSS JOIN stats
+       |  GROUP BY query_id, $idCol)
+       |SELECT query_id, $idCol, score FROM (
+       |  SELECT query_id, $idCol, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, $idCol ASC)
+       |    AS rn
+       |  FROM scored) WHERE rn <= $k
+       |ORDER BY query_id ASC, score DESC, $idCol ASC""".stripMargin
+  }
+
   /** Persist the inverted index AT REST, bucketed (and sorted) by
     * token: the corpus scan is paid once here; afterwards a term
     * lookup hash-routes to ⌈|terms|⌉ of `buckets` files instead of

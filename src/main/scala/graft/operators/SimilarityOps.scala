@@ -553,6 +553,57 @@ object SimilarityOps {
       .resultSorted(col("label").asc)
   }
 
+  /** Hashing-trick text embedding + sparse cosine top-k — the
+    * deterministic, oracle-checkable stand-in for the reference's
+    * declared-but-stubbed embedding generation (`embedding FLOAT[]`
+    * ethical_crawler.py:842, dead ML imports :31–34): each token
+    * hashes to a (bucket, ±1) pair (60-bit md5, the corpus-wide hash
+    * idiom), a document's feature vector is the per-bucket signed
+    * count, and similarity is computed in the SPARSE domain — dot
+    * products and norms from the (doc, bucket, weight) relation, no
+    * dense array ever materialized.
+    *
+    * This is the genuinely scalable shape: the feature relation is an
+    * inverted index on buckets (map-side-combined aggregate), the
+    * query side is a ≤`dim`-row broadcast, the dot product is one
+    * equi-join on the bucket key, and every accumulation is exact
+    * integer arithmetic until the single final division — so the
+    * score is bit-stable under any partitioning, and the identical
+    * SQL runs in the oracle.
+    */
+  def hashedEmbedTopK(df: DataFrame, idCol: String, textCol: String,
+      dim: Int, queryId: Long, k: Int): DataFrame = {
+    val toks = graft.FanOut
+      .byKey(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val feats = toks
+      .select(col(idCol),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          .as("x"))
+      .select(col(idCol),
+        (shiftright(col("x"), 1) % dim).as("bucket"),
+        when(col("x") % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sgn")).as("w"))
+      .filter(col("w") =!= 0)
+    val norms = feats.groupBy(col(idCol))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val q = feats.filter(col(idCol) === queryId)
+      .select(col("bucket"), col("w").as("qw"))
+    val qn = norms.filter(col(idCol) === queryId)
+      .select(col("nrm").as("qnrm"))
+    feats.join(broadcast(q), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w") * col("qw")).as("dot"))
+      .join(norms, Seq(idCol))
+      .crossJoin(broadcast(qn))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(col("dot") / (col("nrm") * col("qnrm")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def annTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val df = embeddings
       .withColumn("features", array_to_vector(col("embedding")))

@@ -582,6 +582,71 @@ object TextOps {
       .resultSorted(col(groupCol).asc)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", reduced to its
+    * deterministic core): score each RAW-corpus document by how much
+    * its hashed-unigram distribution looks like a TARGET slice
+    * (docs with `id % modulus = 0`) rather than the raw corpus —
+    * weight(d) = Σ_b cnt_d(b) · log( p̂_target(b) / p̂_raw(b) ) with
+    * add-one smoothing over `nBuckets` hash buckets. Reported per
+    * source as (docs scored, mean weight): the source-level signal a
+    * mixture sampler resamples by.
+    *
+    * Determinism: the log-ratio is computed once per BUCKET (≤
+    * nBuckets rows) from exact integer counts — the only libm call —
+    * rounded to 6 dp and fixed into micro-unit longs; every per-doc
+    * and per-source accumulation after that is exact integer
+    * arithmetic, so no summation order anywhere can flap the hash.
+    *
+    * Shape: one token pass (hash to buckets at the scan), two
+    * bounded-domain aggregates for the model (≤ nBuckets rows, totals
+    * as window sums over that bounded relation), a broadcast-sized
+    * model joined back onto the per-(doc, bucket) counts, and a
+    * bounded per-source rollup. Nothing but the scan and the
+    * (doc, bucket) aggregate scales with N.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, modulus: Int, nBuckets: Int): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tok = graft.FanOut
+      .byKey(df.select(col(idCol), col(srcCol), col(textCol)),
+        col(idCol))
+      .select(col(idCol), col(srcCol),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), col(srcCol),
+        (conv(substring(md5(col("__tok")), 1, 15), 16, 10)
+          .cast("long") % nBuckets).as("bucket"))
+    val tgtCnt = tok.filter(col(idCol) % modulus === 0)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val rawCnt = tok.filter(col(idCol) % modulus =!= 0)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val model = rawCnt.join(tgtCnt, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .withColumn("t", sum(col("ct")).over(wAll))
+      .withColumn("r", sum(col("cr")).over(wAll))
+      .select(col("bucket"), round(log(
+        ((col("ct") + 1) * (col("r") + nBuckets)).cast("double") /
+          ((col("cr") + 1) * (col("t") + nBuckets)).cast("double")), 6)
+        .as("logr"))
+      .select(col("bucket"),
+        round(col("logr") * lit(1e6)).cast("long").as("lmicro"))
+    val perDoc = tok.filter(col(idCol) % modulus =!= 0)
+      .groupBy(col(idCol), col(srcCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(model, Seq("bucket"))
+      .groupBy(col(idCol), col(srcCol))
+      .agg(sum(col("cnt") * col("lmicro")).as("wmicro"))
+    perDoc.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("wmicro")).as("__sum"))
+      .select(col(srcCol), col("n_docs"),
+        round(col("__sum").cast("double") / lit(1e6)
+          / col("n_docs").cast("double"), 6).as("mean_weight"))
+      .resultSorted(col(srcCol).asc)
+  }
+
   /** Adjacent-token-pair counts — the corpus statistic a BPE/WordPiece
     * vocabulary-induction step ranks candidate merges by (the most
     * frequent adjacent pair is the next merge). Pairs are built per

@@ -360,6 +360,46 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Streaming NEAR-DUP ingest gate: every micro-batch is gated
+    * against the persisted MinHash signature store
+    * ([[graft.operators.DedupOps.appendIfNovel]]) — batch docs
+    * near-duplicating anything already in the store are dropped,
+    * novel docs extend the store, and each batch's per-source ingest
+    * report is appended to `root/reports`. State lives in the STORE,
+    * not the state store, so it survives restarts and is shared with
+    * the batch pipeline.
+    *
+    * Replaying a batch after a failure re-gates rows that are now IN
+    * the store — every row rejects against its own earlier append —
+    * so the store content is idempotent per batch (the k18 spec's
+    * re-append property, now doing exactly-once duty for the
+    * at-least-once file source).
+    */
+  def signatureGateSink(stream: DataFrame, spark: SparkSession,
+      root: String, idCol: String, srcCol: String, textCol: String,
+      minShared: Int, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // cold start: bootstrap an empty store so the first batch
+          // gates against nothing and seeds it
+          if (!graft.Catalog.tableExists(spark, s"$root/shingles"))
+            graft.operators.DedupOps.initSignatureStore(
+              batch.limit(0), idCol, textCol, root, Int.MaxValue)
+          graft.operators.DedupOps
+            .appendIfNovel(batch, idCol, srcCol, textCol, root,
+              minShared)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$root/reports")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming aggregation to completion against a memory sink
     * and return the result table. `Complete` output mode (the test
     * harness wants the final totals; `Append` + watermark close is the

@@ -492,6 +492,87 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(r => r._4 >= 0.8 && r._4 <= 1.0))
   }
 
+  test("signature store: gates a batch, grows, re-append rejects all") {
+    val root = java.nio.file.Files.createTempDirectory("sigstore")
+      .toString + "/store"
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val stored = Seq(
+      (1L, "s1", base),
+      (2L, "s1", "completely different text about unrelated matters"))
+      .toDF("doc_id", "source", "text")
+    DedupOps.initSignatureStore(stored, "doc_id", "text", root,
+      Int.MaxValue)
+    val batch = Seq(
+      (10L, "sA", base), // exact copy of stored doc 1 -> rejected
+      (11L, "sA", "wholly novel words that match nothing stored here"))
+      .toDF("doc_id", "source", "text")
+    def report(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val r1 = report(DedupOps.appendIfNovel(batch, "doc_id", "source",
+      "text", root, 3))
+    assert(r1("sA") == ((2L, 1L, 1L)), s"$r1")
+    // store grew by exactly the novel doc
+    val ids1 = spark.read.parquet(s"$root/shingles")
+      .select("corpus_id").distinct().as[Long].collect().toSet
+    assert(ids1 == Set(1L, 2L, 11L))
+    // re-appending the same batch rejects everything (10 matches 1,
+    // 11 matches its own earlier append): the gate is idempotent
+    val r2 = report(DedupOps.appendIfNovel(batch, "doc_id", "source",
+      "text", root, 3))
+    assert(r2("sA") == ((2L, 2L, 0L)), s"$r2")
+    val ids2 = spark.read.parquet(s"$root/shingles")
+      .select("corpus_id").distinct().as[Long].collect().toSet
+    assert(ids2 == ids1)
+    // real corpus: the incremental gate equals the full banded
+    // recompute (c3's relation) on rejected ids
+    val docs = Tables.documents(spark, sfSmoke)
+      .select("doc_id", "source", "text")
+    val root2 = java.nio.file.Files.createTempDirectory("sigstore2")
+      .toString + "/store"
+    DedupOps.initSignatureStore(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+      root2, 100)
+    val rep = DedupOps.appendIfNovel(
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "source",
+      "text", root2, 3).collect()
+    rep.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), r.toString))
+    val hx = DedupOps.hashedShingles(docs, "doc_id", "text").cache()
+    val expectRejected = DedupOps.crossCorpusOverlapBandedHashed(
+      hx.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("bench_id"), col("x")),
+      hx.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("x")),
+      minShared = 3, maxDf = 100)
+      .select("bench_id").distinct().count()
+    assert(rep.map(_.getLong(2)).sum == expectRejected)
+  }
+
+  test("hashedEmbedTopK: an exact copy of the query doc scores 1.0") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "alpha beta unrelated words here"))
+      .toDF("doc_id", "text")
+    val out = SimilarityOps
+      .hashedEmbedTopK(df, "doc_id", "text", 64, 0L, 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(out.head == ((1L, 1.0)), s"copy must rank first: $out")
+    // doc 2 shares no bucket with the query: sparse inner-join
+    // semantics omit zero-overlap docs entirely (oracle identical)
+    assert(out.map(_._1) == Seq(1L, 3L), s"$out")
+    // real corpus: deterministic, |cosine| bounded
+    val docs = Tables.documents(spark, sfSmoke)
+    def run() = SimilarityOps
+      .hashedEmbedTopK(docs, "doc_id", "text", 64, 0L, 10)
+      .collect().toSeq
+    val a = run()
+    assert(a == run() && a.size == 10)
+    a.foreach(r => assert(math.abs(r.getDouble(1)) <= 1.0))
+  }
+
   test("semanticDedup: keeps one per component; conserves counts") {
     // label 0: 1≈2≈3 one near-dup chain (keep 1, prune 2,3) + 4
     // orthogonal (kept singleton); label 1: 5≈6 (keep 5, prune 6).

@@ -126,6 +126,22 @@ class FtsRenderSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS fts_idx_test")
   }
 
+  test("batch bm25: one shared plan equals per-query search, per query") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val qs = graft.SparkEntry.BatchFtsQueries
+    val batch = FtsOps
+      .searchBm25Batch(docs, "doc_id", "text", qs, 10).collect()
+      .groupBy(_.getInt(0))
+    qs.foreach { case (qid, terms) =>
+      val single = FtsOps
+        .searchBm25Docs(docs, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(qid)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == single, s"query $qid diverged from single-query")
+    }
+  }
+
   test("S3 — DataFrame registration scan via temp view") {
     val ds = spark.createDataFrame(Seq((1L, "a"), (2L, "b")))
       .toDF("id", "v")

@@ -44,7 +44,8 @@ class ScaleShapeSpec extends SparkSpec {
       "c4_mixture_sample", "c5_sequence_pack", "c6_global_pack",
       "t13_boilerplate", "t14_gopher_gate", "t15_pair_counts",
       "n16_centroid_outliers", "n17_source_overlap", "c7_split_assign",
-      "st5_stream_pack")
+      "st5_stream_pack", "n18_semantic_dedup", "t16_classifier_gate",
+      "n19_hashed_embed", "k18_signature_store")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),

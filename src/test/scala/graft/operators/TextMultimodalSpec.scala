@@ -379,6 +379,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pass > 0L && pass < docs, s"degenerate gate: $pass/$docs")
   }
 
+  test("dsirWeights: target-like docs outweigh off-target ones") {
+    val df = Seq(
+      (0L, "t", "apple banana cherry apple banana cherry apple banana"),
+      (5L, "t", "apple cherry banana apple cherry banana apple cherry"),
+      (1L, "gA", "apple banana cherry apple banana apple cherry banana"),
+      (2L, "gB", "xylophone quartz vortex jumble kraken nebula zephyr"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.dsirWeights(df, "doc_id", "source", "text",
+      modulus = 5, nBuckets = 64)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // target slice (ids 0, 5) is excluded from the scored set
+    assert(out.keySet == Set("gA", "gB"))
+    assert(out("gA")._3 > out("gB")._3,
+      s"target-vocab doc must outweigh: $out")
+    assert(out("gB")._3 < 0.0) // off-target mass scores negative
+    // real corpus: deterministic
+    val corpus = Tables.documents(spark, sfSmoke)
+    def run() = TextOps.dsirWeights(corpus, "doc_id", "source",
+      "text", 97, 1024).collect().toSeq
+    val a = run()
+    assert(a == run() && a.nonEmpty)
+  }
+
   test("pairCounts: hand-built corpus; one-token docs drop out") {
     val df = Seq("a b a b c", "a b", "x").toDF("text")
     val out = TextOps.pairCounts(df, "text", 10)

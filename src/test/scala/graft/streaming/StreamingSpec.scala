@@ -331,6 +331,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/table").count() == 4)
   }
 
+  test("foreachBatch signature-gate sink: near-dups dropped, replay-stable") {
+    import spark.implicits._
+    val dir = tmpDir("siggate")
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // batch 0 seeds the store; batch 1 carries an exact near-dup of a
+    // batch-0 doc (must reject) and a novel doc (must append)
+    Seq((1L, "s1", base),
+      (2L, "s1", "completely different text about unrelated matters"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(dir + "/staged/b0")
+    Seq((10L, "sA", base),
+      (11L, "sA", "wholly novel words that match nothing stored here"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(dir + "/staged/b1")
+    val schema = spark.read.parquet(dir + "/staged/b0").schema
+    def run(cp: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir + "/staged/*")
+      StreamingOps.signatureGateSink(stream, spark, dir + "/store",
+        "doc_id", "source", "text", minShared = 3, cp)
+    }
+    run(dir + "/cp0")
+    val ids = spark.read.parquet(dir + "/store/shingles")
+      .select("corpus_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 11L), s"store after gate: $ids")
+    val reports = spark.read.parquet(dir + "/store/reports")
+      .select("source", "n_batch", "n_rejected", "n_appended")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(reports == Set(("s1", 2L, 0L, 2L), ("sA", 2L, 1L, 1L)),
+      s"reports: $reports")
+    // replay from a fresh checkpoint: every row now rejects against
+    // its own earlier append — store content must not change
+    run(dir + "/cp1")
+    val ids2 = spark.read.parquet(dir + "/store/shingles")
+      .select("corpus_id").distinct().as[Long].collect().toSet
+    assert(ids2 == ids, "replay must not grow the store")
+  }
+
   test("foreachBatch merge sink: newest revision wins, replay-stable content") {
     import spark.implicits._
     val dir = tmpDir("mergesink")
