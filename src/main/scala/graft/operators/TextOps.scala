@@ -616,10 +616,18 @@ object TextOps {
       .select(col(idCol), col(srcCol),
         (conv(substring(md5(col("__tok")), 1, 15), 16, 10)
           .cast("long") % nBuckets).as("bucket"))
-    val tgtCnt = tok.filter(col(idCol) % modulus === 0)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val rawCnt = tok.filter(col(idCol) % modulus =!= 0)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    // ONE token pass: the (doc, bucket) aggregate is computed once
+    // and cached; the model's bucket counts FOLD from it (Σ_docs cnt
+    // per bucket — an aggregate of the aggregate, never a second
+    // explode), and the probe reuses the same relation.
+    val dc = tok
+      .groupBy(col(idCol), col(srcCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    val tgtCnt = dc.filter(col(idCol) % modulus === 0)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("ct"))
+    val rawCnt = dc.filter(col(idCol) % modulus =!= 0)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cr"))
     val model = rawCnt.join(tgtCnt, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("ct"), lit(0L)).as("ct"),
@@ -632,9 +640,7 @@ object TextOps {
         .as("logr"))
       .select(col("bucket"),
         round(col("logr") * lit(1e6)).cast("long").as("lmicro"))
-    val perDoc = tok.filter(col(idCol) % modulus =!= 0)
-      .groupBy(col(idCol), col(srcCol), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    val perDoc = dc.filter(col(idCol) % modulus =!= 0)
       .join(model, Seq("bucket"))
       .groupBy(col(idCol), col(srcCol))
       .agg(sum(col("cnt") * col("lmicro")).as("wmicro"))
