@@ -146,6 +146,11 @@ object SparkEntry {
     // prune report (seen/kept/pruned).
     "n18_semantic_dedup" -> ((s, dir) =>
       SimilarityOps.semanticDedup(Tables.embeddings(s, dir), 0.4)),
+    // n20: the train→serve loop CLOSED — IVF search against n13's
+    // one-Lloyd-refined centroids instead of raw strided seeds.
+    "n20_trained_ivf" -> ((s, dir) =>
+      SimilarityOps.ivfTopKTrained(Tables.embeddings(s, dir), 0L,
+        k = 10, stride = 50, nProbe = 3)),
     // n19: hashing-trick text embedding + SPARSE cosine top-k — the
     // deterministic stand-in for the reference's stubbed embedding
     // generation; dot products from the (doc, bucket, weight)
@@ -695,6 +700,18 @@ object SparkEntry {
       MultimodalOps.frameStats(
         MultimodalOps.sampleFrames(assets, stride = 100))
     }),
+    // m4: content-hash dedup of binary assets — the multimodal twin
+    // of n2; payload bytes never shuffle.
+    "m4_asset_dedup" -> ((s, dir) =>
+      MultimodalOps.assetDedupReport(
+        MultimodalOps.assetsFromDocuments(s, Tables.documents(s, dir)))),
+    // k19: RESTORE — roll the merged-docs fixture back to v0 as a
+    // NEW metadata-only commit; current() must read the init slice.
+    "k19_restore" -> ((s, dir) => {
+      val root = buildMergedDocs(s, dir)
+      Versioned.restore(s, root, 0)
+      Versioned.current(s, root).resultSorted(col("doc_id").asc)
+    }),
 
     // ---- round-4 additions: stateful sessions, Q2 shape, RANGE frame ----
     // st3 runs the CUSTOM-STATE operator (flatMapGroupsWithState —
@@ -974,6 +991,22 @@ object SparkEntry {
         |  sum(n_frames)::BIGINT AS total_frames,
         |  sum(covered)::BIGINT AS total_frame_bytes
         |FROM f""".stripMargin,
+    // m4: kind cycles as in assetsFromDocuments (1-based list index);
+    // md5 of the utf-8 payload == Spark's md5 over the binary column.
+    "m4_asset_dedup" ->
+      """WITH a AS (
+        |  SELECT (['image','audio','video'])[(doc_id % 3 + 1)::INT]
+        |      AS kind,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_assets,
+        |  count(DISTINCT h) AS n_distinct,
+        |  (count(*) - count(DISTINCT h))::BIGINT AS n_dup
+        |FROM a GROUP BY kind ORDER BY kind ASC""".stripMargin,
+    // k19: restoring v0 makes the init slice current again.
+    "k19_restore" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 3 <> 0 ORDER BY doc_id ASC""".stripMargin,
     "n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1248,6 +1281,56 @@ object SparkEntry {
         |  round(avg(cscore), 6) AS mean_cos
         |FROM a1 GROUP BY centroid_id
         |ORDER BY centroid_id ASC""".stripMargin,
+    // n20: n13's refinement CTEs (a1 keeps the trained assignment)
+    // extended with n8's probe/members/top-k against c1n.
+    "n20_trained_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e),
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id % 50 = 0),
+        |a0 AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_dot_product(a.v, c.cv) /
+        |                       (a.nrm * c.cnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM n a CROSS JOIN cents c) WHERE rn = 1),
+        |mdim AS (
+        |  SELECT a0.centroid_id, t.i, round(avg(a.v[t.i]), 6) AS m
+        |  FROM a0 JOIN n a USING (vec_id),
+        |    unnest(generate_series(1, len(a.v))) AS t(i)
+        |  GROUP BY a0.centroid_id, t.i),
+        |c1 AS (
+        |  SELECT centroid_id, list(m ORDER BY i) AS cv
+        |  FROM mdim GROUP BY centroid_id),
+        |c1n AS (SELECT centroid_id, cv,
+        |    sqrt(list_dot_product(cv, cv)) AS cnrm FROM c1),
+        |a1 AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round(list_dot_product(a.v, c.cv) /
+        |                       (a.nrm * c.cnrm), 6) DESC,
+        |                 c.centroid_id ASC) AS rn
+        |    FROM n a CROSS JOIN c1n c) WHERE rn = 1),
+        |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT centroid_id FROM c1n, q
+        |  ORDER BY round(list_dot_product(cv, qv) / (cnrm * qnrm), 6)
+        |    DESC, centroid_id ASC
+        |  LIMIT 3),
+        |members AS (
+        |  SELECT vec_id FROM a1 JOIN probed USING (centroid_id))
+        |SELECT a.vec_id,
+        |  round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6)
+        |    AS score
+        |FROM n a JOIN members USING (vec_id), q
+        |WHERE a.vec_id <> 0
+        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     "n12_multiprobe_neardup" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

@@ -219,6 +219,24 @@ object Versioned {
       snapshotFiles(spark, source, v).map(resolved(srcRoot, _)))
   }
 
+  /** RESTORE: make snapshot `v` current again by committing a NEW
+    * version whose manifest re-references v's files — metadata-only
+    * (one manifest write, zero data IO), history-preserving (the
+    * rolled-back versions stay time-travelable; vacuum retires them
+    * on its normal schedule), and safe under the same single-winner
+    * commit protocol as every other write. The roll-FORWARD twin of
+    * time travel: `snapshot(v)` reads the past, `restore(v)` makes
+    * the past the present without rewriting it.
+    */
+  def restore(spark: SparkSession, table: String, v: Int): Int = {
+    val cur = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"uninitialized versioned table: $table"))
+    require(versions(spark, table).contains(v),
+      s"no snapshot v=$v to restore in $table")
+    commit(spark, table, cur + 1, snapshotFiles(spark, table, v))
+  }
+
   /** Per-file [min, max] of the leading merge key, AS STRINGS (cast
     * back to the key's type in the pruning join, so numeric ordering
     * is restored): from the `<key>=<value>` path segment when the key

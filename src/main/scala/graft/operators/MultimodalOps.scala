@@ -179,6 +179,23 @@ object MultimodalOps {
     * byte bins (bin k = bytes 0xk0..0xkF). One decoder init per
     * partition; payload bytes never shuffle.
     */
+  /** Exact content dedup over binary assets — the multimodal twin of
+    * the n2 text tier (training pipelines dedup images/audio by
+    * content hash before any decode): one md5 per payload, per-kind
+    * duplication report. The hash is computed in the scan stage and
+    * the payload bytes never shuffle — only (kind, 128-bit hash)
+    * rows reach the aggregate, so the report costs the same whether
+    * an asset is 1 KB or 1 GB.
+    */
+  def assetDedupReport(assets: Dataset[MediaAsset]): DataFrame =
+    assets.toDF().select(col("kind"), md5(col("bytes")).as("h"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        count_distinct(col("h")).as("n_distinct"))
+      .select(col("kind"), col("n_assets"), col("n_distinct"),
+        (col("n_assets") - col("n_distinct")).as("n_dup"))
+      .resultSorted(col("kind").asc)
+
   def extractCounts(assets: Dataset[MediaAsset]): Dataset[MediaCounts] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>

@@ -146,13 +146,21 @@ object SimilarityOps {
     * clusters drop out exactly as a production trainer would retire
     * them.
     */
-  def kmeansRefine(embeddings: DataFrame, stride: Int): DataFrame = {
+  /** One-Lloyd-iteration refined centroid relation (centroid_id, cv,
+    * cnrm): strided seeds → assignment → per-dimension 6-dp-rounded
+    * means (the n13/n16 convention — both engines cosine against
+    * bit-identical arrays). Shared by the training report
+    * ([[kmeansRefine]]) and the trained serving path
+    * ([[ivfTopKTrained]]).
+    */
+  private def refinedCentroids(embeddings: DataFrame, stride: Int)
+      : DataFrame = {
     val vecs = embeddings.select(col("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val assign0 = ivfAssign(embeddings, stride)
       .select("vec_id", "centroid_id")
-    val means = assign0.join(vecs, Seq("vec_id"))
+    assign0.join(vecs, Seq("vec_id"))
       .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("centroid_id"), col("pos"))
       .agg(round(avg(col("x")), 6).as("m"))
@@ -161,6 +169,13 @@ object SimilarityOps {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         p => p.getField("m")).as("cv"))
       .withColumn("cnrm", l2Norm(col("cv")))
+  }
+
+  def kmeansRefine(embeddings: DataFrame, stride: Int): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val means = refinedCentroids(embeddings, stride)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("centroid_id").asc)
@@ -174,6 +189,51 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_members"),
         round(avg(col("cscore")), 6).as("mean_cos"))
       .orderBy(col("centroid_id").asc)
+  }
+
+  /** The TRAIN→SERVE loop closed: IVF search against the
+    * one-Lloyd-REFINED centroids ([[refinedCentroids]] — n13's
+    * training output) instead of the raw strided seeds. Same probe
+    * shape as [[ivfTopK]] (rank centroids, probe `nProbe` clusters,
+    * brute-force only their members), but assignment and probing both
+    * use the trained codebook, so cluster boundaries are the ones the
+    * training step actually produced. Deterministic end to end — the
+    * oracle recomputes the refinement and the search in one SQL.
+    */
+  def ivfTopKTrained(embeddings: DataFrame, queryId: Long, k: Int,
+      stride: Int, nProbe: Int): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val cents = refinedCentroids(embeddings, stride)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val assign = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosinePrenormed(col("v"), col("cv"), col("nrm"),
+          col("cnrm")), 6).as("cscore"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("vec_id", "centroid_id")
+    val q = vecs.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("centroid_id"),
+        round(cosinePrenormed(col("cv"), col("qv"), col("cnrm"),
+          col("qnrm")), 6).as("pscore"))
+      .orderBy(col("pscore").desc, col("centroid_id").asc)
+      .limit(nProbe)
+      .select("centroid_id")
+    vecs.join(assign.join(probed, Seq("centroid_id"))
+        .select("vec_id"), Seq("vec_id"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosinePrenormed(col("v"), col("qv"), col("nrm"),
+          col("qnrm")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
   }
 
   /** IVF search: rank centroids against the query vector, probe the

@@ -73,6 +73,28 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.current(spark, t).count() == 3)
   }
 
+  test("restore: metadata-only rollback; history and future intact") {
+    val t = tmpDir("versioned") + "/t"
+    Versioned.init(docs(Seq(1L, 2L), _ => 100L), t)
+    Versioned.mergeUpsert(docs(Seq(2L, 3L), _ => 999L), t,
+      Seq("doc_id"))
+    val v0 = rows(Versioned.snapshot(spark, t, 0))
+    assert(Versioned.restore(spark, t, 0) == 2)
+    // current content is v0's again; the rolled-back v1 still travels
+    assert(rows(Versioned.current(spark, t)) == v0)
+    assert(rows(Versioned.snapshot(spark, t, 1)) !=
+      v0)
+    assert(Versioned.versions(spark, t) == Seq(0, 1, 2))
+    // metadata-only: no data directory was written for v2
+    assert(!new java.io.File(s"$t/v=2").exists())
+    // and the table keeps evolving normally after a restore
+    Versioned.mergeUpsert(docs(Seq(4L), _ => 4L), t, Seq("doc_id"))
+    assert(rows(Versioned.current(spark, t))
+      .map(_._1) == Set(1L, 2L, 4L))
+    assert(!Versioned.current(spark, t).collect()
+      .exists(_.getLong(2) == 999L))
+  }
+
   test("racing committers of the same version: one wins, loser fails fast") {
     val t = tmpDir("versioned") + "/t"
     Versioned.init(docs(Seq(1L, 2L), _ => 1L), t)

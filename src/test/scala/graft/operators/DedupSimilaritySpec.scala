@@ -595,6 +595,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.exists(_.getLong(3) > 0L)) // threshold actually prunes
   }
 
+  test("trained IVF: scores agree with brute force; deterministic") {
+    val e = Tables.embeddings(spark, sfSmoke)
+    def run() = SimilarityOps
+      .ivfTopKTrained(e, 0L, k = 10, stride = 50, nProbe = 3)
+      .as[(Long, Double)].collect().toSeq
+    val got = run()
+    assert(got == run() && got.size == 10)
+    // descending total order
+    assert(got.map(_._2) == got.map(_._2).sortBy(-_))
+    // every returned score is the EXACT brute-force cosine for that id
+    val brute = SimilarityOps.cosineTopK(e, 0L, 499)
+      .select("vec_id", "score").as[(Long, Double)]
+      .collect().toMap
+    got.foreach { case (id, s) =>
+      assert(brute(id) == s, s"ivf score for $id diverges from brute") }
+  }
+
   test("centroidOutliers: the anti-aligned vector ranks first") {
     // label 0: three vectors near +x, one pointing -x (the outlier);
     // label 1: a tight pair so its members never beat the outlier.

@@ -379,6 +379,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pass > 0L && pass < docs, s"degenerate gate: $pass/$docs")
   }
 
+  test("assetDedupReport: duplicate payloads counted per kind") {
+    // ids 0/3/6 -> image (two share bytes); id 1 -> audio, unique
+    val df = Seq((0L, "same text"), (3L, "same text"), (6L, "other"),
+      (1L, "x")).toDF("doc_id", "text")
+    val rep = MultimodalOps
+      .assetDedupReport(MultimodalOps.assetsFromDocuments(spark, df))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rep("image") == ((3L, 2L, 1L)), s"$rep")
+    assert(rep("audio") == ((1L, 1L, 0L)), s"$rep")
+  }
+
   test("dsirWeights: target-like docs outweigh off-target ones") {
     val df = Seq(
       (0L, "t", "apple banana cherry apple banana cherry apple banana"),
