@@ -649,6 +649,12 @@ object SparkEntry {
       AnalyticsOps.sequencePack(Tables.documents(s, dir),
         idCol = "doc_id", groupCol = "source", textCol = "text",
         budgetTokens = 8192)),
+    // c9: CURRICULUM packing — c5's shard stream reordered by the t16
+    // classifier score (best docs fill the early shards).
+    "c9_curriculum_pack" -> ((s, dir) =>
+      AnalyticsOps.curriculumPack(Tables.documents(s, dir),
+        idCol = "doc_id", groupCol = "source", textCol = "text",
+        charsCol = "n_chars", budgetTokens = 8192)),
     // c6: GLOBAL packing over the one id-ordered stream — the two-pass
     // distributed prefix sum (range buckets → offset window → join),
     // never a corpus-wide single-partition window.
@@ -2208,6 +2214,42 @@ object SparkEntry {
         |  FROM t)
         |SELECT source, floor((cum - n_tok) / 8192.0)::BIGINT AS shard_id,
         |  count(*) AS n_docs, sum(n_tok)::BIGINT AS shard_tokens
+        |FROM c GROUP BY source, shard_id
+        |ORDER BY source ASC, shard_id ASC""".stripMargin,
+    // c9: t16's score CTE + c5's cumulative window, ordered by
+    // (score DESC, doc_id) — the same exact-long cumsum, different
+    // stream order; per-shard mean in micro-longs.
+    "c9_curriculum_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, n_chars, len(toks) AS n_tok,
+        |    len(list_filter(toks,
+        |      w -> w IN ('the','a','of','and','is','in'))) AS n_stop,
+        |    (SELECT max(cnt) FROM (
+        |       SELECT count(*) AS cnt FROM unnest(toks) AS u(tok)
+        |       GROUP BY tok)) AS max_cnt
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, source, n_tok,
+        |    round(-3.0 + 0.02 * CAST(n_tok AS DOUBLE)
+        |      + 0.35 * ((n_chars - n_tok + 1) / CAST(n_tok AS DOUBLE))
+        |      + 4.0 * (n_stop / CAST(n_tok AS DOUBLE))
+        |      - 3.0 * (max_cnt / CAST(n_tok AS DOUBLE)), 6) AS score
+        |  FROM m),
+        |c AS (
+        |  SELECT source, doc_id, n_tok, score,
+        |    sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s)
+        |SELECT source, floor((cum - n_tok) / 8192.0)::BIGINT
+        |    AS shard_id,
+        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS shard_tokens,
+        |  round(sum(CAST(round(score * 1e6) AS BIGINT)) / 1e6
+        |    / count(*), 6) AS mean_score
         |FROM c GROUP BY source, shard_id
         |ORDER BY source ASC, shard_id ASC""".stripMargin,
     // st5: the custom-state streaming packer reduces to c5's manifest

@@ -373,6 +373,39 @@ object AnalyticsOps {
       .resultSorted(col(groupCol).asc, col("shard_id").asc)
   }
 
+  /** CURRICULUM packing — [[sequencePack]] with the shard stream
+    * ordered by the quality-classifier score (best docs fill the
+    * early shards) instead of ingestion order: the curriculum-
+    * learning data layout, where training consumes shards in
+    * ascending shard_id and therefore descending quality. Same
+    * one-exchange window shape as c5 (the payload dies in the scan;
+    * the exchange carries (group, id, n_tok, score)); the per-shard
+    * mean score — which the spec asserts non-increasing per group —
+    * is summed in exact micro-longs.
+    */
+  def curriculumPack(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, charsCol: String, budgetTokens: Int)
+      : DataFrame = {
+    val scored = TextOps.classifierScores(df, groupCol, col(idCol),
+      textCol, charsCol)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__score").desc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("shard_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) /
+          lit(budgetTokens.toDouble)).cast("long"))
+      .groupBy(col(groupCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("shard_tokens"),
+        sum(col("__micro")).as("__sum"))
+      .select(col(groupCol), col("shard_id"), col("n_docs"),
+        col("shard_tokens"),
+        round(col("__sum").cast("double") / lit(1e6)
+          / col("n_docs").cast("double"), 6).as("mean_score"))
+      .resultSorted(col(groupCol).asc, col("shard_id").asc)
+  }
+
   /** GLOBAL sequence packing — [[sequencePack]]'s single-stream
     * variant, built as the two-pass distributed prefix sum instead of
     * one global ordered window (which would serialize the whole corpus

@@ -550,13 +550,33 @@ object TextOps {
     * grows with N but the scan.
     */
   def classifierGate(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String): DataFrame =
+    classifierScores(df, groupCol, lit(0L), textCol, charsCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__score") >= 0.5, 1L).otherwise(0L))
+          .as("n_pass"),
+        sum(col("__micro")).as("__sum"))
+      .select(col(groupCol), col("n_docs"), col("n_pass"),
+        round(col("__sum").cast("double") / lit(1e6)
+          / col("n_docs").cast("double"), 6).as("avg_score"))
+      .resultSorted(col(groupCol).asc)
+
+  /** Per-doc relation behind [[classifierGate]] and the curriculum
+    * packer: (group, __id, n_tok, __score, __micro) — the 6-dp score
+    * plus its exact micro-long fixing. `idCol` is a Column so the
+    * gate (which needs no id) can pass a constant.
+    */
+  private[operators] def classifierScores(df: DataFrame,
+      groupCol: String, idCol: Column, textCol: String,
       charsCol: String): DataFrame = {
     val m = call_function("graft_token_mode", col(textCol))
-    val base = df.select(col(groupCol),
+    val base = df.select(col(groupCol), idCol.as("__id"),
         col(charsCol).cast("long").as("__nc"), m.as("__m"),
         countIn(tokens(col(textCol)), EnStopwords).cast("long")
           .as("__stop"))
-      .select(col(groupCol),
+      .select(col(groupCol), col("__id"),
+        col("__m.n_tok").cast("long").as("n_tok"),
         col("__m.n_tok").cast("double").as("__nt"),
         col("__m.max_cnt").cast("double").as("__mc"),
         col("__nc"), col("__stop"))
@@ -568,18 +588,10 @@ object TextOps {
         + lit(0.35) * (chars / col("__nt"))
         + lit(4.0) * (col("__stop").cast("double") / col("__nt"))
         - lit(3.0) * (col("__mc") / col("__nt")), 6)
-    base.select(col(groupCol), score.as("__score"))
-      .select(col(groupCol), col("__score"),
-        round(col("__score") * lit(1e6)).cast("long").as("__micro"))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("__score") >= 0.5, 1L).otherwise(0L))
-          .as("n_pass"),
-        sum(col("__micro")).as("__sum"))
-      .select(col(groupCol), col("n_docs"), col("n_pass"),
-        round(col("__sum").cast("double") / lit(1e6)
-          / col("n_docs").cast("double"), 6).as("avg_score"))
-      .resultSorted(col(groupCol).asc)
+    base.select(col(groupCol), col("__id"), col("n_tok"),
+        score.as("__score"))
+      .withColumn("__micro",
+        round(col("__score") * lit(1e6)).cast("long"))
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection

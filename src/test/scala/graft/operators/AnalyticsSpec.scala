@@ -102,6 +102,30 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("curriculumPack: quality-descending shards, conserving") {
+    val corpus = Tables.documents(spark, sfSmoke)
+    val packed = AnalyticsOps.curriculumPack(corpus, "doc_id",
+      "source", "text", "n_chars", budgetTokens = 8192).collect()
+    // conservation: same token total as ingestion-order packing
+    val shardSum = packed.map(_.getLong(3)).sum
+    val tokSum = corpus.select(
+      sum(size(TextOps.tokens(col("text")))).cast("long"))
+      .head.getLong(0)
+    assert(shardSum == tokSum)
+    // the curriculum property: within every source, mean shard score
+    // never increases as shard_id grows
+    packed.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byShard = rows.sortBy(_.getLong(1)).map(_.getDouble(4)).toSeq
+      byShard.zip(byShard.drop(1)).foreach { case (a, b) =>
+        assert(a >= b, s"curriculum violated: $a < $b")
+      }
+    }
+    // deterministic
+    val again = AnalyticsOps.curriculumPack(corpus, "doc_id",
+      "source", "text", "n_chars", budgetTokens = 8192).collect()
+    assert(packed.toSeq == again.toSeq)
+  }
+
   test("sequencePackGlobal: two-pass prefix sum == naive global window") {
     // bucket boundary case: width 2 puts d1,d2 | d3,d4 in different
     // buckets; the offset join must carry d1+d2's total across.
