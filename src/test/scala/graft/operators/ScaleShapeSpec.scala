@@ -45,7 +45,9 @@ class ScaleShapeSpec extends SparkSpec {
       "t13_boilerplate", "t14_gopher_gate", "t15_pair_counts",
       "n16_centroid_outliers", "n17_source_overlap", "c7_split_assign",
       "st5_stream_pack", "n18_semantic_dedup", "t16_classifier_gate",
-      "n19_hashed_embed", "k18_signature_store")
+      "n19_hashed_embed", "k18_signature_store", "t17_dsir_weights",
+      "l8_fts_batch", "n20_trained_ivf", "m4_asset_dedup",
+      "k19_restore", "c9_curriculum_pack")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
