@@ -155,6 +155,14 @@ final class Graft(spark: SparkSession, tableDir: String) {
     Versioned.compact(spark, versionedPath, targetFileBytes,
       partitionCols = Seq("source_name"))
 
+  /** RESTORE — roll the records table back to an earlier refresh
+    * commit (bad upstream batch, operator error) as a new
+    * metadata-only version; the rolled-back history stays
+    * time-travelable. Returns the committed version.
+    */
+  def restoreVersioned(version: Int): Int =
+    Versioned.restore(spark, versionedPath, version)
+
   /** `analytics` — per-source stats, type counts, and the three
     * reference-stubbed analytics (tags/temporal/license)
     * (ethical_crawler.py:1274–1349).

@@ -529,6 +529,38 @@ object DedupOps {
        |ORDER BY bench_id ASC, corpus_id ASC""".stripMargin
   }
 
+  /** Maintenance for the signature store: every [[appendIfNovel]]
+    * leaves one small parquet file per relation per batch, so a
+    * long-running ingest accumulates file debris exactly like a CoW
+    * table between OPTIMIZE runs. Rewrites both relations into
+    * `targetFiles` files (content-identical — the spec holds the
+    * gate's verdicts unchanged across a compaction) with a
+    * write-then-swap so a crash mid-compaction leaves either the old
+    * or the new layout, never a mix. Single-maintainer assumption,
+    * like [[graft.Versioned.vacuum]]: do not run concurrently with a
+    * gate on the same store.
+    */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, targetFiles: Int = 8): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("shingles", "bands").foreach { rel =>
+      val cur = new org.apache.hadoop.fs.Path(s"$root/$rel")
+      val fs = cur.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/${rel}__compacting")
+      val old = new org.apache.hadoop.fs.Path(s"$root/${rel}__old")
+      spark.read.parquet(cur.toString).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.rename(cur, old)
+      fs.rename(tmp, cur)
+      fs.delete(old, true)
+      // the swap happened at the filesystem level, beneath Spark's
+      // file-listing cache — invalidate it or the next gate reads the
+      // pre-compaction listing and hits deleted part files
+      spark.catalog.refreshByPath(cur.toString)
+      ()
+    }
+  }
+
   /** Oracle twin of [[initSignatureStore]] + [[appendIfNovel]] with
     * the batch selected by `doc_id % modulus = 0`: since the store is
     * initialized from the complementary slice and gated once, the

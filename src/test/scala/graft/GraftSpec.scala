@@ -201,5 +201,12 @@ class GraftSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(after == now)
     assert(g.recordsAsOf(0).count() == 2L)
+    // RESTORE: roll back the bad refresh; history keeps everything
+    val v3 = g.restoreVersioned(0)
+    assert(v3 == v2 + 1)
+    val cur = g.recordsAsOf(v3).select("record_id", "title").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cur == before)
+    assert(g.recordsAsOf(1).count() == 3L) // rolled-back v1 travels
   }
 }

@@ -524,6 +524,17 @@ class DedupSimilaritySpec extends SparkSpec {
     val ids2 = spark.read.parquet(s"$root/shingles")
       .select("corpus_id").distinct().as[Long].collect().toSet
     assert(ids2 == ids1)
+    // compaction: file debris collapses, content and verdicts intact
+    def partFiles = new java.io.File(s"$root/shingles").listFiles
+      .count(_.getName.startsWith("part-"))
+    val before = partFiles
+    DedupOps.compactSignatureStore(spark, root, targetFiles = 1)
+    assert(partFiles == 1 && before > 1, s"$before -> $partFiles")
+    assert(spark.read.parquet(s"$root/shingles")
+      .select("corpus_id").distinct().as[Long].collect().toSet == ids1)
+    val r3 = report(DedupOps.appendIfNovel(batch, "doc_id", "source",
+      "text", root, 3))
+    assert(r3 == r2, "gate verdicts must survive compaction")
     // real corpus: the incremental gate equals the full banded
     // recompute (c3's relation) on rejected ids
     val docs = Tables.documents(spark, sfSmoke)
