@@ -278,6 +278,12 @@ object SparkEntry {
     "t16_classifier_gate" -> ((s, dir) =>
       TextOps.classifierGate(Tables.documents(s, dir), "source",
         "text", "n_chars")),
+    // t18: per-source DYNAMIC quality gate — each source gated
+    // against its own p75 score quantile (exact interpolated
+    // percentile, the e2 convention).
+    "t18_quantile_gate" -> ((s, dir) =>
+      TextOps.quantileGate(Tables.documents(s, dir), "source",
+        "text", "n_chars", p = 0.75)),
     // t17: DSIR importance weights — hashed-unigram log-ratio of the
     // %97 target slice vs the raw corpus, add-one smoothed; the only
     // libm call is per BUCKET, fixed into micro-longs before any
@@ -690,6 +696,12 @@ object SparkEntry {
         key = "event_type", idCol = "user_id", valueCol = "value")),
     // e4: the DETERMINISTIC sketch — KMV distinct estimate next to
     // its exact twin, oracle-checkable unlike e3's HLL tier.
+    // e5: sketch MERGEABILITY — per-type KMV sketches merged equal
+    // the direct global sketch; the merged path's global step is
+    // bounded by k·|groups|, the distributed-sketch shape.
+    "e5_kmv_union" -> ((s, dir) =>
+      AnalyticsOps.kmvUnion(Tables.events(s, dir),
+        key = "event_type", idCol = "user_id")),
     "e4_kmv_distinct" -> ((s, dir) =>
       AnalyticsOps.kmvDistinct(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
@@ -1589,6 +1601,37 @@ object SparkEntry {
         |  round(sum(CAST(round(score * 1e6) AS BIGINT)) / 1e6
         |    / count(*), 6) AS avg_score
         |FROM s GROUP BY source ORDER BY source ASC""".stripMargin,
+    // t18: t16's score CTE + a per-source quantile_cont threshold.
+    "t18_quantile_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, n_chars, len(toks) AS n_tok,
+        |    len(list_filter(toks,
+        |      w -> w IN ('the','a','of','and','is','in'))) AS n_stop,
+        |    (SELECT max(cnt) FROM (
+        |       SELECT count(*) AS cnt FROM unnest(toks) AS u(tok)
+        |       GROUP BY tok)) AS max_cnt
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    round(-3.0 + 0.02 * CAST(n_tok AS DOUBLE)
+        |      + 0.35 * ((n_chars - n_tok + 1) / CAST(n_tok AS DOUBLE))
+        |      + 4.0 * (n_stop / CAST(n_tok AS DOUBLE))
+        |      - 3.0 * (max_cnt / CAST(n_tok AS DOUBLE)), 6) AS score
+        |  FROM m),
+        |th AS (
+        |  SELECT source, round(quantile_cont(score, 0.75), 6)
+        |    AS threshold
+        |  FROM s GROUP BY source)
+        |SELECT s.source, count(*) AS n_docs, th.threshold,
+        |  sum(CASE WHEN score > threshold THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_above
+        |FROM s JOIN th USING (source)
+        |GROUP BY s.source, th.threshold
+        |ORDER BY s.source ASC""".stripMargin,
     // t17: the bucket model in SQL — same hash, same smoothing, same
     // micro-unit fixing; totals from the bounded bucket relation.
     "t17_dsir_weights" ->
@@ -1940,6 +1983,39 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.90), 6) AS p90
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC""".stripMargin,
+    // e5: per-type k-minima unioned and re-truncated vs the direct
+    // global k-minima — identical estimates by construction.
+    "e5_kmv_union" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |kmin AS (
+        |  SELECT h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type
+        |                         ORDER BY h ASC) AS rn
+        |    FROM h) WHERE rn <= 256),
+        |mk AS (
+        |  SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+        |    FROM (SELECT DISTINCT h FROM kmin)) WHERE rn <= 256),
+        |ms AS (SELECT count(*) AS n_used, max(h) AS hk FROM mk),
+        |dk AS (
+        |  SELECT h FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h ASC) AS rn
+        |    FROM (SELECT DISTINCT h FROM h)) WHERE rn <= 256),
+        |ds AS (SELECT count(*) AS n_used, max(h) AS hk FROM dk),
+        |ex AS (SELECT count(DISTINCT user_id) AS exact_distinct
+        |  FROM events)
+        |SELECT ex.exact_distinct,
+        |  CAST(round(CASE WHEN ds.n_used < 256 THEN ds.n_used::DOUBLE
+        |    ELSE 255.0 * 1152921504606846976.0 / ds.hk END) AS BIGINT)
+        |    AS kmv_direct,
+        |  CAST(round(CASE WHEN ms.n_used < 256 THEN ms.n_used::DOUBLE
+        |    ELSE 255.0 * 1152921504606846976.0 / ms.hk END) AS BIGINT)
+        |    AS kmv_merged
+        |FROM ex, ds, ms""".stripMargin,
     "e4_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

@@ -335,6 +335,45 @@ object AnalyticsOps {
       .resultSorted(col(key).asc)
   }
 
+  /** KMV MERGEABILITY — the property that makes a sketch distributed:
+    * the union of per-group k-minimum-value sketches, re-truncated to
+    * k, IS the sketch of the union (each group's k-minima contain
+    * every globally-k-smallest hash that lives in that group). Output
+    * is one row (exact_distinct, kmv_direct, kmv_merged): the two
+    * estimates are EQUAL by construction — asserted in the spec and
+    * visible in the result — so merging per-partition/per-day/
+    * per-source sketches loses nothing vs sketching the raw union.
+    *
+    * The merged path is the 100 TB shape: the global ordered step
+    * runs over the k·|groups|-BOUNDED minima relation, never the raw
+    * id stream (the direct path's global window exists here only as
+    * the equality witness).
+    */
+  def kmvUnion(df: DataFrame, key: String, idCol: String,
+      k: Int = 256): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hashes = df.select(col(key), h.as("h")).distinct()
+    val wg = Window.partitionBy(col(key)).orderBy(col("h").asc)
+    val perGroup = hashes
+      .withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= k).select(col("h"))
+    val wAll = Window.partitionBy().orderBy(col("h").asc)
+    def estOf(rel: DataFrame, alias: String): DataFrame =
+      rel.select(col("h")).distinct()
+        .withColumn("__rn", row_number().over(wAll))
+        .filter(col("__rn") <= k)
+        .agg(count(lit(1)).as("n_used"), max(col("h")).as("hk"))
+        .select(round(
+          when(col("n_used") < k, col("n_used").cast("double"))
+            .otherwise(lit((k - 1).toDouble) *
+              lit(1.152921504606846976e18) / col("hk").cast("double")))
+          .cast("long").as(alias))
+    val exact = df.agg(countDistinct(col(idCol)).as("exact_distinct"))
+    exact.crossJoin(estOf(hashes, "kmv_direct"))
+      .crossJoin(estOf(perGroup, "kmv_merged"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards — the concatenate-and-split layout every LLM pre-training
     * export runs (docs are concatenated in a deterministic order and

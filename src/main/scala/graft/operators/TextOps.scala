@@ -594,6 +594,36 @@ object TextOps {
         round(col("__score") * lit(1e6)).cast("long"))
   }
 
+  /** Per-group DYNAMIC quality gate: instead of t16's one global
+    * decision threshold, each group is gated against its own score
+    * quantile (`p`) — the calibrated-per-domain filter real pipelines
+    * use, since a fixed cut that is strict for one source is vacuous
+    * for another. Output: (group, n_docs, threshold, n_above).
+    *
+    * The threshold is Spark's exact interpolated `percentile`
+    * (≡ DuckDB `quantile_cont`, the e2 convention), rounded to 6 dp
+    * before the comparison so both engines gate on the identical
+    * double. Shape: the one-pass score relation, a bounded per-group
+    * aggregate for the thresholds, a broadcast-sized join back, and
+    * a bounded report aggregate.
+    */
+  def quantileGate(df: DataFrame, groupCol: String, textCol: String,
+      charsCol: String, p: Double): DataFrame = {
+    val scored = classifierScores(df, groupCol, lit(0L), textCol,
+      charsCol)
+    val thresh = scored.groupBy(col(groupCol))
+      .agg(round(percentile(col("__score"), lit(p)), 6)
+        .as("threshold"))
+    scored.join(thresh, Seq(groupCol))
+      .groupBy(col(groupCol), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__score") > col("threshold"), 1L)
+          .otherwise(0L)).as("n_above"))
+      .select(col(groupCol), col("n_docs"), col("threshold"),
+        col("n_above"))
+      .resultSorted(col(groupCol).asc)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", reduced to its
     * deterministic core): score each RAW-corpus document by how much

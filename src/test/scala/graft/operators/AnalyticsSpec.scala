@@ -102,6 +102,16 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kmvUnion: merged per-group sketch equals the direct sketch") {
+    val ev = Tables.events(spark, sfSmoke)
+    val row = AnalyticsOps.kmvUnion(ev, "event_type", "user_id").head()
+    assert(row.getLong(1) == row.getLong(2),
+      "mergeability: union-of-sketches must equal sketch-of-union")
+    val exact = row.getLong(0).toDouble
+    assert(math.abs(row.getLong(1) - exact) / exact < 0.2,
+      s"estimate off: $row")
+  }
+
   test("curriculumPack: quality-descending shards, conserving") {
     val corpus = Tables.documents(spark, sfSmoke)
     val packed = AnalyticsOps.curriculumPack(corpus, "doc_id",

@@ -392,6 +392,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rep("audio") == ((1L, 1L, 0L)), s"$rep")
   }
 
+  test("quantileGate: per-source p75 cut passes roughly a quarter") {
+    val corpus = Tables.documents(spark, sfSmoke)
+    def run() = TextOps.quantileGate(corpus, "source", "text",
+      "n_chars", 0.75).collect().toSeq
+    val out = run()
+    assert(out == run() && out.nonEmpty)
+    out.foreach { r =>
+      val (n, above) = (r.getLong(1), r.getLong(3))
+      // strictly-above an interpolated p75: ~25%, ties only shrink it
+      assert(above <= math.ceil(n * 0.30).toLong && above >= 1L,
+        s"p75 gate out of band: $r")
+    }
+    // thresholds are per-source, not one global cut
+    assert(out.map(_.getDouble(2)).distinct.size > 1)
+  }
+
   test("dsirWeights: target-like docs outweigh off-target ones") {
     val df = Seq(
       (0L, "t", "apple banana cherry apple banana cherry apple banana"),
