@@ -340,6 +340,13 @@ object SparkEntry {
       FtsOps.searchBm25Docs(Tables.documents(s, dir), "doc_id",
         "text", terms = Seq("batch", "dup"), k = 50)),
 
+    // l9: HYBRID retrieval — BM25 lexical candidates fused with dense
+    // cosine candidates by reciprocal-rank fusion (rank-based, no
+    // cross-tower score calibration needed).
+    "l9_hybrid_rrf" -> ((s, dir) =>
+      FtsOps.hybridRrf(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), "doc_id", "text",
+        terms = Seq("batch", "dup"), queryId = 0L, n = 50, k = 10)),
     // l8: BATCH BM25 serving — the FTS analogue of n10's batch IVF:
     // one shared plan answers the whole query set; per-query top-k
     // through the TopKPerKey rank-filter rewrite.
@@ -1839,6 +1846,56 @@ object SparkEntry {
     "l8_fts_batch" ->
       operators.FtsOps.searchBm25BatchSql("documents", "doc_id",
         "text", BatchFtsQueries, 10),
+    // l9: the two towers' own SQL (BM25 CTEs + the n1 cosine CTEs),
+    // ranked with the same (score DESC, id ASC) total order, fused
+    // by 1/(60+rank) in the same two-term order.
+    "l9_hybrid_rrf" ->
+      """WITH idx AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |      AS token
+        |    FROM documents)
+        |  WHERE token <> '' GROUP BY token, doc_id),
+        |lens AS (SELECT doc_id,
+        |    len(string_split(lower(text), ' '))::DOUBLE AS len
+        |  FROM documents),
+        |pl AS (SELECT * FROM idx WHERE token IN ('batch', 'dup')),
+        |dfs AS (SELECT token, count(*) AS df FROM pl GROUP BY token),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avgdl
+        |  FROM lens),
+        |tscored AS (
+        |  SELECT doc_id,
+        |    round(sum(ln(n_docs / df) * (tf * (1.2 + 1)) /
+        |      (tf + 1.2 * ((1 - 0.75) + 0.75 * len / avgdl))), 6)
+        |      AS score
+        |  FROM pl JOIN dfs USING (token) JOIN lens USING (doc_id)
+        |    CROSS JOIN stats
+        |  GROUP BY doc_id),
+        |tt AS (
+        |  SELECT doc_id, rank_t FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY score DESC, doc_id ASC) AS rank_t
+        |    FROM tscored) WHERE rank_t <= 50),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |vscored AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_dot_product(v, qv) /
+        |      (sqrt(list_dot_product(v, v)) *
+        |       sqrt(list_dot_product(qv, qv))), 6) AS score
+        |  FROM e, q WHERE vec_id <> 0),
+        |vv AS (
+        |  SELECT doc_id, rank_v FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY score DESC, doc_id ASC) AS rank_v
+        |    FROM vscored) WHERE rank_v <= 50)
+        |SELECT coalesce(tt.doc_id, vv.doc_id) AS doc_id,
+        |  round(coalesce(1.0 / (60 + rank_t), 0.0)
+        |      + coalesce(1.0 / (60 + rank_v), 0.0), 6) AS rrf
+        |FROM tt FULL OUTER JOIN vv ON tt.doc_id = vv.doc_id
+        |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
     "a5_filtered_agg" ->
       """SELECT source, count(*) AS n_docs,
         |  round(avg(n_chars), 6) AS avg_chars

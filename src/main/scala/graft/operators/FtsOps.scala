@@ -257,6 +257,43 @@ object FtsOps {
        |ORDER BY query_id ASC, score DESC, $idCol ASC""".stripMargin
   }
 
+  /** HYBRID retrieval with reciprocal-rank fusion — the modern
+    * two-tower serving shape: lexical candidates (BM25 over the
+    * inverted index) and dense candidates (cosine over the embedding
+    * table) are fused by RRF, `score(d) = Σ_lists 1/(rrfK + rank_d)`
+    * — rank-based, so the two lists' incomparable score scales never
+    * need calibration. Deterministic end to end: both ranks break
+    * ties on the id, the fusion is a two-term double sum in fixed
+    * order, rounded 6 dp.
+    *
+    * Shape: each tower is its already-audited plan (pruned postings
+    * aggregate; one scan + broadcast query vector); the fusion is a
+    * full-outer join of two ≤n-row relations and a top-k — serving
+    * cost is the towers, the fusion is noise.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], queryId: Long, n: Int,
+      k: Int, rrfK: Int = 60): DataFrame = {
+    val wScore = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol).asc)
+    val lexical = searchBm25Docs(docs, idCol, textCol, terms, n)
+      .withColumn("rank_t", row_number().over(wScore))
+      .select(col(idCol), col("rank_t"))
+    val wVec = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val dense = SimilarityOps.cosineTopK(embeddings, queryId, n)
+      .withColumn("rank_v", row_number().over(wVec))
+      .select(col("vec_id").as(idCol), col("rank_v"))
+    lexical.join(dense, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_t")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("rank_v")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Persist the inverted index AT REST, bucketed (and sorted) by
     * token: the corpus scan is paid once here; afterwards a term
     * lookup hash-routes to ⌈|terms|⌉ of `buckets` files instead of

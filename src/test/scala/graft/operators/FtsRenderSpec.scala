@@ -142,6 +142,27 @@ class FtsRenderSpec extends SparkSpec {
     }
   }
 
+  test("hybrid rrf: deterministic, bounded scores, fusion arithmetic") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val emb = Tables.embeddings(spark, sfSmoke)
+    def run() = FtsOps.hybridRrf(docs, emb, "doc_id", "text",
+      Seq("batch", "dup"), 0L, n = 50, k = 10).collect().toSeq
+    val a = run()
+    assert(a == run() && a.size == 10)
+    val scores = a.map(_.getDouble(1))
+    assert(scores == scores.sortBy(-_))
+    // one-tower max is 1/61; both-towers max is 2/61
+    scores.foreach(s => assert(s > 0 && s <= 2.0 / 61 + 1e-9, s"$s"))
+    // the top fused doc must carry contributions consistent with RRF:
+    // every score is expressible as 1/(60+i) [+ 1/(60+j)] for ranks
+    // i, j ≤ 50
+    val legal = (for {
+      i <- 1 to 50; j <- 1 to 50
+    } yield math.round((1.0 / (60 + i) + 1.0 / (60 + j)) * 1e6) / 1e6)
+      .toSet ++ (1 to 50).map(i => math.round(1.0 / (60 + i) * 1e6) / 1e6)
+    scores.foreach(s => assert(legal.contains(s), s"illegal rrf $s"))
+  }
+
   test("S3 — DataFrame registration scan via temp view") {
     val ds = spark.createDataFrame(Seq((1L, "a"), (2L, "b")))
       .toDF("id", "v")
