@@ -176,6 +176,20 @@ object SparkEntry {
         queryMod = 73, k = 5, stride = 50, nSub = 4, nProbe = 3)),
     "r1_salted_counts" -> ((s, dir) =>
       SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
+    // r2: the bucketized temporal RANGE join promoted to the oracle
+    // gate — per-user 10-minute forward window as an EQUI-join on
+    // (key, time bucket), never a per-key cross product; rolled up
+    // per initiating event type (self-pairs included — the window is
+    // closed on the left).
+    "r2_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      SkewOps.rangeJoinBucketed(ev,
+          ev.select(col("user_id"), col("ts")),
+          "user_id", "ts", windowMillis = 600000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .resultSorted(col("event_type").asc)
+    }),
 
     // ---- north-star: content dedup over documents ----
     "n2_exact_dedup" -> ((s, dir) => {
@@ -1067,6 +1081,14 @@ object SparkEntry {
     "r1_salted_counts" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, event_type ASC""".stripMargin,
+    // r2: the oracle states the range semantics as the plain theta
+    // join the bucketized equi-join must equal exactly.
+    "r2_range_join" ->
+      """SELECT l.event_type, count(*) AS n_pairs
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts
+        |  AND epoch_ms(r.ts) < epoch_ms(l.ts) + 600000
+        |GROUP BY l.event_type ORDER BY l.event_type ASC""".stripMargin,
     "n8_ivf_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v
