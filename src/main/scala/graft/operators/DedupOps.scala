@@ -462,17 +462,34 @@ object DedupOps {
     // would silently recompute the gate against the GROWN store and
     // reject the batch's own novel docs. Checkpointing materializes
     // the verdict against the pre-append snapshot and severs lineage.
+    // Identity candidates (bench_id == corpus_id) mean this exact doc
+    // id is ALREADY in the store — a replayed batch after a failure.
+    // They auto-reject regardless of `minShared`: a doc with fewer
+    // than minShared shingles can never reach shared >= minShared even
+    // against its own earlier copy, and without this rule a replay
+    // would re-append it, duplicating store rows. (Identity candidates
+    // are guaranteed for any stored doc with >= 1 shingle, since its
+    // replayed signature matches every band of its stored copy.)
     val rejected = saC.join(sbC, Seq("x"))
       .groupBy(col("bench_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared"))
       .join(cand, Seq("bench_id", "corpus_id"), "left_semi")
       .filter(col("shared") >= minShared)
-      .select(col("bench_id")).distinct().localCheckpoint()
+      .select(col("bench_id"))
+      .union(cand.filter(col("bench_id") === col("corpus_id"))
+        .select(col("bench_id")))
+      .distinct().localCheckpoint()
     val novelSh = sa.join(rejected, Seq("bench_id"), "left_anti")
       .select(col("bench_id").as("corpus_id"), col("x"))
     novelSh.write.mode("append").parquet(s"$root/shingles")
     bandRelation(minhashSignatures(novelSh, "corpus_id"), "corpus_id")
       .write.mode("append").parquet(s"$root/bands")
+    // both appends are materialized above; the report below depends
+    // only on `docs` + the checkpointed verdict — release the cached
+    // relations so a long-running per-batch caller (signatureGateSink)
+    // doesn't accumulate executor storage until LRU eviction
+    sa.unpersist()
+    cand.unpersist()
     docs.select(col(idCol), col(srcCol))
       .join(rejected, col(idCol) === col("bench_id"), "left")
       .groupBy(col(srcCol))
@@ -548,6 +565,15 @@ object DedupOps {
       val fs = cur.getFileSystem(conf)
       val tmp = new org.apache.hadoop.fs.Path(s"$root/${rel}__compacting")
       val old = new org.apache.hadoop.fs.Path(s"$root/${rel}__old")
+      // Recovery preamble: a crash between the two renames below
+      // leaves no live directory at `cur` with the pre-compaction
+      // data parked at `__old` — roll it back before proceeding.
+      // Stale `__old` (crash before its delete) and `__compacting`
+      // (crash before the first rename) are never the live copy and
+      // are safe to clear unconditionally.
+      if (!fs.exists(cur) && fs.exists(old)) { fs.rename(old, cur); () }
+      if (fs.exists(old)) { fs.delete(old, true); () }
+      if (fs.exists(tmp)) { fs.delete(tmp, true); () }
       spark.read.parquet(cur.toString).coalesce(targetFiles)
         .write.mode("overwrite").parquet(tmp.toString)
       fs.rename(cur, old)

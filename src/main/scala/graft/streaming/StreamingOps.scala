@@ -370,10 +370,14 @@ object StreamingOps {
     * the batch pipeline.
     *
     * Replaying a batch after a failure re-gates rows that are now IN
-    * the store — every row rejects against its own earlier append —
-    * so the store content is idempotent per batch (the k18 spec's
-    * re-append property, now doing exactly-once duty for the
-    * at-least-once file source).
+    * the store — every row rejects against its own earlier append:
+    * long docs via the shared-shingle threshold, short docs (fewer
+    * than `minShared` shingles, which can never reach the threshold
+    * even against their own copy) via the gate's identity auto-reject
+    * (bench_id == corpus_id candidate ⇒ already stored) — so the
+    * store content is idempotent per batch (the k18 spec's re-append
+    * property, now doing exactly-once duty for the at-least-once file
+    * source).
     */
   def signatureGateSink(stream: DataFrame, spark: SparkSession,
       root: String, idCol: String, srcCol: String, textCol: String,

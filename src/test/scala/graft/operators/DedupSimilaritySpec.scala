@@ -560,6 +560,61 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rep.map(_.getLong(2)).sum == expectRejected)
   }
 
+  test("signature store: compaction recovers from a crashed swap") {
+    val root = java.nio.file.Files.createTempDirectory("sigstore3")
+      .toString + "/store"
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "s1", "completely different text about unrelated matters"))
+      .toDF("doc_id", "source", "text")
+    DedupOps.initSignatureStore(docs, "doc_id", "text", root,
+      Int.MaxValue)
+    val ids = spark.read.parquet(s"$root/shingles")
+      .select("corpus_id").distinct().as[Long].collect().toSet
+    // Simulate the worst crash window (between rename(cur, old) and
+    // rename(tmp, cur)): live dir missing, data parked at __old, a
+    // stale __compacting present.
+    import java.nio.file.{Files, Paths}
+    Seq("shingles", "bands").foreach { rel =>
+      Files.move(Paths.get(s"$root/$rel"), Paths.get(s"$root/${rel}__old"))
+      Files.createDirectory(Paths.get(s"$root/${rel}__compacting"))
+      Files.write(Paths.get(s"$root/${rel}__compacting/garbage"),
+        Array[Byte](1, 2, 3))
+    }
+    // the recovery preamble must roll __old back and clear debris
+    DedupOps.compactSignatureStore(spark, root, targetFiles = 1)
+    Seq("shingles", "bands").foreach { rel =>
+      assert(Files.exists(Paths.get(s"$root/$rel")), rel)
+      assert(!Files.exists(Paths.get(s"$root/${rel}__old")), rel)
+      assert(!Files.exists(Paths.get(s"$root/${rel}__compacting")), rel)
+    }
+    assert(spark.read.parquet(s"$root/shingles")
+      .select("corpus_id").distinct().as[Long].collect().toSet == ids)
+  }
+
+  test("signature store: short-doc replay rejects via identity") {
+    // doc 20 yields 2 shingles (4 tokens, n=3) < minShared=3: without
+    // the identity auto-reject a replay re-appends it forever
+    val root = java.nio.file.Files.createTempDirectory("sigstore4")
+      .toString + "/store"
+    DedupOps.initSignatureStore(
+      Seq((1L, "s1", "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "source", "text"),
+      "doc_id", "text", root, Int.MaxValue)
+    val batch = Seq((20L, "sA", "tiny short doc here"))
+      .toDF("doc_id", "source", "text")
+    def run() = DedupOps.appendIfNovel(batch, "doc_id", "source",
+      "text", root, minShared = 3)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(run() == (("sA", 1L, 0L, 1L))) // novel on first sight
+    val rows1 = spark.read.parquet(s"$root/shingles")
+      .filter(col("corpus_id") === 20L).count()
+    assert(run() == (("sA", 1L, 1L, 0L))) // replay rejects
+    val rows2 = spark.read.parquet(s"$root/shingles")
+      .filter(col("corpus_id") === 20L).count()
+    assert(rows2 == rows1, s"store rows duplicated: $rows1 -> $rows2")
+  }
+
   test("hashedEmbedTopK: an exact copy of the query doc scores 1.0") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon"),
