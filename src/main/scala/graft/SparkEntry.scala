@@ -174,6 +174,20 @@ object SparkEntry {
     "n15_ivfpq_batch" -> ((s, dir) =>
       SimilarityOps.ivfPqTopKBatch(Tables.embeddings(s, dir),
         queryMod = 73, k = 5, stride = 50, nSub = 4, nProbe = 3)),
+    // n21: the SAME batch served from the PERSISTED index — the
+    // assignment/codes/codebooks are read from Versioned tables, the
+    // corpus embeddings are never touched at query time (only the
+    // query vectors are). Same oracle as n15: stored-index serving
+    // must equal the recompute path bit-for-bit.
+    "n21_stored_ivfpq" -> ((s, dir) => {
+      val root = vectorIndexRoot(s, dir)
+      val qs = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 73 === 0)
+        .select(col("vec_id").as("query_id"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+            .as("qv"))
+      VectorIndexOps.servedIvfPqBatch(s, root, qs, k = 5, nProbe = 3)
+    }),
     "r1_salted_counts" -> ((s, dir) =>
       SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
     // r2: the bucketized temporal RANGE join promoted to the oracle
@@ -287,6 +301,11 @@ object SparkEntry {
     // statistic; top-50 pairs with a total-order tiebreak.
     "t15_pair_counts" -> ((s, dir) =>
       TextOps.pairCounts(Tables.documents(s, dir), "text", 50)),
+    // t19: the BPE induction LOOP closed — 3 fixed merge iterations
+    // (count pairs, adopt the top merge, rewrite, re-count); the
+    // chosen merge table per iteration, oracle-replayed in DuckDB.
+    "t19_bpe_loop" -> ((s, dir) =>
+      TextOps.bpeMergeLoop(Tables.documents(s, dir), "text", 3)),
     // t16: linear quality-classifier gate — soft-margin scoring over
     // t14's structural features; per-source docs/passes/mean score.
     "t16_classifier_gate" -> ((s, dir) =>
@@ -910,6 +929,20 @@ object SparkEntry {
   private def prunedMergeTable(s: SparkSession, dir: String): DataFrame =
     Versioned.current(s, prunedMergeRoot(s, dir))
 
+  /** n21 fixture: the TRAINED IVF-PQ index persisted as Versioned
+    * tables (n15's codebook convention: stride 50, 4 subspaces).
+    * Cached: serving queries from a committed index is the steady
+    * state — init is the offline training job (its write path is
+    * exercised/timed by VectorIndexSpec and the k10/k18 tier).
+    */
+  private def vectorIndexRoot(s: SparkSession, dir: String): String =
+    versionedFixtures.computeIfAbsent((s, dir, "vecindex"), _ => {
+      val r = tempTableRoot("graft_vecindex") + "/index"
+      VectorIndexOps.initVectorIndex(
+        Tables.embeddings(s, dir), r, stride = 50, nSub = 4)
+      r
+    })
+
   /** k17 fixture: the merged-docs table SHALLOW-CLONED (metadata-only
     * manifest referencing the source's files), then diverged by a
     * MERGE into the clone only. The query reads both tables side by
@@ -991,6 +1024,74 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT b.* FROM base b LEFT JOIN upd u ON b.doc_id = u.doc_id
       |  WHERE u.doc_id IS NULL)""".stripMargin
+
+  /** Shared by n15 (recompute) and n21 (stored-index serving): the
+    * stored index must reproduce the recompute path exactly, so both
+    * gates hold against the one SQL.
+    */
+  private val IvfPqBatchOracleSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM e),
+      |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+      |  FROM n WHERE vec_id % 50 = 0),
+      |assignment AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT a.vec_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_dot_product(a.v, c.cv) /
+      |                       (a.nrm * c.cnrm), 6) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM n a CROSS JOIN cents c) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+      |  FROM n WHERE vec_id % 73 = 0),
+      |probed AS (
+      |  SELECT query_id, centroid_id FROM (
+      |    SELECT q.query_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_dot_product(c.cv, q.qv) /
+      |                       (c.cnrm * q.qnrm), 6) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM qs q CROSS JOIN cents c) WHERE rn <= 3),
+      |sub(s) AS (VALUES (0), (1), (2), (3)),
+      |vs AS (SELECT vec_id, s,
+      |    list_slice(v, s*16 + 1, s*16 + 16) AS vs
+      |  FROM e, sub),
+      |cb AS (SELECT vec_id AS cid, s,
+      |    list_slice(v, s*16 + 1, s*16 + 16) AS cs
+      |  FROM e, sub WHERE vec_id % 50 = 0),
+      |codes AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT v.vec_id, v.s, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id, v.s
+      |        ORDER BY round(list_dot_product(c.cs, c.cs)
+      |          - 2 * list_dot_product(v.vs, c.cs), 6) ASC,
+      |          c.cid ASC) AS rn
+      |    FROM vs v JOIN cb c USING (s)) WHERE rn = 1),
+      |qsl AS (SELECT vec_id AS query_id, s, vs AS qsl
+      |  FROM vs WHERE vec_id % 73 = 0),
+      |lut AS (SELECT q.query_id, c.s, c.cid,
+      |    round(list_dot_product(q.qsl, c.cs), 6) AS contrib
+      |  FROM cb c JOIN qsl q USING (s)),
+      |cand AS (
+      |  SELECT query_id, vec_id
+      |  FROM assignment JOIN probed USING (centroid_id)
+      |  WHERE vec_id <> query_id),
+      |scored AS (
+      |  SELECT ca.query_id, ca.vec_id,
+      |    round(sum(l.contrib), 6) AS score
+      |  FROM cand ca JOIN codes co USING (vec_id)
+      |    JOIN lut l ON l.query_id = ca.query_id
+      |      AND l.s = co.s AND l.cid = co.cid
+      |  GROUP BY ca.query_id, ca.vec_id),
+      |r AS (SELECT query_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, vec_id ASC) AS rn
+      |  FROM scored)
+      |SELECT query_id, vec_id, score FROM r WHERE rn <= 5
+      |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // n6_ann_lsh_topk and e3_sketch_profile intentionally omitted:
@@ -1152,69 +1253,11 @@ object SparkEntry {
         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
     // n15: IVFPQ = n10's coarse probe CTEs + n14's codes/LUT CTEs,
     // with the LUT keyed per query; scores only over IVF candidates.
-    "n15_ivfpq_batch" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-        |  FROM e),
-        |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-        |  FROM n WHERE vec_id % 50 = 0),
-        |assignment AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT a.vec_id, c.centroid_id,
-        |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY round(list_dot_product(a.v, c.cv) /
-        |                       (a.nrm * c.cnrm), 6) DESC,
-        |                 c.centroid_id ASC) AS rn
-        |    FROM n a CROSS JOIN cents c) WHERE rn = 1),
-        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
-        |  FROM n WHERE vec_id % 73 = 0),
-        |probed AS (
-        |  SELECT query_id, centroid_id FROM (
-        |    SELECT q.query_id, c.centroid_id,
-        |      row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY round(list_dot_product(c.cv, q.qv) /
-        |                       (c.cnrm * q.qnrm), 6) DESC,
-        |                 c.centroid_id ASC) AS rn
-        |    FROM qs q CROSS JOIN cents c) WHERE rn <= 3),
-        |sub(s) AS (VALUES (0), (1), (2), (3)),
-        |vs AS (SELECT vec_id, s,
-        |    list_slice(v, s*16 + 1, s*16 + 16) AS vs
-        |  FROM e, sub),
-        |cb AS (SELECT vec_id AS cid, s,
-        |    list_slice(v, s*16 + 1, s*16 + 16) AS cs
-        |  FROM e, sub WHERE vec_id % 50 = 0),
-        |codes AS (
-        |  SELECT vec_id, s, cid FROM (
-        |    SELECT v.vec_id, v.s, c.cid,
-        |      row_number() OVER (PARTITION BY v.vec_id, v.s
-        |        ORDER BY round(list_dot_product(c.cs, c.cs)
-        |          - 2 * list_dot_product(v.vs, c.cs), 6) ASC,
-        |          c.cid ASC) AS rn
-        |    FROM vs v JOIN cb c USING (s)) WHERE rn = 1),
-        |qsl AS (SELECT vec_id AS query_id, s, vs AS qsl
-        |  FROM vs WHERE vec_id % 73 = 0),
-        |lut AS (SELECT q.query_id, c.s, c.cid,
-        |    round(list_dot_product(q.qsl, c.cs), 6) AS contrib
-        |  FROM cb c JOIN qsl q USING (s)),
-        |cand AS (
-        |  SELECT query_id, vec_id
-        |  FROM assignment JOIN probed USING (centroid_id)
-        |  WHERE vec_id <> query_id),
-        |scored AS (
-        |  SELECT ca.query_id, ca.vec_id,
-        |    round(sum(l.contrib), 6) AS score
-        |  FROM cand ca JOIN codes co USING (vec_id)
-        |    JOIN lut l ON l.query_id = ca.query_id
-        |      AND l.s = co.s AND l.cid = co.cid
-        |  GROUP BY ca.query_id, ca.vec_id),
-        |r AS (SELECT query_id, vec_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, vec_id ASC) AS rn
-        |  FROM scored)
-        |SELECT query_id, vec_id, score FROM r WHERE rn <= 5
-        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
+    "n15_ivfpq_batch" -> IvfPqBatchOracleSql,
+    // n21: serving from the persisted index must produce the exact
+    // recompute result — the oracle IS n15's (same codebook
+    // convention, same batch, same ADC arithmetic).
+    "n21_stored_ivfpq" -> IvfPqBatchOracleSql,
     // n16: label centroids with the same 6-dp-rounded per-dim means
     // as n13, lowest cosine-to-own-centroid first.
     "n16_centroid_outliers" ->
@@ -1693,6 +1736,11 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs,
         |  round(sum(wmicro) / 1e6 / count(*), 6) AS mean_weight
         |FROM dw GROUP BY source ORDER BY source ASC""".stripMargin,
+    // t19: the BPE loop replayed — same fixed iterations, same
+    // double-replace greedy rewrite (DuckDB's replace shares the
+    // non-overlapping left-to-right scan).
+    "t19_bpe_loop" ->
+      graft.operators.TextOps.bpeMergeLoopSql("documents", "text", 3),
     // t15: pairs via list_zip of the two offset slices — the same
     // shifted-self zip the Spark side builds with slice + zip_with.
     "t15_pair_counts" ->

@@ -18,9 +18,16 @@ object TimeQuery {
       (System.nanoTime() - c0) / 1e9
     }.min
     println(f"[time] calib=$calib%.3f")
+    // SPARK_GRAFT_CLEARCACHE=1: drop all cached relations before each
+    // rep — measures the COLD-cache warm-JIT time, which is what a
+    // query pays inside a large bench suite (earlier queries' cached
+    // blocks evict this query's between-rep cache) and on any fresh
+    // cluster run. Default keeps the historical warm-cache behavior.
+    val clearCache = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("1")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val times = (1 to reps).map { _ =>
+        if (clearCache) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -295,8 +295,19 @@ object DedupOps {
     // broadcast blacklist (no exchange of the main relation).
     val raw = hashedShingles(df, idCol, textCol, n).cache()
     val sh = capShingleDfBlacklist(raw, maxDf)
-    val sigs = minhashSignatures(sh, idCol)
-    val bands = bandRelation(sigs, idCol)
+    // Signatures and per-doc shingle counts come out of ONE groupBy —
+    // a separate `sizes` aggregation would re-shuffle the full shingle
+    // relation on the same doc-id key (the aggregates differ, so
+    // ReuseExchange can't merge the two plans). One row per doc, 17
+    // columns: small enough that both consumers (bands, sizes) read a
+    // cached relation instead of re-aggregating.
+    val sigsSized = {
+      val aggs = MinhashSeeds.zipWithIndex.map { case ((a, b), i) =>
+        min(minhashExpr(col("x"), a, b)).as(s"h$i")
+      } :+ count(lit(1)).as("n_sh")
+      sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    }.cache()
+    val bands = bandRelation(sigsSized, idCol)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
@@ -311,7 +322,7 @@ object DedupOps {
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol)))
       .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val sizes = sigsSized.select(col(idCol), col("n_sh"))
     val shCand = sh.join(candIds, Seq(idCol), "left_semi")
       .join(sizes, Seq(idCol)) // sizes attached pre-join (see n3)
     val inter = pairCounts(shCand, idCol)

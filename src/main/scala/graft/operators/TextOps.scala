@@ -720,4 +720,107 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** BPE VOCABULARY INDUCTION, `iters` fixed merge steps — the loop
+    * [[pairCounts]] is one step of: count adjacent pairs, adopt the
+    * most frequent pair as a merge (ties broken by pair string, so the
+    * choice is total-ordered), rewrite the corpus with the merged
+    * token, re-count. Returns one row per iteration: (iter, pair,
+    * cnt), where cnt is the pair's frequency in the corpus AS OF that
+    * iteration (i.e. after the previous merges were applied).
+    *
+    * The merge is applied with greedy left-to-right semantics — the
+    * standard BPE apply — via two literal `replace` passes over the
+    * space-wrapped text: a match consumes its flanking spaces, so the
+    * first pass takes the 1st, 3rd, 5th… occurrence of any
+    * consecutive run and the second pass takes the leftovers (each
+    * now space-flanked again, and never adjacent to another
+    * leftover). Two passes are exact: `" a b a b "` → `" a_b a b "` →
+    * `" a_b a_b "`, while overlapping runs like `" a a a "` correctly
+    * merge only the leading pair. DuckDB's `replace` has identical
+    * non-overlapping left-to-right semantics, so the oracle replays
+    * the loop verbatim.
+    *
+    * Scale shape: each iteration is ONE corpus scan + the t15
+    * map-side-combined pair aggregate; the chosen merge is a 1-row
+    * relation, eagerly checkpointed (it gates every later iteration —
+    * without severing lineage, iteration i would re-run every earlier
+    * aggregate) and broadcast back into the rewrite expression. Corpus
+    * text is rewritten in-flight (never materialized), so the loop
+    * costs `iters` scans and `iters` tiny shuffles at any scale.
+    */
+  def bpeMergeLoop(df: DataFrame, textCol: String, iters: Int = 3)
+      : DataFrame = {
+    // canonical form: single-spaced tokens wrapped in one sentinel
+    // space each side, so every token is space-flanked for `replace`
+    var cur = df.select(
+      concat(lit(" "), col(textCol), lit(" ")).as("t"))
+    var merges: Seq[DataFrame] = Nil
+    for (i <- 1 to iters) {
+      val toks = tokens(trim(col("t")))
+      val n = size(toks)
+      val pairs = zip_with(
+        slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val top = cur.select(explode(pairs).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .select(
+          element_at(split(col("pair"), " "), 1).as("pa"),
+          element_at(split(col("pair"), " "), 2).as("pb"),
+          col("cnt"))
+        .localCheckpoint() // 1 row, eager: severs the iteration chain
+      merges = merges :+ top.select(lit(i).as("iter"),
+        concat(col("pa"), lit(" "), col("pb")).as("pair"), col("cnt"))
+      if (i < iters) {
+        val pat = concat(lit(" "), col("pa"), lit(" "), col("pb"),
+          lit(" "))
+        val rep = concat(lit(" "), col("pa"), lit("_"), col("pb"),
+          lit(" "))
+        cur = cur.crossJoin(broadcast(top))
+          .select(replace(replace(col("t"), pat, rep), pat, rep)
+            .as("t"))
+      }
+    }
+    merges.reduce(_.union(_)).resultSorted(col("iter").asc)
+  }
+
+  /** Oracle twin of [[bpeMergeLoop]]: the same fixed iterations as
+    * chained CTEs — DuckDB's `replace` shares the non-overlapping
+    * left-to-right scan, so the double-replace rewrite is replayed
+    * exactly.
+    */
+  def bpeMergeLoopSql(table: String, textCol: String,
+      iters: Int = 3): String = {
+    def countCte(src: String): String =
+      s"""SELECT string_split(pair, ' ')[1] AS pa,
+         |       string_split(pair, ' ')[2] AS pb, cnt
+         |FROM (
+         |  SELECT z[1] || ' ' || z[2] AS pair, count(*) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_zip(toks[1:len(toks)-1],
+         |                           toks[2:len(toks)])) AS z
+         |    FROM (SELECT string_split(trim(t), ' ') AS toks
+         |          FROM $src))
+         |  GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)""".stripMargin
+    val ctes = new StringBuilder(
+      s"WITH d1 AS (SELECT ' ' || $textCol || ' ' AS t FROM $table)")
+    (1 to iters).foreach { i =>
+      ctes ++= s",\np$i AS (\n${countCte(s"d$i")})"
+      if (i < iters)
+        ctes ++=
+          s""",
+             |d${i + 1} AS (
+             |  SELECT replace(replace(t,
+             |      ' '||pa||' '||pb||' ', ' '||pa||'_'||pb||' '),
+             |      ' '||pa||' '||pb||' ', ' '||pa||'_'||pb||' ') AS t
+             |  FROM d$i CROSS JOIN p$i)""".stripMargin
+    }
+    val sel = (1 to iters).map { i =>
+      s"SELECT $i AS iter, pa || ' ' || pb AS pair, cnt FROM p$i"
+    }.mkString("\nUNION ALL ")
+    s"$ctes\n$sel\nORDER BY iter ASC"
+  }
 }

@@ -48,7 +48,8 @@ class ScaleShapeSpec extends SparkSpec {
       "n19_hashed_embed", "k18_signature_store", "t17_dsir_weights",
       "l8_fts_batch", "n20_trained_ivf", "m4_asset_dedup",
       "k19_restore", "c9_curriculum_pack", "t18_quantile_gate",
-      "e5_kmv_union", "l9_hybrid_rrf", "r2_range_join")
+      "e5_kmv_union", "l9_hybrid_rrf", "r2_range_join",
+      "t19_bpe_loop", "n21_stored_ivfpq")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),

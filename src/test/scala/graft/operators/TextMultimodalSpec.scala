@@ -443,4 +443,36 @@ class TextMultimodalSpec extends SparkSpec {
     assert(a == TextOps.pairCounts(corpus, "text", 50).collect().toSeq)
     assert(a.size == 50)
   }
+
+  test("bpeMergeLoop: merges apply greedily; later counts see them") {
+    // iter 1: "a b" wins (4 occurrences, incl. back-to-back). After
+    // the merge, doc1 = "a_b a_b c", doc2 = "a_b c" -> iter 2 top is
+    // ("a_b c", 2): the rewrite happened BEFORE the recount, and the
+    // back-to-back occurrences both merged (the double-replace greedy
+    // pass). iter 3 then merges "a_b_c x" (1) by the pair tiebreak.
+    val df = Seq("a b a b c x", "a b c", "z z").toDF("text")
+    val out = TextOps.bpeMergeLoop(df, "text", 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out(0) == ((1, "a b", 3L)), s"$out")
+    assert(out(1) == ((2, "a_b c", 2L)),
+      s"rewrite precedes recount; back-to-back 'a b a b' both merge: $out")
+    assert(out(2) == ((3, "a_b a_b_c", 1L)), s"tiebreak: $out")
+    // overlapping run "z z z": counting sees BOTH adjacent pairs
+    // (standard BPE statistics), but the greedy rewrite merges only
+    // the leading occurrence
+    val runs = Seq("z z z").toDF("text")
+    val r = TextOps.bpeMergeLoop(runs, "text", 2)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(r(0) == ((1, "z z", 2L)), s"$r")
+    assert(r(1) == ((2, "z_z z", 1L)), s"greedy, not double-merge: $r")
+    // real corpus: deterministic across runs
+    val corpus = Tables.documents(spark, sfSmoke)
+    def run() = TextOps.bpeMergeLoop(corpus, "text", 3)
+      .as[(Int, String, Long)].collect().toSeq
+    val first = run()
+    assert(first == run() && first.size == 3)
+    // each iteration's winning count never increases (a merge can only
+    // remove occurrences of other pairs, and the max is the max)
+    assert(first.map(_._3) == first.map(_._3).sorted.reverse, s"$first")
+  }
 }
