@@ -132,18 +132,47 @@ object Versioned {
   private[graft] def commit(spark: SparkSession, table: String, v: Int,
       files: Seq[String]): Int = {
     val f = fs(spark, table)
-    // CREATE with overwrite=false is the commit point: exactly one
-    // writer of version v succeeds, the loser gets the exception
-    // instead of silently clobbering the winner.
-    val out =
-      try f.create(commitMarker(table, v), false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"commit of $table v$v lost a race", e)
+    val marker = commitMarker(table, v)
+    val bytes = (files.mkString("\n") + "\n").getBytes("UTF-8")
+    if (f.getScheme == "file") {
+      // Hadoop's LocalFileSystem implements create(overwrite=false)
+      // as a non-atomic exists-check-then-create, so two concurrent
+      // committers of the same version could BOTH succeed (caught by
+      // the VersionedSpec 5-round concurrent race test). On a POSIX
+      // fs the atomic existence gate is link(2): write the manifest
+      // CONTENT to a hidden temp sibling, then hard-link it to the
+      // marker name — EEXIST rejects the loser atomically, and the
+      // marker appears fully populated (no window where a reader can
+      // list a committed version and read a torn manifest).
+      val dir = java.nio.file.Paths.get(table, "_commits")
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = java.nio.file.Files.createTempFile(dir, s".v=$v.", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.createLink(dir.resolve(s"v=$v"), tmp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"commit of $table v$v lost a race", e)
+        }
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp); ()
       }
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    } else {
+      // HDFS and object-store backed filesystems: CREATE with
+      // overwrite=false IS the atomic commit point (namenode-arbitrated
+      // on HDFS); exactly one writer of version v succeeds, the loser
+      // gets the exception instead of silently clobbering the winner.
+      val out =
+        try f.create(marker, false)
+        catch {
+          case e: java.io.IOException =>
+            throw new IllegalStateException(
+              s"commit of $table v$v lost a race", e)
+        }
+      try out.write(bytes)
+      finally out.close()
+    }
     v
   }
 
