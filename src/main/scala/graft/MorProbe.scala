@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * one range file) and `scattered` (every ⌈N/hotKeys⌉-th id — one or
   * two keys in EVERY range file, the worst case for file-granular
   * CoW: each batch rewrites every file it grazes).
-  * Usage: `runMain graft.MorProbe [sfDir] [nBatches] [hotKeys] [shape]`
+  * `mode=mor` runs the same stream through [[Versioned.mergeUpsertMoR]]
+  * (amp should read ~1.0 for BOTH shapes) and folds the log with
+  * OPTIMIZE at the end, printing the fold's one-time cost.
+  * Usage: `runMain graft.MorProbe [sfDir] [nBatches] [hotKeys] [shape] [mode]`
   */
 object MorProbe {
   def main(args: Array[String]): Unit = {
@@ -30,6 +33,7 @@ object MorProbe {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
     val hotKeys = args.lift(2).map(_.toInt).getOrElse(20)
     val shape = args.lift(3).getOrElse("clustered")
+    val mode = args.lift(4).getOrElse("cow")
     val spark = Sessions.local(Sessions.envCores)
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "source", "n_chars", "text")
@@ -60,7 +64,8 @@ object MorProbe {
       batch.coalesce(1).write.parquet(probe) // the MoR-log footprint
       val changed = dirBytes(probe)
       val vBefore = Versioned.currentVersion(spark, table).get
-      Versioned.mergeUpsert(batch, table, Seq("doc_id"))
+      if (mode == "mor") Versioned.mergeUpsertMoR(batch, table, Seq("doc_id"))
+      else Versioned.mergeUpsert(batch, table, Seq("doc_id"))
       val vAfter = Versioned.currentVersion(spark, table).get
       val written = dirBytes(s"$table/v=$vAfter")
       totW += written; totC += changed
@@ -69,9 +74,16 @@ object MorProbe {
         f"amp=${written.toDouble / changed}%.1f")
     }
     val tableBytes = dirBytes(table)
-    println(f"[mor] TOTAL batches=$nBatches hot_rows=$hotKeys " +
-      f"bytes_changed=$totC bytes_written=$totW " +
+    println(f"[mor] TOTAL mode=$mode shape=$shape batches=$nBatches " +
+      f"hot_rows=$hotKeys bytes_changed=$totC bytes_written=$totW " +
       f"amp=${totW.toDouble / totC}%.1f table_bytes=$tableBytes")
+    if (mode == "mor") {
+      val vPre = Versioned.currentVersion(spark, table).get
+      val vFold = Versioned.compact(spark, table)
+      val foldBytes = dirBytes(s"$table/v=$vFold")
+      println(f"[mor] FOLD v=$vPre->$vFold bytes_written=$foldBytes " +
+        "(one-time OPTIMIZE cost amortized over all batches)")
+    }
     spark.stop()
   }
 }

@@ -103,6 +103,81 @@ object Versioned {
     }
     else s"$table/${entry.takeWhile(_ != '/')}"
 
+  // ---- merge-on-read log entries -------------------------------------
+  //
+  // A manifest entry is either a BASE data file (plain path) or a
+  // MERGE-ON-READ LOG file: `log:<keys-csv>:<path>`. Log files hold
+  // upsert batches verbatim (amp ≈ 1 — the MorProbe-measured answer to
+  // CoW's ~18× scattered-hot-key write amplification); readers apply
+  // them latest-wins over the base, and [[compactLogs]] (run by
+  // [[compact]]) folds them back into base files through the same
+  // file-granular CoW planner a batch merge uses.
+
+  private def isLogEntry(e: String): Boolean = e.startsWith("log:")
+
+  private val LogEntry = "^log:([^:]+):(.*)$".r
+
+  private def logKeysOf(e: String): Seq[String] = e match {
+    case LogEntry(k, _) => k.split(",").toSeq
+    case _ => throw new IllegalArgumentException(s"not a log entry: $e")
+  }
+
+  private def logPathOf(e: String): String = e match {
+    case LogEntry(_, p) => p
+    case _ => e
+  }
+
+  /** Birth version of a RELATIVE manifest path (`v=3/part-...` → 3) —
+    * log files are always table-local, so this is total for them.
+    */
+  private def birthVersionOf(path: String): Int =
+    path.takeWhile(_ != '/').drop(2).toInt
+
+  /** Keep the highest-`__mor_v` row per key, then drop the rank
+    * column (keys are unique within one version — the MERGE
+    * contract).
+    */
+  private def latestWins(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__mor_v").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__mor_v")
+  }
+
+  /** Manifest-entry precedence for latest-wins reads: a log entry
+    * ranks by its birth version; a table-local base entry likewise; a
+    * clone-inherited ABSOLUTE base entry ranks oldest (it predates
+    * anything this table committed).
+    */
+  private def entryRank(e: String): Int =
+    if (isLogEntry(e)) birthVersionOf(logPathOf(e))
+    else if (e.startsWith("/")) -1
+    else birthVersionOf(e)
+
+  /** Read a set of manifest entries (base and/or log) applying
+    * latest-wins per key across their birth versions.
+    */
+  private def readLatestWins(spark: SparkSession, table: String,
+      entries: Seq[String], keys: Seq[String]): DataFrame = {
+    val byV = entries.groupBy(entryRank).toSeq.sortBy(_._1)
+    latestWins(
+      byV.map { case (bv, es) =>
+        readFilesByBirth(spark, table, es.map(logPathOf))
+          .withColumn("__mor_v", lit(bv))
+      }.reduce(_ unionByName _),
+      keys)
+  }
+
+  /** Latest-wins relation of a set of log entries: rows of later
+    * versions supersede earlier ones per key.
+    */
+  private def logLatest(spark: SparkSession, table: String,
+      logEntries: Seq[String]): DataFrame =
+    readLatestWins(spark, table, logEntries,
+      logKeysOf(logEntries.head))
+
   /** Reads a set of manifest data files, grouped by their birth
     * version directory.
     */
@@ -118,9 +193,23 @@ object Versioned {
       }
       .reduce(_.unionByName(_))
 
-  /** Time travel: read snapshot `v` (immutable once committed). */
-  def snapshot(spark: SparkSession, table: String, v: Int): DataFrame =
-    readFilesByBirth(spark, table, snapshotFiles(spark, table, v))
+  /** Time travel: read snapshot `v` (immutable once committed). When
+    * the manifest carries merge-on-read log entries, the read applies
+    * them latest-wins over the base files — the MoR read path: base
+    * left-anti log keys, union log rows.
+    */
+  def snapshot(spark: SparkSession, table: String, v: Int): DataFrame = {
+    val entries = snapshotFiles(spark, table, v)
+    val (logsE, baseE) = entries.partition(isLogEntry)
+    val base = readFilesByBirth(spark, table, baseE)
+    if (logsE.isEmpty) base
+    else {
+      val keys = logKeysOf(logsE.head)
+      val latest = logLatest(spark, table, logsE)
+      base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(latest)
+    }
+  }
 
   /** Read the current snapshot (manifest resolved once per call). */
   def current(spark: SparkSession, table: String): DataFrame = {
@@ -244,8 +333,10 @@ object Versioned {
       throw new IllegalStateException(
         s"uninitialized versioned table: $source"))
     val srcRoot = new Path(source).toUri.getPath.stripSuffix("/")
-    commit(spark, target, 0,
-      snapshotFiles(spark, source, v).map(resolved(srcRoot, _)))
+    val entries = snapshotFiles(spark, source, v)
+    require(!entries.exists(isLogEntry),
+      s"$source has a pending merge-on-read log: compact() before cloning")
+    commit(spark, target, 0, entries.map(resolved(srcRoot, _)))
   }
 
   /** RESTORE: make snapshot `v` current again by committing a NEW
@@ -382,6 +473,9 @@ object Versioned {
     val v = currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"uninitialized versioned table: $table"))
     val files = snapshotFiles(spark, table, v)
+    require(!files.exists(isLogEntry),
+      s"$table has a pending merge-on-read log: run compact() (or " +
+        "compactLogs()) before a copy-on-write merge")
     val tgt = snapshot(spark, table, v)
     val keyType = tgt.schema(keys.head).dataType
     // A single-file table has nothing to prune — skip the stats read
@@ -403,6 +497,68 @@ object Versioned {
         upserts.unionByName(
           rewrite.join(source.select(keyCols: _*), keys, "left_anti"))
       }
+    write(merged, versionDir(table, v + 1), partitionCols)
+    commit(spark, table, v + 1,
+      untouched ++ listDataFiles(spark, table, v + 1))
+  }
+
+  /** MERGE-ON-READ upsert: commit the batch AS-IS as a log file —
+    * writes ~bytes_changed (amp ≈ 1) instead of rewriting every file
+    * a scattered hot-key batch grazes (MorProbe measured ~18× for the
+    * CoW path under that load). Readers ([[snapshot]]/[[current]])
+    * apply the log latest-wins over the base; [[compact]] folds it
+    * back into base files. Contract: `source` unique on `keys`, same
+    * as [[mergeUpsert]]; deletes are not expressible in the v1 log
+    * (use the CoW path's `deleteFlag`). The trade is the textbook
+    * MoR one: cheap writes, a per-read merge bounded by the pending
+    * log size, restored to pure-columnar scans by OPTIMIZE.
+    */
+  def mergeUpsertMoR(source: DataFrame, table: String,
+      keys: Seq[String]): Int = {
+    val spark = source.sparkSession
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"uninitialized versioned table: $table"))
+    val entries = snapshotFiles(spark, table, v)
+    entries.filter(isLogEntry).headOption.foreach { e =>
+      require(logKeysOf(e) == keys,
+        s"log key mismatch: pending ${logKeysOf(e)} vs $keys")
+    }
+    write(source, versionDir(table, v + 1), Nil)
+    val newLogs = listDataFiles(spark, table, v + 1)
+      .map(p => s"log:${keys.mkString(",")}:$p")
+    commit(spark, table, v + 1, entries ++ newLogs)
+  }
+
+  /** Fold the pending merge-on-read log into base files: the log's
+    * latest-wins relation is merged through the SAME file-granular
+    * CoW planner as [[mergeUpsert]] (footer-stat pruning — only base
+    * files whose key range overlaps a logged key are rewritten), and
+    * the new manifest is log-free. Content is unchanged (spec'd:
+    * [[changes]] across the fold commit is empty), so this is
+    * physical reorganization, invisible to readers — exactly what a
+    * format's OPTIMIZE does to deletion vectors / delta logs.
+    * Returns the current version untouched if no log is pending.
+    */
+  def compactLogs(spark: SparkSession, table: String,
+      partitionCols: Seq[String] = Nil): Int = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalStateException(s"uninitialized versioned table: $table"))
+    val entries = snapshotFiles(spark, table, v)
+    val (logsE, baseE) = entries.partition(isLogEntry)
+    if (logsE.isEmpty) return v
+    val keys = logKeysOf(logsE.head)
+    val src = logLatest(spark, table, logsE)
+    val keyType = src.schema(keys.head).dataType
+    val matched =
+      if (baseE.size <= 1) baseE.toSet
+      else matchedFiles(src, keys.head, keyType,
+        fileKeyRanges(spark, table, baseE, keys.head))
+    val untouched = baseE.filterNot(matched)
+    val merged =
+      if (matched.isEmpty) src
+      else src.unionByName(
+        readFilesByBirth(spark, table, matched.toSeq)
+          .join(src.select(keys.map(col): _*), keys, "left_anti"))
     write(merged, versionDir(table, v + 1), partitionCols)
     commit(spark, table, v + 1,
       untouched ++ listDataFiles(spark, table, v + 1))
@@ -431,17 +587,51 @@ object Versioned {
     val f2 = snapshotFiles(spark, table, toV)
     val removed = f1.diff(f2) // before-image side
     val added = f2.diff(f1)   // after-image side
-    val schema = readFilesByBirth(spark, table,
-      if (added.nonEmpty) added else f2).schema
+    // Merge-on-read commits put LOG entries in the diff. Removed logs
+    // read as plain before-image files (a fold commit retires them —
+    // its rewritten base carries equal values, so suppression yields
+    // the empty feed physical reorganization should). Added logs are
+    // after-images, but their BEFORE-images live in base files present
+    // in both manifests, so those keys are looked up in the fromV
+    // snapshot (key-bounded; the base read is prunable by the same
+    // footer stats the merge planner uses — recorded hardening).
+    val (addedLogsE, addedBaseE) = added.partition(isLogEntry)
+    val removedStripped = removed.map(logPathOf)
+    val schemaSrc =
+      if (addedBaseE.nonEmpty) addedBaseE
+      else if (added.nonEmpty) added.map(logPathOf)
+      else f2.map(logPathOf)
+    val schema = readFilesByBirth(spark, table, schemaSrc).schema
     def readOrEmpty(files: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else readFilesByBirth(spark, table, files)
     val valueCols = schema.fieldNames.toSeq.filterNot(keys.contains)
-    val before = readOrEmpty(removed).select(
+    // a fold commit retires log AND base files for the same key: the
+    // before-image is the LOGICAL fromV row, i.e. latest-wins across
+    // the removed entries — a plain union would surface the stale
+    // base row next to its superseding log row and report a spurious
+    // update
+    val beforeRead =
+      if (!removed.exists(isLogEntry)) readOrEmpty(removedStripped)
+      else readLatestWins(spark, table, removed, keys)
+    val (before0, after0) =
+      if (addedLogsE.isEmpty) (beforeRead, readOrEmpty(addedBaseE))
+      else {
+        val afterLog = logLatest(spark, table, addedLogsE)
+        // keys already covered by the removed-entry read must not be
+        // looked up again (a span across fold + append would surface
+        // two before rows for one key)
+        val beforeLookup = snapshot(spark, table, fromV)
+          .join(afterLog.select(keys.map(col): _*), keys, "left_semi")
+          .join(beforeRead.select(keys.map(col): _*), keys, "left_anti")
+        (beforeRead.unionByName(beforeLookup),
+          readOrEmpty(addedBaseE).unionByName(afterLog))
+      }
+    val before = before0.select(
       schema.fieldNames.toSeq.map(c => col(c).as(s"__b_$c")): _*)
-    val after = readOrEmpty(added).select(
+    val after = after0.select(
       schema.fieldNames.toSeq.map(c => col(c).as(s"__a_$c")): _*)
     val keyEq = keys.map(k => col(s"__b_$k") === col(s"__a_$k"))
       .reduce(_ && _)
@@ -494,13 +684,31 @@ object Versioned {
     require(bounds.nonEmpty, "scanRanges requires at least one bound")
     val ver = v.orElse(currentVersion(spark, table)).getOrElse(
       throw new IllegalStateException(s"uninitialized versioned table: $table"))
-    val files = snapshotFiles(spark, table, ver)
+    val entries = snapshotFiles(spark, table, ver)
+    // pending MoR log rows always read (they are the small hot set);
+    // pruning applies to the base files, and the latest-wins merge is
+    // applied AFTER pruning so a superseded base row can never leak
+    val (logsE, files) = entries.partition(isLogEntry)
     val full = snapshot(spark, table, ver)
     val types = bounds.map { case (k, _, _) => full.schema(k).dataType }
     val residual = bounds.zip(types).map { case ((k, lo, hi), t) =>
       col(k) >= lit(lo).cast(t) && col(k) <= lit(hi).cast(t)
     }.reduce(_ && _)
-    if (files.size <= 1) return full.filter(residual)
+    def withLog(prunedBase: DataFrame): DataFrame =
+      if (logsE.isEmpty) prunedBase
+      else {
+        val keys = logKeysOf(logsE.head)
+        val latest = logLatest(spark, table, logsE)
+        prunedBase
+          .join(latest.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(latest)
+      }
+    if (entries.size <= 1) return full.filter(residual)
+    if (files.isEmpty) return withLog(full.filter(lit(false)))
+      .filter(residual)
+    if (files.size <= 1)
+      return withLog(readFilesByBirth(spark, table, files))
+        .filter(residual)
     val perCol = bounds.map { case (k, _, _) =>
       fileKeyRanges(spark, table, files, k).toMap }
     val fields = StructField("__file", StringType) +:
@@ -529,8 +737,8 @@ object Versioned {
     }.reduce(_ && _)
     val kept = statsDf.filter(keepCond)
       .select("__file").collect().map(_.getString(0)).toSeq
-    if (kept.isEmpty) full.filter(lit(false))
-    else readFilesByBirth(spark, table, kept).filter(residual)
+    if (kept.isEmpty) withLog(full.filter(lit(false))).filter(residual)
+    else withLog(readFilesByBirth(spark, table, kept)).filter(residual)
   }
 
   /** Multi-dimensional CLUSTERING rewrite: lays the current snapshot
@@ -595,6 +803,10 @@ object Versioned {
   def compact(spark: SparkSession, table: String,
       targetFileBytes: Long = 128L << 20,
       partitionCols: Seq[String] = Nil): Int = {
+    // pending merge-on-read log? fold it into base files first —
+    // OPTIMIZE is the maintenance pass that restores pure-columnar
+    // scans, for log debris and small-file debris alike
+    compactLogs(spark, table, partitionCols)
     val v = currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"uninitialized versioned table: $table"))
     val files = snapshotFiles(spark, table, v)
@@ -637,7 +849,8 @@ object Versioned {
     val dropped = vs.dropRight(math.max(1, keepLast))
     if (dropped.isEmpty) return
     val referenced = keep
-      .flatMap(v => snapshotFiles(spark, table, v)).toSet
+      .flatMap(v => snapshotFiles(spark, table, v))
+      .map(logPathOf).toSet // a log reference pins its file like any other
     val f = fs(spark, table)
     dropped.foreach { v =>
       f.delete(commitMarker(table, v), false)

@@ -372,6 +372,68 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read: log append, latest-wins read, fold, CDC") {
+    val t = tmpDir("versioned_mor") + "/t"
+    Versioned.init(
+      docs(1L to 120L, _ => 10L).repartitionByRange(6, col("doc_id")), t)
+    val v0Files = Versioned.snapshotFiles(spark, t, 0)
+    assert(v0Files.size >= 4)
+    // scattered hot keys graze most base files — the ~18x CoW
+    // write-amplification case MorProbe measured; the MoR commit
+    // writes ONLY the batch (base carried by reference)
+    Versioned.mergeUpsertMoR(
+      docs(Seq(5L, 30L, 55L, 80L, 105L, 121L), _ => 500L),
+      t, Seq("doc_id"))
+    val f1 = Versioned.snapshotFiles(spark, t, 1)
+    assert(f1.filterNot(_.startsWith("log:")) == v0Files,
+      "a MoR commit must not rewrite base files")
+    assert(f1.exists(_.startsWith("log:")))
+    val cur1 = rows(Versioned.current(spark, t))
+    assert(cur1.size == 121)
+    assert(cur1.contains((5L, "src_2", 500L)) &&
+      cur1.contains((121L, "src_1", 500L)) &&
+      cur1.contains((6L, "src_0", 10L)))
+    // a second log batch supersedes the first where keys overlap
+    Versioned.mergeUpsertMoR(docs(Seq(5L, 7L), _ => 900L), t,
+      Seq("doc_id"))
+    val cur2 = rows(Versioned.current(spark, t))
+    assert(cur2.contains((5L, "src_2", 900L)) &&
+      cur2.contains((7L, "src_1", 900L)) &&
+      cur2.contains((30L, "src_0", 500L)))
+    // CDC across a log-append commit: inserts vs updates classified
+    // (before-images looked up in the fromV snapshot)
+    val cdc = Versioned.changes(spark, t, 0, 1, Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cdc.size == 6 && cdc(121L) == "insert" &&
+      cdc(5L) == "update" && cdc(105L) == "update", s"$cdc")
+    // the CoW merge path refuses a logged table, fail-fast
+    intercept[IllegalArgumentException] {
+      Versioned.mergeUpsert(docs(Seq(1L), _ => 1L), t, Seq("doc_id"))
+    }
+    // time travel reads THROUGH the log: v1 shows batch 1 only
+    val snap1 = Versioned.snapshot(spark, t, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(snap1(5L) == 500L && snap1(7L) == 10L)
+    // OPTIMIZE folds the log through the file-granular CoW planner:
+    // content identical, manifest log-free, CDC across the fold EMPTY
+    val vBefore = Versioned.currentVersion(spark, t).get
+    val vAfter = Versioned.compact(spark, t, targetFileBytes = 1L << 20)
+    assert(vAfter > vBefore)
+    assert(Versioned.snapshotFiles(spark, t, vAfter)
+      .forall(!_.startsWith("log:")))
+    assert(rows(Versioned.current(spark, t)) == cur2,
+      "fold must not change content")
+    (vBefore until vAfter).foreach { v =>
+      assert(Versioned.changes(spark, t, v, v + 1, Seq("doc_id"))
+        .isEmpty, s"physical reorg must be CDC-invisible ($v)")
+    }
+    // post-fold the CoW path works again, and vacuum + re-read hold
+    Versioned.mergeUpsert(docs(Seq(2L), _ => 77L), t, Seq("doc_id"))
+    Versioned.vacuum(spark, t, keepLast = 1)
+    val fin = rows(Versioned.current(spark, t))
+    assert(fin.contains((2L, "src_2", 77L)) && fin.size == 121)
+  }
+
   test("two racing committers of the same version: exactly one wins") {
     // the commit primitive directly: both threads race to CREATE the
     // v1 manifest after the barrier — the CREATE-no-overwrite marker
