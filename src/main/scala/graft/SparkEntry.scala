@@ -555,6 +555,59 @@ object SparkEntry {
         root, Seq("doc_id"))
       Versioned.current(s, root).resultSorted(col("doc_id").asc)
     }),
+    // k21: MoR TOMBSTONE deletes — the %5 batch upserts odd
+    // multiples at their original value and tombstones %10 == 0
+    // (overriding the first log's +1000 for those keys); readers
+    // suppress tombstoned keys, so the oracle is a CASE plus an
+    // exclusion. Write-path query (fresh table per invocation).
+    "k21_mor_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      val root = tempTableRoot("graft_mor_del") + "/docs"
+      Versioned.init(docs.filter(col("doc_id") % 3 =!= 0)
+        .repartitionByRange(6, col("doc_id")), root)
+      Versioned.mergeUpsertMoR(docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + lit(1000L)),
+        root, Seq("doc_id"))
+      Versioned.mergeUpsertMoR(docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("is_deleted", col("doc_id") % 10 === 0),
+        root, Seq("doc_id"), deleteFlag = Some("is_deleted"))
+      Versioned.current(s, root).resultSorted(col("doc_id").asc)
+    }),
+    // st6: the MoR refresh as a STREAM — two disjoint-key refresh
+    // batches delivered one per micro-batch through morUpsertSink
+    // (disjoint keys ⇒ the file source's batch order cannot matter),
+    // with the OPTIMIZE fold running INSIDE the stream (foldEvery=2);
+    // the merged read must equal the relational CASE regardless.
+    "st6_stream_mor" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      val root = tempTableRoot("graft_stream_mor")
+      val table = root + "/docs"
+      Versioned.init(docs.filter(col("doc_id") % 3 =!= 0)
+        .repartitionByRange(6, col("doc_id")), table)
+      val in = new java.io.File(root + "/in")
+      in.mkdirs()
+      Seq(
+        docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000L)),
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 =!= 0)
+          .withColumn("n_chars", col("n_chars") + lit(7L))
+      ).zipWithIndex.foreach { case (b, i) =>
+        val tmp = s"$root/b$i"
+        b.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(in, s"batch_$i.parquet").toPath)
+        ()
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      graft.streaming.StreamingOps.morUpsertSink(stream, s, table,
+        Seq("doc_id"), None, root + "/ckpt", foldEvery = 2)
+      Versioned.current(s, table).resultSorted(col("doc_id").asc)
+    }),
     "k18_signature_store" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select("doc_id", "source", "text")
@@ -2310,6 +2363,30 @@ object SparkEntry {
         |SELECT doc_id, source,
         |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
         |       WHEN doc_id % 2 = 0 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM u ORDER BY doc_id ASC""".stripMargin,
+    // k21: tombstoned keys (%10 == 0) are excluded outright; odd %5
+    // keys take the second log's ORIGINAL value (latest-wins over the
+    // first log's +1000 cannot occur — %5 ∧ %2 ⇒ %10, all tombstoned).
+    "k21_mor_delete" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE (doc_id % 3 <> 0 OR doc_id % 2 = 0 OR doc_id % 5 = 0)
+        |    AND doc_id % 10 <> 0)
+        |SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars
+        |       WHEN doc_id % 2 = 0 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM u ORDER BY doc_id ASC""".stripMargin,
+    // st6: disjoint-key refresh batches — order-free CASE.
+    "st6_stream_mor" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0
+        |     OR (doc_id % 5 = 0 AND doc_id % 2 <> 0))
+        |SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 0 THEN n_chars + 1000
+        |       WHEN doc_id % 5 = 0 THEN n_chars + 7
         |       ELSE n_chars END AS n_chars
         |FROM u ORDER BY doc_id ASC""".stripMargin,
     "k17_shallow_clone" ->

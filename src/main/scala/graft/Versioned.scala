@@ -166,9 +166,19 @@ object Versioned {
       byV.map { case (bv, es) =>
         readFilesByBirth(spark, table, es.map(logPathOf))
           .withColumn("__mor_v", lit(bv))
-      }.reduce(_ unionByName _),
+      // allowMissingColumns: a tombstone batch carries __mor_deleted,
+      // earlier batches and base files don't — missing fills null
+      }.reduce(_.unionByName(_, allowMissingColumns = true)),
       keys)
   }
+
+  /** The logical rows of a latest-wins relation: tombstoned rows
+    * represent ABSENCE and are dropped together with the flag.
+    */
+  private def dropTombstones(df: DataFrame): DataFrame =
+    if (!df.columns.contains(MorDeleted)) df
+    else df.filter(!coalesce(col(MorDeleted), lit(false)))
+      .drop(MorDeleted)
 
   /** Latest-wins relation of a set of log entries: rows of later
     * versions supersede earlier ones per key.
@@ -206,8 +216,10 @@ object Versioned {
     else {
       val keys = logKeysOf(logsE.head)
       val latest = logLatest(spark, table, logsE)
+      // anti-join on ALL latest keys (tombstones suppress base rows
+      // too), then union only the logically-present rows
       base.join(latest.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(latest)
+        .unionByName(dropTombstones(latest))
     }
   }
 
@@ -513,8 +525,14 @@ object Versioned {
     * MoR one: cheap writes, a per-read merge bounded by the pending
     * log size, restored to pure-columnar scans by OPTIMIZE.
     */
+  /** The tombstone column a MoR log row carries when its batch had a
+    * `deleteFlag` — readers suppress flagged keys, the fold drops
+    * them from base, CDC classifies them as deletes.
+    */
+  private val MorDeleted = "__mor_deleted"
+
   def mergeUpsertMoR(source: DataFrame, table: String,
-      keys: Seq[String]): Int = {
+      keys: Seq[String], deleteFlag: Option[String] = None): Int = {
     val spark = source.sparkSession
     val v = currentVersion(spark, table).getOrElse(
       throw new IllegalStateException(s"uninitialized versioned table: $table"))
@@ -523,10 +541,30 @@ object Versioned {
       require(logKeysOf(e) == keys,
         s"log key mismatch: pending ${logKeysOf(e)} vs $keys")
     }
-    write(source, versionDir(table, v + 1), Nil)
+    // deletes ride the log as TOMBSTONES (the delete-vector analogue):
+    // the row is written with the standardized flag column so any
+    // later reader — this table's or a clone's — can interpret it
+    // without out-of-band state
+    val out = deleteFlag match {
+      case Some(flag) => source.withColumnRenamed(flag, MorDeleted)
+      case None => source
+    }
+    write(out, versionDir(table, v + 1), Nil)
     val newLogs = listDataFiles(spark, table, v + 1)
       .map(p => s"log:${keys.mkString(",")}:$p")
     commit(spark, table, v + 1, entries ++ newLogs)
+  }
+
+  /** Latest-wins log relation WITH tombstones still present (and the
+    * flag column normalized to exist), for callers that need to see
+    * deletions: [[snapshot]] anti-joins on ALL latest keys, then
+    * drops flagged rows from the union side.
+    */
+  private def logLatestWithTombstones(spark: SparkSession,
+      table: String, logEntries: Seq[String]): DataFrame = {
+    val l = logLatest(spark, table, logEntries)
+    if (l.columns.contains(MorDeleted)) l
+    else l.withColumn(MorDeleted, lit(false))
   }
 
   /** Fold the pending merge-on-read log into base files: the log's
@@ -547,6 +585,9 @@ object Versioned {
     val (logsE, baseE) = entries.partition(isLogEntry)
     if (logsE.isEmpty) return v
     val keys = logKeysOf(logsE.head)
+    // planning runs on ALL latest keys — a tombstone must rewrite the
+    // base file holding its key (to drop the row); only the logical
+    // (non-tombstoned) rows are inserted
     val src = logLatest(spark, table, logsE)
     val keyType = src.schema(keys.head).dataType
     val matched =
@@ -555,8 +596,8 @@ object Versioned {
         fileKeyRanges(spark, table, baseE, keys.head))
     val untouched = baseE.filterNot(matched)
     val merged =
-      if (matched.isEmpty) src
-      else src.unionByName(
+      if (matched.isEmpty) dropTombstones(src)
+      else dropTombstones(src).unionByName(
         readFilesByBirth(spark, table, matched.toSeq)
           .join(src.select(keys.map(col): _*), keys, "left_anti"))
     write(merged, versionDir(table, v + 1), partitionCols)
@@ -601,7 +642,9 @@ object Versioned {
       if (addedBaseE.nonEmpty) addedBaseE
       else if (added.nonEmpty) added.map(logPathOf)
       else f2.map(logPathOf)
-    val schema = readFilesByBirth(spark, table, schemaSrc).schema
+    // the tombstone flag is physical log plumbing, not a table column
+    val schema = StructType(readFilesByBirth(spark, table, schemaSrc)
+      .schema.filterNot(_.name == MorDeleted))
     def readOrEmpty(files: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
@@ -615,19 +658,24 @@ object Versioned {
     // update
     val beforeRead =
       if (!removed.exists(isLogEntry)) readOrEmpty(removedStripped)
-      else readLatestWins(spark, table, removed, keys)
+      // tombstoned rows represent absence at fromV, never a before-image
+      else dropTombstones(readLatestWins(spark, table, removed, keys))
     val (before0, after0) =
       if (addedLogsE.isEmpty) (beforeRead, readOrEmpty(addedBaseE))
       else {
-        val afterLog = logLatest(spark, table, addedLogsE)
-        // keys already covered by the removed-entry read must not be
-        // looked up again (a span across fold + append would surface
-        // two before rows for one key)
+        val afterLog = logLatestWithTombstones(spark, table, addedLogsE)
+        // before-images are looked up for ALL touched keys (including
+        // tombstoned ones — a delete's before-image is the row it
+        // removes); keys already covered by the removed-entry read
+        // must not be looked up again (a span across fold + append
+        // would surface two before rows for one key)
         val beforeLookup = snapshot(spark, table, fromV)
           .join(afterLog.select(keys.map(col): _*), keys, "left_semi")
           .join(beforeRead.select(keys.map(col): _*), keys, "left_anti")
+        // the after side carries only logically-present rows, so a
+        // tombstoned key classifies as a DELETE (before row, no after)
         (beforeRead.unionByName(beforeLookup),
-          readOrEmpty(addedBaseE).unionByName(afterLog))
+          readOrEmpty(addedBaseE).unionByName(dropTombstones(afterLog)))
       }
     val before = before0.select(
       schema.fieldNames.toSeq.map(c => col(c).as(s"__b_$c")): _*)
@@ -701,7 +749,7 @@ object Versioned {
         val latest = logLatest(spark, table, logsE)
         prunedBase
           .join(latest.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(latest)
+          .unionByName(dropTombstones(latest))
       }
     if (entries.size <= 1) return full.filter(residual)
     if (files.isEmpty) return withLog(full.filter(lit(false)))

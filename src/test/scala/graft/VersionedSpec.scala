@@ -434,6 +434,51 @@ class VersionedSpec extends SparkSpec {
     assert(fin.contains((2L, "src_2", 77L)) && fin.size == 121)
   }
 
+  test("merge-on-read tombstones: delete, resurrect, fold, CDC") {
+    val t = tmpDir("versioned_mor_del") + "/t"
+    Versioned.init(
+      docs(1L to 60L, _ => 10L).repartitionByRange(4, col("doc_id")), t)
+    // batch 1: plain upsert log (no flag column in its file)
+    Versioned.mergeUpsertMoR(docs(Seq(5L, 61L), _ => 500L), t,
+      Seq("doc_id"))
+    // batch 2: tombstones for one base key, one logged key, one
+    // absent key; plus a live upsert in the same batch
+    import spark.implicits._
+    val b2 = Seq(
+      (7L, "src_1", 0L, true), (61L, "src_1", 0L, true),
+      (999L, "src_0", 0L, true), (8L, "src_2", 800L, false))
+      .toDF("doc_id", "source", "n_chars", "is_deleted")
+    Versioned.mergeUpsertMoR(b2, t, Seq("doc_id"),
+      deleteFlag = Some("is_deleted"))
+    val cur = rows(Versioned.current(spark, t))
+    assert(cur.size == 59, s"60 + insert(61) - del(7) - del(61): $cur")
+    assert(!cur.exists(r => r._1 == 7L || r._1 == 61L || r._1 == 999L))
+    assert(cur.contains((8L, "src_2", 800L)) &&
+      cur.contains((5L, "src_2", 500L)))
+    // resurrection: a later upsert overrides the tombstone
+    Versioned.mergeUpsertMoR(docs(Seq(7L), _ => 700L), t, Seq("doc_id"))
+    val cur2 = rows(Versioned.current(spark, t))
+    assert(cur2.contains((7L, "src_1", 700L)) && cur2.size == 60)
+    // CDC across the tombstone commit: deletes carry before-images
+    val cdc = Versioned.changes(spark, t, 1, 2, Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3)))
+      .toMap
+    assert(cdc(7L) == (("delete", 10L)), s"$cdc")
+    assert(cdc(61L) == (("delete", 500L)), s"$cdc")
+    assert(cdc(8L) == (("update", 800L)), s"$cdc") // 8 is in base (8%3!=0)
+    assert(!cdc.contains(999L), s"absent-key delete must not report: $cdc")
+    // fold applies deletions to base and drops the tombstones
+    val vFold = Versioned.compact(spark, t, targetFileBytes = 1L << 20)
+    assert(Versioned.snapshotFiles(spark, t, vFold)
+      .forall(!_.startsWith("log:")))
+    assert(rows(Versioned.current(spark, t)) == cur2,
+      "fold must preserve post-delete content")
+    // snapshot BEFORE the tombstone batch still shows the old rows
+    val snap1 = Versioned.snapshot(spark, t, 1).collect()
+      .map(_.getLong(0)).toSet
+    assert(snap1.contains(7L) && snap1.contains(61L))
+  }
+
   test("two racing committers of the same version: exactly one wins") {
     // the commit primitive directly: both threads race to CREATE the
     // v1 manifest after the barrier — the CREATE-no-overwrite marker

@@ -372,6 +372,41 @@ class StreamingSpec extends SparkSpec {
     assert(ids2 == ids, "replay must not grow the store")
   }
 
+  test("foreachBatch MoR sink: log commits, in-stream fold, replay-stable") {
+    import spark.implicits._
+    val dir = tmpDir("morsink")
+    graft.Versioned.init(
+      Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("key", "v")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("key")),
+      dir + "/vt")
+    Seq((2L, 200L), (4L, 400L)).toDF("key", "v")
+      .coalesce(1).write.parquet(dir + "/staged/b0")
+    Seq((3L, 300L)).toDF("key", "v")
+      .coalesce(1).write.parquet(dir + "/staged/b1")
+    val schema = spark.read.parquet(dir + "/staged/b0").schema
+    def run(cp: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(dir + "/staged/*")
+      StreamingOps.morUpsertSink(stream, spark, dir + "/vt",
+        Seq("key"), None, cp, foldEvery = 2)
+    }
+    run(dir + "/cp0")
+    def state() = graft.Versioned.current(spark, dir + "/vt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s1 = state()
+    assert(s1 == Map(1L -> 10L, 2L -> 200L, 3L -> 300L, 4L -> 400L), s"$s1")
+    // the in-stream fold ran at batchId 1 -> manifest is log-free
+    val vCur = graft.Versioned.currentVersion(spark, dir + "/vt").get
+    assert(graft.Versioned.snapshotFiles(spark, dir + "/vt", vCur)
+      .forall(!_.startsWith("log:")), "foldEvery must have folded")
+    // replay from a fresh checkpoint: latest-wins makes re-appended
+    // rows content-idempotent
+    run(dir + "/cp1")
+    assert(state() == s1, "replay must not change content")
+  }
+
   test("foreachBatch merge sink: newest revision wins, replay-stable content") {
     import spark.implicits._
     val dir = tmpDir("mergesink")
