@@ -838,6 +838,14 @@ object SparkEntry {
     "e4_kmv_distinct" -> ((s, dir) =>
       AnalyticsOps.kmvDistinct(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
+    // e6: e5's mergeability carried to QUANTILES — the hash-rank
+    // sample is identical in both engines, so the approximate
+    // quantile tier itself is oracle-checkable; merged == direct by
+    // construction, and the global step of the merged path is
+    // bounded by k·|groups|.
+    "e6_quantile_sketch" -> ((s, dir) =>
+      AnalyticsOps.quantileSketchUnion(Tables.events(s, dir),
+        key = "event_type", idCol = "event_id", valueCol = "value")),
 
     // ---- multimodal decode→extract→rollup (integer-exact) ----
     "m2_media_histogram" -> ((s, dir) => {
@@ -2267,6 +2275,36 @@ object SparkEntry {
         |    ELSE 255.0 * 1152921504606846976.0 / ms.hk END) AS BIGINT)
         |    AS kmv_merged
         |FROM ex, ds, ms""".stripMargin,
+    // e6: hash-rank uniform sample (identical in both engines) →
+    // exact interpolated percentile over the sample; merged path's
+    // sample re-truncated from the per-type sketches.
+    "e6_quantile_sketch" ->
+      """WITH hv AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h,
+        |    value::DOUBLE AS v
+        |  FROM events),
+        |pg AS (
+        |  SELECT h, v FROM (
+        |    SELECT h, v, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h ASC, v ASC) AS rn FROM hv) WHERE rn <= 256),
+        |dq AS (
+        |  SELECT round(quantile_cont(v, 0.5), 6) AS kq_direct FROM (
+        |    SELECT v FROM (
+        |      SELECT h, v, row_number() OVER (ORDER BY h ASC, v ASC) AS rn
+        |      FROM hv) WHERE rn <= 256)),
+        |mq AS (
+        |  SELECT round(quantile_cont(v, 0.5), 6) AS kq_merged FROM (
+        |    SELECT v FROM (
+        |      SELECT h, v, row_number() OVER (ORDER BY h ASC, v ASC) AS rn
+        |      FROM pg) WHERE rn <= 256)),
+        |ex AS (SELECT round(quantile_cont(value::DOUBLE, 0.5), 6)
+        |    AS exact_p50
+        |  FROM events)
+        |SELECT ex.exact_p50, dq.kq_direct, mq.kq_merged,
+        |  round(abs(dq.kq_direct - ex.exact_p50) / ex.exact_p50, 6)
+        |    AS rel_err
+        |FROM ex, dq, mq""".stripMargin,
     "e4_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

@@ -668,8 +668,19 @@ object Versioned {
         // tombstoned ones — a delete's before-image is the row it
         // removes); keys already covered by the removed-entry read
         // must not be looked up again (a span across fold + append
-        // would surface two before rows for one key)
-        val beforeLookup = snapshot(spark, table, fromV)
+        // would surface two before rows for one key). The lookup is
+        // MANIFEST-STATS PRUNED: only fromV files whose leading-key
+        // footer range overlaps the logged key span are read — the
+        // same pruning the merge planner uses, so CDC over a MoR
+        // commit never scans the whole base.
+        val keyBounds = afterLog
+          .agg(min(col(keys.head)), max(col(keys.head))).head()
+        val fromState =
+          if (keyBounds.isNullAt(0)) // empty log commit: no lookups
+            snapshot(spark, table, fromV).filter(lit(false))
+          else scanRange(spark, table, keys.head,
+            keyBounds.get(0), keyBounds.get(1), Some(fromV))
+        val beforeLookup = fromState
           .join(afterLog.select(keys.map(col): _*), keys, "left_semi")
           .join(beforeRead.select(keys.map(col): _*), keys, "left_anti")
         // the after side carries only logically-present rows, so a

@@ -374,6 +374,49 @@ object AnalyticsOps {
       .crossJoin(estOf(perGroup, "kmv_merged"))
   }
 
+  /** MERGEABLE QUANTILE SKETCH — the e5 property carried from
+    * distinct-counts to QUANTILES: the sketch is the k rows with the
+    * SMALLEST id-hash (a deterministic uniform sample by hash rank,
+    * so both engines hold the identical sample), and the quantile
+    * estimate is the exact interpolated percentile over the sampled
+    * values. Mergeability is exact for the same reason KMV's is:
+    * each group's k-minima contain every globally-k-smallest hash
+    * living in that group, so per-group sketches unioned and
+    * re-truncated ARE the direct global sketch — `kq_merged` equals
+    * `kq_direct` by construction (visible in the one output row, and
+    * asserted in the spec), which is what lets a 100 TB quantile run
+    * as per-partition sketches + a k·|groups|-bounded merge instead
+    * of a global sort. The exact percentile rides along with the
+    * relative error of the estimate.
+    */
+  def quantileSketchUnion(df: DataFrame, key: String, idCol: String,
+      valueCol: String, k: Int = 256, p: Double = 0.5): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hv = df.select(col(key), h.as("h"),
+      col(valueCol).cast("double").as("v"))
+    // (h, v) tiebreak: h is unique for unique ids up to a 2^-60
+    // collision, but the deterministic sort order costs nothing
+    val wg = Window.partitionBy(col(key))
+      .orderBy(col("h").asc, col("v").asc)
+    val perGroup = hv
+      .withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= k).select(col("h"), col("v"))
+    val wAll = Window.partitionBy().orderBy(col("h").asc, col("v").asc)
+    def qOf(rel: DataFrame, alias: String): DataFrame =
+      rel.withColumn("__rn", row_number().over(wAll))
+        .filter(col("__rn") <= k)
+        .agg(round(percentile(col("v"), lit(p)), 6).as(alias))
+    val exact = df.agg(
+      round(percentile(col(valueCol).cast("double"), lit(p)), 6)
+        .as("exact_p50"))
+    exact.crossJoin(qOf(hv.select(col("h"), col("v")), "kq_direct"))
+      .crossJoin(qOf(perGroup, "kq_merged"))
+      .select(col("exact_p50"), col("kq_direct"), col("kq_merged"),
+        round(abs(col("kq_direct") - col("exact_p50")) /
+          col("exact_p50"), 6).as("rel_err"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards — the concatenate-and-split layout every LLM pre-training
     * export runs (docs are concatenated in a deterministic order and

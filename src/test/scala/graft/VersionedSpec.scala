@@ -479,6 +479,42 @@ class VersionedSpec extends SparkSpec {
     assert(snap1.contains(7L) && snap1.contains(61L))
   }
 
+  test("scanRange over a logged table: pruned read equals merged filter") {
+    val t = tmpDir("versioned_mor_scan") + "/t"
+    Versioned.init(
+      docs(1L to 90L, _ => 10L).repartitionByRange(5, col("doc_id")), t)
+    // log touches keys inside AND outside the scan range, plus a
+    // tombstone inside it
+    import spark.implicits._
+    Versioned.mergeUpsertMoR(
+      Seq((12L, "src_0", 512L, false), (70L, "src_1", 570L, false),
+        (15L, "src_0", 0L, true))
+        .toDF("doc_id", "source", "n_chars", "del"),
+      t, Seq("doc_id"), deleteFlag = Some("del"))
+    val got = Versioned.scanRange(spark, t, "doc_id", 10L, 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val want = Versioned.current(spark, t)
+      .filter(col("doc_id") >= 10 && col("doc_id") <= 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got(12L) == 512L && !got.contains(15L) && got.size == 10)
+  }
+
+  test("vacuum with a pending log keeps every referenced file") {
+    val t = tmpDir("versioned_mor_vac") + "/t"
+    Versioned.init(
+      docs(1L to 40L, _ => 10L).repartitionByRange(3, col("doc_id")), t)
+    Versioned.mergeUpsertMoR(docs(Seq(5L), _ => 500L), t, Seq("doc_id"))
+    Versioned.mergeUpsertMoR(docs(Seq(6L), _ => 600L), t, Seq("doc_id"))
+    val expect = rows(Versioned.current(spark, t))
+    // v0/v1 manifests drop; the v2 manifest still references the v0
+    // base files AND both log files (the log: prefix must not hide
+    // them from the reference set)
+    Versioned.vacuum(spark, t, keepLast = 1)
+    assert(rows(Versioned.current(spark, t)) == expect)
+    assert(Versioned.versions(spark, t) == Seq(2))
+  }
+
   test("two racing committers of the same version: exactly one wins") {
     // the commit primitive directly: both threads race to CREATE the
     // v1 manifest after the barrier — the CREATE-no-overwrite marker

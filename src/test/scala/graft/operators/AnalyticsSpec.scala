@@ -112,6 +112,29 @@ class AnalyticsSpec extends SparkSpec {
       s"estimate off: $row")
   }
 
+  test("quantileSketchUnion: merged == direct; estimate tracks exact") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfSmoke)
+    val row = AnalyticsOps
+      .quantileSketchUnion(ev, "event_type", "event_id", "value")
+      .head()
+    assert(row.getDouble(1) == row.getDouble(2),
+      s"mergeability: union-of-sketches must equal sketch-of-union: $row")
+    val exact = row.getDouble(0)
+    assert(math.abs(row.getDouble(1) - exact) / math.abs(exact) < 0.25,
+      s"sample median far from exact: $row")
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) < 0.25)
+    // unsaturated case: fewer rows than k -> the sample IS the data,
+    // so the sketch median equals the exact median
+    val small = (1L to 99L).map(i => (i, "a", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val sm = AnalyticsOps
+      .quantileSketchUnion(small, "event_type", "event_id", "value")
+      .head()
+    assert(sm.getDouble(0) == 50.0 && sm.getDouble(1) == 50.0 &&
+      sm.getDouble(2) == 50.0 && sm.getDouble(3) == 0.0, s"$sm")
+  }
+
   test("curriculumPack: quality-descending shards, conserving") {
     val corpus = Tables.documents(spark, sfSmoke)
     val packed = AnalyticsOps.curriculumPack(corpus, "doc_id",
