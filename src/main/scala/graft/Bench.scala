@@ -32,15 +32,15 @@ object Bench {
     * additions measure n18 0.30 + n19 0.19 + t16 0.06 + t17 0.17 +
     * k18 0.96 ≈ 1.69 s, consistent within ~2% load noise — the
     * re-bake is recorded because one measurement beats a patch
-    * chain; l8 0.1050, m4 0.0203, k19 0.0032, n20 0.8526, c9 0.0742, t18 0.0667, e5 0.0490, l9 0.0592, r2 0.0943, t19 0.2103, n21 0.4002, n22 0.1256, k20 0.0053, k21 0.0052, st6 0.0058, e6 0.0890 min-of-3
+    * chain; l8 0.1050, m4 0.0203, k19 0.0032, n20 0.8526, c9 0.0742, t18 0.0667, e5 0.0490, l9 0.0592, r2 0.0943, t19 0.2103, n21 0.4002, n22 0.1256, k20 0.0053, k21 0.0052, st6 0.0058, e6 0.0890, c10 0.0141 min-of-3
     * warm added after). See BASELINE.md.
     * Valid ONLY for the oracle-suite size it was measured against:
     * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  val RecordedDuckdbSf01: Double = 27.1205
-  val RecordedDuckdbQueries: Int = 141
+  val RecordedDuckdbSf01: Double = 27.1346
+  val RecordedDuckdbQueries: Int = 142
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

@@ -838,6 +838,12 @@ object SparkEntry {
     "e4_kmv_distinct" -> ((s, dir) =>
       AnalyticsOps.kmvDistinct(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
+    // c10: deterministic WEIGHTED sampling (Efraimidis–Spirakis race
+    // with hash-derived u, weight = token count): the token-budget-
+    // matched subset draw, reproducible in both engines.
+    "c10_weighted_sample" -> ((s, dir) =>
+      AnalyticsOps.weightedSample(Tables.documents(s, dir),
+        "doc_id", "source", "text", k = 30)),
     // e6: e5's mergeability carried to QUANTILES — the hash-rank
     // sample is identical in both engines, so the approximate
     // quantile tier itself is oracle-checkable; merged == direct by
@@ -2275,6 +2281,20 @@ object SparkEntry {
         |    ELSE 255.0 * 1152921504606846976.0 / ms.hk END) AS BIGINT)
         |    AS kmv_merged
         |FROM ex, ds, ms""".stripMargin,
+    // c10: same race in SQL — identical u (IEEE double conversion of
+    // the same 60-bit hash), identical 9-dp rank, id tiebreak.
+    "c10_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, source, n_tok,
+        |  round(-ln((h::DOUBLE + 1.0) / 1152921504606846976.0)
+        |        / n_tok::DOUBLE, 9) AS w_rank
+        |FROM t
+        |ORDER BY w_rank ASC, doc_id ASC
+        |LIMIT 30""".stripMargin,
     // e6: hash-rank uniform sample (identical in both engines) →
     // exact interpolated percentile over the sample; merged path's
     // sample re-truncated from the per-type sketches.

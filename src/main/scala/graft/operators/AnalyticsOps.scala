@@ -417,6 +417,41 @@ object AnalyticsOps {
           col("exact_p50"), 6).as("rel_err"))
   }
 
+  /** Deterministic WEIGHTED sample — the Efraimidis–Spirakis
+    * exponential race with the randomness replaced by the id-hash:
+    * u_i = (h_i + 1) / 2⁶⁰ ∈ (0, 1], rank_i = −ln(u_i) / w_i, the k
+    * SMALLEST ranks win, which samples ∝ w without replacement. The
+    * weight here is the TOKEN COUNT (exact integer in both engines),
+    * i.e. documents are drawn proportional to their token mass — how
+    * a token-budget-matched subset is actually selected for a
+    * training-mixture experiment. Both engines compute the identical
+    * u (the md5-rank idiom; the double conversion is the same IEEE
+    * rounding) and the rank is rounded once at 9 dp (its magnitude is
+    * ~ln-scale/1e4, so 6 dp would quantize away the ordering signal)
+    * with a doc-id tiebreak, so the draw is reproducible — the
+    * seeded-sample property every corpus-ablation protocol needs.
+    *
+    * Shape: one scan computing (h, n_tok), a global top-k =
+    * TakeOrderedAndProject (per-partition heaps, no global sort), no
+    * shuffle of the text.
+    */
+  def weightedSample(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(col(idCol), col(srcCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"),
+        h.as("__h"))
+      .withColumn("__u",
+        (col("__h").cast("double") + lit(1.0)) /
+          lit(1.152921504606846976e18))
+      .select(col(idCol), col(srcCol), col("n_tok"),
+        round(-log(col("__u")) / col("n_tok").cast("double"), 9)
+          .as("w_rank"))
+      .orderBy(col("w_rank").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards — the concatenate-and-split layout every LLM pre-training
     * export runs (docs are concatenated in a deterministic order and

@@ -135,6 +135,33 @@ class AnalyticsSpec extends SparkSpec {
       sm.getDouble(2) == 50.0 && sm.getDouble(3) == 0.0, s"$sm")
   }
 
+  test("weightedSample: deterministic; heavy docs oversampled") {
+    import spark.implicits._
+    // two strata: heavy docs (100 tokens) and light docs (2 tokens) in
+    // equal numbers — token-mass weighting must pull mostly heavies
+    val heavy = (1L to 50L).map(i =>
+      (i, "h", (1 to 100).map(t => s"w$t").mkString(" ")))
+    val light = (101L to 150L).map(i => (i, "l", "a b"))
+    val df = (heavy ++ light).toDF("doc_id", "source", "text")
+    val out = AnalyticsOps
+      .weightedSample(df, "doc_id", "source", "text", 20)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out.size == 20)
+    assert(out.count(_._2 == "h") >= 15,
+      s"50x weight must dominate the draw: $out")
+    // ranks ascend; ties broken by id; draw is reproducible
+    assert(out.map(_._4) == out.map(_._4).sorted)
+    assert(out == AnalyticsOps
+      .weightedSample(df, "doc_id", "source", "text", 20)
+      .as[(Long, String, Long, Double)].collect().toSeq)
+    // real corpus: deterministic across runs
+    val corpus = Tables.documents(spark, sfSmoke)
+    def run() = AnalyticsOps
+      .weightedSample(corpus, "doc_id", "source", "text", 30)
+      .collect().toSeq
+    assert(run() == run())
+  }
+
   test("curriculumPack: quality-descending shards, conserving") {
     val corpus = Tables.documents(spark, sfSmoke)
     val packed = AnalyticsOps.curriculumPack(corpus, "doc_id",

@@ -50,7 +50,8 @@ class ScaleShapeSpec extends SparkSpec {
       "k19_restore", "c9_curriculum_pack", "t18_quantile_gate",
       "e5_kmv_union", "l9_hybrid_rrf", "r2_range_join",
       "t19_bpe_loop", "n21_stored_ivfpq", "n22_index_append",
-      "k20_mor_upsert", "k21_mor_delete", "e6_quantile_sketch")
+      "k20_mor_upsert", "k21_mor_delete", "e6_quantile_sketch",
+      "c10_weighted_sample")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
