@@ -109,6 +109,12 @@ object SparkEntry {
     // ---- north-star: similarity search over embeddings (L1) ----
     "n1_cosine_topk" -> ((s, dir) =>
       SimilarityOps.cosineTopK(Tables.embeddings(s, dir), 0L, 20)),
+    // n23: hard-negative mining — per-query top-k most-similar vectors
+    // of a DIFFERENT label (the contrastive-training negatives batch);
+    // broadcast query set, label filter on the scan side.
+    "n23_hard_negatives" -> ((s, dir) =>
+      SimilarityOps.hardNegatives(Tables.embeddings(s, dir),
+        queryMod = 73, k = 5)),
     "n5_label_top_pairs" -> ((s, dir) =>
       SimilarityOps.labelTopPairs(Tables.embeddings(s, dir), 20)),
     "n6_ann_lsh_topk" -> ((s, dir) =>  // approximate → rows-only gate
@@ -326,6 +332,17 @@ object SparkEntry {
     // chosen merge table per iteration, oracle-replayed in DuckDB.
     "t19_bpe_loop" -> ((s, dir) =>
       TextOps.bpeMergeLoop(Tables.documents(s, dir), "text", 3)),
+    // t20: the tokenizer APPLIED — t19's 3 learned merges encode every
+    // document; per-doc token count + merged-token count under the
+    // learned vocab (the sequence-length input to the packing tier).
+    "t20_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(Tables.documents(s, dir), "doc_id", "text", 3)),
+    // c11: overlapping token-window chunking — the pre-embedding
+    // splitter (64-token chunks, stride 48); manifest rows carry an
+    // md5 prefix for the chunk payload, hash-checkable without text.
+    "c11_chunk_split" -> ((s, dir) =>
+      TextOps.chunkSplit(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, strideTokens = 48)),
     // t16: linear quality-classifier gate — soft-margin scoring over
     // t14's structural features; per-source docs/passes/mean score.
     "t16_classifier_gate" -> ((s, dir) =>
@@ -406,6 +423,12 @@ object SparkEntry {
     "l8_fts_batch" -> ((s, dir) =>
       FtsOps.searchBm25Batch(Tables.documents(s, dir), "doc_id",
         "text", BatchFtsQueries, k = 10)),
+    // l10: PHRASE search over positional postings — term adjacency via
+    // the pruned postings self-join (pos_b = pos_a + 1); the FTS
+    // feature the bag-of-words ladder can't express.
+    "l10_phrase_search" -> ((s, dir) =>
+      FtsOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+        first = "fast", second = "merge")),
 
     // ---- remaining §2 aggregate/sort shapes ----
     "a5_filtered_agg" -> ((s, dir) =>
@@ -838,6 +861,13 @@ object SparkEntry {
     "e4_kmv_distinct" -> ((s, dir) =>
       AnalyticsOps.kmvDistinct(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
+    // e7: mergeable HEAVY HITTERS — global frequency top-k read off
+    // hash-disjoint per-bucket top-k candidates (lossless merge by
+    // construction); the oracle states the direct top-k the merged
+    // path must equal.
+    "e7_heavy_hitters" -> ((s, dir) =>
+      AnalyticsOps.heavyHittersTopK(Tables.events(s, dir),
+        itemCol = "user_id", k = 20, buckets = 32)),
     // c10: deterministic WEIGHTED sampling (Efraimidis–Spirakis race
     // with hash-derived u, weight = token count): the token-budget-
     // matched subset draw, reproducible in both engines.
@@ -1313,6 +1343,24 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
         |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
+    // n23: per-query top-k with the label-inequality constraint — the
+    // window over broadcast-scored candidates, stated directly.
+    "n23_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv,
+        |    nrm AS qnrm FROM n WHERE vec_id % 73 = 0),
+        |s AS (SELECT q.query_id, n.vec_id, n.label,
+        |    round(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm), 6)
+        |      AS score
+        |  FROM n JOIN q ON n.label <> q.qlabel),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id ASC) AS rn FROM s)
+        |SELECT query_id, vec_id, label, score FROM r WHERE rn <= 5
+        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
     "r1_salted_counts" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, event_type ASC""".stripMargin,
@@ -1879,6 +1927,42 @@ object SparkEntry {
     // non-overlapping left-to-right scan).
     "t19_bpe_loop" ->
       graft.operators.TextOps.bpeMergeLoopSql("documents", "text", 3),
+    // t20: the same CTE chain extended one rewrite step (the last
+    // merge IS applied), closing with per-doc token/merged counts.
+    "t20_bpe_encode" ->
+      graft.operators.TextOps.bpeEncodeSql(
+        "documents", "doc_id", "text", 3),
+    // c11: chunk manifest replayed with range + 1-based list slicing —
+    // DuckDB's toks[a:b] clamps exactly like Spark's slice.
+    "c11_chunk_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+        |      ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1
+        |      END)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  len(toks[chunk_id*48 + 1 : chunk_id*48 + 64])::BIGINT
+        |    AS chunk_tok,
+        |  substr(md5(array_to_string(
+        |    toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')), 1, 16)
+        |    AS chunk_md5
+        |FROM c
+        |ORDER BY doc_id ASC, chunk_id ASC""".stripMargin,
+    // l10: phrase adjacency via DuckDB's aligned multi-unnest of the
+    // two shifted slices + a 1-based position range.
+    "l10_phrase_search" ->
+      graft.operators.FtsOps.phraseSearchSql(
+        "documents", "doc_id", "text", "fast", "merge"),
+    // e7: the oracle is the DIRECT top-k the bucketized merged path
+    // must equal exactly (the r2 adjudication pattern).
+    "e7_heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id
+        |ORDER BY cnt DESC, user_id ASC LIMIT 20""".stripMargin,
     // t15: pairs via list_zip of the two offset slices — the same
     // shifted-self zip the Spark side builds with slice + zip_with.
     "t15_pair_counts" ->

@@ -417,6 +417,39 @@ object AnalyticsOps {
           col("exact_p50"), 6).as("rel_err"))
   }
 
+  /** MERGEABLE HEAVY HITTERS — the third member of the sketch family
+    * (e4/e5 distinct-counts, e6 quantiles): global top-k by frequency
+    * computed the DISTRIBUTED way. Items are hash-partitioned into
+    * `buckets` disjoint shards (an item lives in exactly ONE bucket, so
+    * the per-bucket count IS the full count — the merge is lossless by
+    * construction, unlike stream-order-dependent Misra-Gries), each
+    * bucket reports its local top-k, and the global top-k is read off
+    * the k·|buckets|-bounded candidate relation. Any item in the
+    * global top-k (count desc, item asc total order) is preceded by
+    * fewer than k items within its own bucket, so it MUST appear among
+    * the candidates — the merged path provably equals the direct
+    * top-k, and the oracle states exactly that direct form.
+    *
+    * At 100 TB: the partial aggregate collapses each partition to its
+    * distinct-item counts before the one exchange on the item key; the
+    * only globally-ordered step runs over ≤ k·buckets rows. The full
+    * count relation is never globally sorted and never leaves its
+    * bucket.
+    */
+  def heavyHittersTopK(df: DataFrame, itemCol: String, k: Int = 20,
+      buckets: Int = 32): DataFrame = {
+    val counts = df.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__b", pmod(xxhash64(col(itemCol)), lit(buckets)))
+    val wb = Window.partitionBy(col("__b"))
+      .orderBy(col("cnt").desc, col(itemCol).asc)
+    counts.withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= k)
+      .select(col(itemCol), col("cnt"))
+      .orderBy(col("cnt").desc, col(itemCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic WEIGHTED sample — the Efraimidis–Spirakis
     * exponential race with the randomness replaced by the id-hash:
     * u_i = (h_i + 1) / 2⁶⁰ ∈ (0, 1], rank_i = −ln(u_i) / w_i, the k

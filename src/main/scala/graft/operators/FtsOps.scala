@@ -390,4 +390,53 @@ object FtsOps {
        |GROUP BY $idCol
        |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
+
+  /** PHRASE search over POSITIONAL postings — the FTS feature the
+    * tf/BM25 ladder can't express (term adjacency): postings carry the
+    * token POSITION, the phrase "a b" is the equi-self-join of a's and
+    * b's postings on (doc, pos_b = pos_a + 1), and the result is the
+    * per-document occurrence count with the first match position.
+    *
+    * Scale shape: the postings relation is PRUNED to the two phrase
+    * terms before anything joins (an IN-list filter that reaches the
+    * scan — with the index at rest bucketed by token, two bucket
+    * probes), so the join cost is |postings(a)| + |postings(b)|, never
+    * corpus-sized; the adjacency condition rides the doc-id equi-join.
+    * Longer phrases chain the same join once per extra term.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      first: String, second: String): DataFrame = {
+    val post = docs.select(col(idCol),
+        posexplode(split(lower(col(textCol)), " "))
+          .as(Seq("pos", "term")))
+      .filter(col("term").isin(first, second))
+    val a = post.filter(col("term") === first)
+      .select(col(idCol), col("pos"))
+    val b = post.filter(col("term") === second)
+      .select(col(idCol), col("pos").as("pos2"))
+    a.join(b, Seq(idCol))
+      .filter(col("pos2") === col("pos") + 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occ"),
+        (min(col("pos")) + 1).cast("long").as("first_pos"))
+      .orderBy(col(idCol).asc)
+  }
+
+  /** Oracle twin of [[phraseSearch]]: DuckDB's aligned multi-`unnest`
+    * zips the two shifted token slices with a 1-based position range —
+    * the t15 adjacent-pair idiom with the position carried.
+    */
+  def phraseSearchSql(table: String, idCol: String, textCol: String,
+      first: String, second: String): String =
+    s"""WITH t AS (SELECT $idCol,
+       |    string_split(lower($textCol), ' ') AS toks FROM $table),
+       |p AS (SELECT $idCol,
+       |    unnest(toks[1:len(toks)-1]) AS a,
+       |    unnest(toks[2:len(toks)]) AS b,
+       |    unnest(range(1, len(toks))) AS pos
+       |  FROM t)
+       |SELECT $idCol, count(*) AS n_occ, min(pos)::BIGINT AS first_pos
+       |FROM p WHERE a = '$first' AND b = '$second'
+       |GROUP BY $idCol
+       |ORDER BY $idCol ASC""".stripMargin
 }

@@ -46,6 +46,44 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    * query vector, the k most-similar corpus vectors whose label
+    * DIFFERS from the query's (high-similarity wrong-class examples —
+    * the negatives a contrastive/embedding-training batch builder
+    * pairs against each anchor). Query set = every `queryMod`-th
+    * vector, the n10 batch convention.
+    *
+    * Scale shape: the ≤Q query rows broadcast against the corpus scan
+    * (one pass, no corpus shuffle); the label-inequality filter rides
+    * the broadcast join, and the per-query top-k is one window over
+    * the filtered candidates. At 100 TB the corpus side would first
+    * prune through the IVF probe (n10) — this is the exact-scoring
+    * tier with the class constraint.
+    */
+  def hardNegatives(embeddings: DataFrame, queryMod: Int, k: Int)
+      : DataFrame = {
+    val qs = embeddings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    val vecs = embeddings.select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    vecs.crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosinePrenormed(col("v"), col("qv"), col("nrm"),
+          col("qnrm")), 6).as("score"))
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy(col("query_id").asc, col("score").desc,
+        col("vec_id").asc)
+  }
+
   /** Top-k most-similar pairs within each coarse partition (`label`),
     * globally ranked. Equi-join on the partition key = candidate set is
     * Σ|cluster|², not N²; at scale the clusters come from k-means

@@ -823,4 +823,128 @@ object TextOps {
     }.mkString("\nUNION ALL ")
     s"$ctes\n$sel\nORDER BY iter ASC"
   }
+
+  /** TOKENIZER APPLICATION — the second half of the BPE story
+    * ([[bpeMergeLoop]] induces the vocabulary; this ENCODES the corpus
+    * with it): learn `iters` merges on the corpus, apply every one to
+    * every document in merge order (the same greedy double-`replace`
+    * rewrite, now carrying the doc id), and report the per-document
+    * token count after merging next to the count of merged tokens
+    * (tokens containing the `_` join marker — multi-level merges like
+    * `a_b_c` count once). This is what a tokenization export job
+    * actually emits: per-doc sequence lengths under the learned vocab,
+    * the input to the packing tier (c5/c6).
+    *
+    * Scale shape is [[bpeMergeLoop]]'s: `iters` corpus scans, each
+    * merge a 1-row eagerly-checkpointed broadcast; the rewritten text
+    * stays in-flight and dies in the final projection — only (id,
+    * n_tok, n_merged) leaves the scan stage.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      iters: Int = 3): DataFrame = {
+    var cur = df.select(col(idCol),
+      concat(lit(" "), col(textCol), lit(" ")).as("t"))
+    for (_ <- 1 to iters) {
+      val toks = tokens(trim(col("t")))
+      val n = size(toks)
+      val pairs = zip_with(
+        slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val top = cur.select(explode(pairs).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .select(
+          element_at(split(col("pair"), " "), 1).as("pa"),
+          element_at(split(col("pair"), " "), 2).as("pb"))
+        .localCheckpoint() // 1 row, eager: severs the iteration chain
+      val pat = concat(lit(" "), col("pa"), lit(" "), col("pb"),
+        lit(" "))
+      val rep = concat(lit(" "), col("pa"), lit("_"), col("pb"),
+        lit(" "))
+      cur = cur.crossJoin(broadcast(top))
+        .select(col(idCol),
+          replace(replace(col("t"), pat, rep), pat, rep).as("t"))
+    }
+    val outToks = tokens(trim(col("t")))
+    cur.select(col(idCol),
+        size(outToks).cast("long").as("n_tok"),
+        size(filter(outToks, t => t.contains("_"))).cast("long")
+          .as("n_merged"))
+      .orderBy(col(idCol).asc)
+  }
+
+  /** Oracle twin of [[bpeEncode]]: the [[bpeMergeLoopSql]] CTE chain
+    * extended one rewrite step (the last merge IS applied) with the id
+    * carried through, closing with the per-doc token/merged counts.
+    */
+  def bpeEncodeSql(table: String, idCol: String, textCol: String,
+      iters: Int = 3): String = {
+    def countCte(src: String): String =
+      s"""SELECT string_split(pair, ' ')[1] AS pa,
+         |       string_split(pair, ' ')[2] AS pb
+         |FROM (
+         |  SELECT z[1] || ' ' || z[2] AS pair, count(*) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_zip(toks[1:len(toks)-1],
+         |                           toks[2:len(toks)])) AS z
+         |    FROM (SELECT string_split(trim(t), ' ') AS toks
+         |          FROM $src))
+         |  GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)""".stripMargin
+    val ctes = new StringBuilder(
+      s"WITH d1 AS (SELECT $idCol, ' ' || $textCol || ' ' AS t" +
+        s" FROM $table)")
+    (1 to iters).foreach { i =>
+      ctes ++= s",\np$i AS (\n${countCte(s"d$i")})"
+      ctes ++=
+        s""",
+           |d${i + 1} AS (
+           |  SELECT $idCol, replace(replace(t,
+           |      ' '||pa||' '||pb||' ', ' '||pa||'_'||pb||' '),
+           |      ' '||pa||' '||pb||' ', ' '||pa||'_'||pb||' ') AS t
+           |  FROM d$i CROSS JOIN p$i)""".stripMargin
+    }
+    s"""$ctes
+       |SELECT $idCol,
+       |  len(string_split(trim(t), ' '))::BIGINT AS n_tok,
+       |  len(list_filter(string_split(trim(t), ' '),
+       |      x -> contains(x, '_')))::BIGINT AS n_merged
+       |FROM d${iters + 1}
+       |ORDER BY $idCol ASC""".stripMargin
+  }
+
+  /** Overlapping token-window CHUNKING — the pre-embedding splitter
+    * every retrieval/RAG ingest runs: chunk i of a document covers
+    * tokens [i·stride+1, i·stride+chunk] (1-based), so consecutive
+    * chunks overlap by chunk−stride tokens; a document of n tokens
+    * yields ceil((n−chunk)/stride)+1 chunks (one when n ≤ chunk — the
+    * final chunk may run short). Emits (id, chunk_id, chunk_tok,
+    * chunk_md5): the md5 prefix stands in for the chunk payload so the
+    * manifest is hash-checkable without exporting text.
+    *
+    * Scale shape: the explode factor is n/stride per document and the
+    * token array is built once in the scan stage — chunk texts are
+    * hashed in-flight and never shuffle (the output carries 16 hex
+    * chars per chunk, not the text). No join, no aggregate; the only
+    * exchange is the final range sort of the manifest.
+    */
+  def chunkSplit(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      ceil((n - lit(chunkTokens)).cast("double") /
+        lit(strideTokens.toDouble)).cast("long") + lit(1L))
+    val start = (col("chunk_id") * strideTokens + 1).cast("int")
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        size(slice(col("__toks"), start, lit(chunkTokens)))
+          .cast("long").as("chunk_tok"),
+        substring(md5(array_join(
+          slice(col("__toks"), start, lit(chunkTokens)), " ")), 1, 16)
+          .as("chunk_md5"))
+      .orderBy(col(idCol).asc, col("chunk_id").asc)
+  }
 }

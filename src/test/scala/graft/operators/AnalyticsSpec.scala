@@ -445,4 +445,29 @@ class AnalyticsSpec extends SparkSpec {
         4)).head.getDouble(0)
     assert(got == want)
   }
+
+  test("heavyHittersTopK: merged bucketized path equals direct top-k") {
+    // hand corpus with a known frequency ladder + ties
+    val items = Seq.fill(9)("a") ++ Seq.fill(7)("b") ++
+      Seq.fill(7)("c") ++ Seq.fill(3)("d") ++ Seq("e", "f")
+    val df = items.toDF("item")
+    val out = AnalyticsOps.heavyHittersTopK(df, "item", k = 4,
+      buckets = 8).as[(String, Long)].collect().toSeq
+    // tie at 7 breaks on item asc; d beats the singletons
+    assert(out == Seq(("a", 9L), ("b", 7L), ("c", 7L), ("d", 3L)),
+      s"$out")
+    // real events: the merged path must equal the direct top-k, and
+    // must be invariant to the bucket count (the merge is lossless
+    // for ANY disjoint partitioning of the item domain)
+    val events = Tables.events(spark, sfSmoke)
+    val direct = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id").asc).limit(20)
+      .as[(Long, Long)].collect().toSeq
+    for (b <- Seq(1, 4, 64)) {
+      val merged = AnalyticsOps.heavyHittersTopK(events, "user_id",
+        k = 20, buckets = b).as[(Long, Long)].collect().toSeq
+      assert(merged == direct, s"buckets=$b")
+    }
+  }
 }

@@ -698,4 +698,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.size == 30)
     a.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
   }
+
+  test("hardNegatives: cross-label only, per-query top-k, exact scores") {
+    // query = vec 0 (label 0); same-label vec 2 is closest but must be
+    // EXCLUDED; the negatives come from label 1 ranked by cosine.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.05f), 0),
+      (5L, Array(0.9f, 0.3f), 1), (6L, Array(0.0f, 1.0f), 1),
+      (7L, Array(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.hardNegatives(df, queryMod = 73, k = 2)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((0L, 5L), (0L, 7L)),
+      s"same-label 2 excluded; ranked by cosine: $out")
+    assert(out.forall(_._3 == 1))
+    // real corpus: every negative's label differs from its query's,
+    // per-query row count is <= k, and the result is exactly the
+    // label-filtered head of the brute-force ranking (cross-check
+    // against cosineTopK per query)
+    val e = Tables.embeddings(spark, sfSmoke)
+    val res = SimilarityOps.hardNegatives(e, queryMod = 73, k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val qLabels = e.filter(col("vec_id") % 73 === 0)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(qLabels.nonEmpty)
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.size <= 5)
+      assert(rows.forall(_._3 != qLabels(q)))
+      val brute = SimilarityOps.cosineTopK(e, q, 1000)
+        .as[(Long, Int, Double)].collect().toSeq
+        .filter(_._2 != qLabels(q)).take(5)
+        .map { case (v, l, s) => (q, v, l, s) }
+      assert(rows.toSeq == brute, s"query $q")
+    }
+  }
 }

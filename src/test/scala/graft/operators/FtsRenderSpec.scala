@@ -196,4 +196,28 @@ class FtsRenderSpec extends SparkSpec {
     assert(out(0) == "a" * 200 + "...")
     assert(out(1) == "b" * 10)
   }
+
+  test("phraseSearch: adjacency only, ordered, counted, positioned") {
+    val df = Seq(
+      (1L, "fast merge x fast merge"), // two hits, first at pos 1
+      (2L, "fast x merge"),            // terms present, not adjacent
+      (3L, "merge fast"),              // reversed order — no hit
+      (4L, "y fast merge z")           // one hit at pos 2
+    ).toDF("doc_id", "text")
+    val out = FtsOps.phraseSearch(df, "doc_id", "text", "fast", "merge")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L), (4L, 1L, 2L)), s"$out")
+    // real corpus: deterministic, and every reported doc really
+    // contains the adjacent pair (re-checked lexically)
+    val corpus = Tables.documents(spark, sfSmoke)
+    val hits = FtsOps.phraseSearch(corpus, "doc_id", "text",
+      "fast", "merge").collect().toSeq
+    assert(hits == FtsOps.phraseSearch(corpus, "doc_id", "text",
+      "fast", "merge").collect().toSeq)
+    val lexical = corpus.filter(
+        concat(lit(" "), col("text"), lit(" "))
+          .contains(" fast merge "))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.map(_.getLong(0)).toSet == lexical)
+  }
 }

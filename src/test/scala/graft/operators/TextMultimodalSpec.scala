@@ -475,4 +475,78 @@ class TextMultimodalSpec extends SparkSpec {
     // remove occurrences of other pairs, and the max is the max)
     assert(first.map(_._3) == first.map(_._3).sorted.reverse, s"$first")
   }
+
+  test("bpeEncode: learned merges tokenize every doc; counts exact") {
+    // same corpus as the bpeMergeLoop test -> merges are
+    // 1:"a b", 2:"a_b c", 3:"a_b a_b_c" (all three APPLIED here)
+    val df = Seq((1L, "a b a b c x"), (2L, "a b c"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeEncode(df, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1: "a b a b c x" -> "a_b a_b c x" -> "a_b a_b_c x"
+    //       -> "a_b_a_b_c x": 2 tokens, 1 merged
+    // doc2: "a b c" -> "a_b c" -> "a_b_c": 1 token, 1 merged
+    // doc3: "z z" untouched: 2 tokens, 0 merged
+    assert(out == Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 0L)), s"$out")
+    // real corpus: deterministic; merging can only shrink counts and
+    // every doc survives with at least one token
+    val corpus = Tables.documents(spark, sfSmoke)
+    val enc = TextOps.bpeEncode(corpus, "doc_id", "text", 3)
+    val rows = enc.collect().toSeq
+    assert(rows == TextOps.bpeEncode(corpus, "doc_id", "text", 3)
+      .collect().toSeq)
+    assert(rows.size == corpus.count())
+    val orig = corpus.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n0"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      val (id, nTok, nMerged) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nTok >= 1 && nTok <= orig(id))
+      assert(nMerged >= 0 && nMerged <= nTok)
+    }
+  }
+
+  test("chunkSplit: window arithmetic, overlap conservation, clamping") {
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val eleven = (1 to 11).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, ten), (2L, eleven), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkSplit(df, "doc_id", "text",
+      chunkTokens = 4, strideTokens = 3)
+      .select("doc_id", "chunk_id", "chunk_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 10 tokens: ceil((10-4)/3)+1 = 3 full chunks [1..4][4..7][7..10];
+    // 11 tokens: 4 chunks, last one short ([10..11] = 2 tokens);
+    // 2 tokens <= chunk: one whole-doc chunk
+    assert(out == Seq(
+      (1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L),
+      (2L, 0L, 4L), (2L, 1L, 4L), (2L, 2L, 4L), (2L, 3L, 2L),
+      (3L, 0L, 2L)), s"$out")
+    // chunk hashes: identical windows hash identically, shifted ones
+    // don't ([1..4] of doc1 == [1..4] of doc2; [7..10] differs from
+    // doc2's [7..10]? no — same prefix — but doc2's last chunk does)
+    val hashes = TextOps.chunkSplit(df, "doc_id", "text", 4, 3)
+      .select("doc_id", "chunk_id", "chunk_md5")
+      .as[(Long, Long, String)].collect()
+      .map { case (d, c, h) => (d, c) -> h }.toMap
+    assert(hashes((1L, 0L)) == hashes((2L, 0L)))
+    assert(hashes((1L, 2L)) == hashes((2L, 2L)))
+    assert(hashes((2L, 3L)) != hashes((2L, 2L)))
+    // real corpus: token conservation — sum(chunk_tok) recovers
+    // n + (nChunks-1)*(chunk-stride) per doc (every adjacent pair of
+    // chunks overlaps by exactly chunk-stride tokens)
+    val corpus = Tables.documents(spark, sfSmoke)
+    val agg = TextOps.chunkSplit(corpus, "doc_id", "text", 64, 48)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nc"), sum(col("chunk_tok")).as("tot"))
+      .join(corpus.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n")),
+        Seq("doc_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(agg.nonEmpty)
+    agg.foreach { case (id, nc, tot, n) =>
+      assert(tot == n + (nc - 1) * (64 - 48), s"doc $id: $nc $tot $n")
+    }
+  }
 }
