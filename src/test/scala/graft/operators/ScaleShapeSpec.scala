@@ -51,7 +51,9 @@ class ScaleShapeSpec extends SparkSpec {
       "e5_kmv_union", "l9_hybrid_rrf", "r2_range_join",
       "t19_bpe_loop", "n21_stored_ivfpq", "n22_index_append",
       "k20_mor_upsert", "k21_mor_delete", "e6_quantile_sketch",
-      "c10_weighted_sample")
+      "c10_weighted_sample",
+      "t20_bpe_encode", "c11_chunk_split", "l10_phrase_search",
+      "e7_heavy_hitters", "n23_hard_negatives")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
