@@ -578,6 +578,28 @@ object SparkEntry {
         root, Seq("doc_id"))
       Versioned.current(s, root).resultSorted(col("doc_id").asc)
     }),
+    // k22: SCHEMA EVOLUTION on merge — the refresh batch carries a
+    // NEW column (quality); carried-over and time-traveled rows
+    // null-fill it, scored rows keep it, and the per-source rollup
+    // separates n_docs from n_scored so the null-fill is visible to
+    // the oracle. Write-path query (fresh table per invocation).
+    "k22_schema_evolution" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      val root = tempTableRoot("graft_evo") + "/docs"
+      Versioned.init(docs.filter(col("doc_id") % 3 =!= 0)
+        .repartitionByRange(6, col("doc_id")), root)
+      Versioned.mergeUpsert(docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("quality", (col("n_chars") % 7).cast("long")),
+        root, Seq("doc_id"))
+      Versioned.current(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_scored"),
+          sum(col("quality")).cast("long").as("total_quality"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .resultSorted(col("source").asc)
+    }),
     // k21: MoR TOMBSTONE deletes — the %5 batch upserts odd
     // multiples at their original value and tombstones %10 == 0
     // (overriding the first log's +1000 for those keys); readers
@@ -2510,6 +2532,19 @@ object SparkEntry {
     // k21: tombstoned keys (%10 == 0) are excluded outright; odd %5
     // keys take the second log's ORIGINAL value (latest-wins over the
     // first log's +1000 cannot occur — %5 ∧ %2 ⇒ %10, all tombstoned).
+    // k22: the evolved relation stated directly — quality exists only
+    // for the refreshed keys; count(quality) skips the null-filled.
+    "k22_schema_evolution" ->
+      """WITH evo AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN doc_id % 2 = 0 THEN n_chars % 7 END AS quality
+        |  FROM documents
+        |  WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0)
+        |SELECT source, count(*) AS n_docs,
+        |  count(quality) AS n_scored,
+        |  sum(quality)::BIGINT AS total_quality,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM evo GROUP BY source ORDER BY source ASC""".stripMargin,
     "k21_mor_delete" ->
       """WITH u AS (
         |  SELECT doc_id, source, n_chars FROM documents

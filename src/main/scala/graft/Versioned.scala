@@ -189,7 +189,10 @@ object Versioned {
       logKeysOf(logEntries.head))
 
   /** Reads a set of manifest data files, grouped by their birth
-    * version directory.
+    * version directory. Files born before a SCHEMA EVOLUTION commit
+    * lack the evolved columns — the union null-fills them (the
+    * Delta/Iceberg add-column read semantics); group order is sorted,
+    * so the assembled column order is deterministic.
     */
   private def readFilesByBirth(spark: SparkSession, table: String,
       files: Seq[String]): DataFrame =
@@ -201,7 +204,7 @@ object Versioned {
           .option("basePath", base)
           .parquet(fls.map(resolved(table, _)): _*)
       }
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Time travel: read snapshot `v` (immutable once committed). When
     * the manifest carries merge-on-read log entries, the read applies
@@ -219,7 +222,7 @@ object Versioned {
       // anti-join on ALL latest keys (tombstones suppress base rows
       // too), then union only the logically-present rows
       base.join(latest.select(keys.map(col): _*), keys, "left_anti")
-        .unionByName(dropTombstones(latest))
+        .unionByName(dropTombstones(latest), allowMissingColumns = true)
     }
   }
 
@@ -506,8 +509,13 @@ object Versioned {
       if (matched.isEmpty) upserts
       else {
         val rewrite = readFilesByBirth(spark, table, matched.toSeq)
+        // allowMissingColumns = SCHEMA EVOLUTION on merge: a source
+        // carrying a NEW column widens the table (carried-over rows
+        // null-fill it); a source missing a column null-fills its own
+        // rows (whole-row-replace semantics, stated in the contract)
         upserts.unionByName(
-          rewrite.join(source.select(keyCols: _*), keys, "left_anti"))
+          rewrite.join(source.select(keyCols: _*), keys, "left_anti"),
+          allowMissingColumns = true)
       }
     write(merged, versionDir(table, v + 1), partitionCols)
     commit(spark, table, v + 1,
@@ -599,7 +607,8 @@ object Versioned {
       if (matched.isEmpty) dropTombstones(src)
       else dropTombstones(src).unionByName(
         readFilesByBirth(spark, table, matched.toSeq)
-          .join(src.select(keys.map(col): _*), keys, "left_anti"))
+          .join(src.select(keys.map(col): _*), keys, "left_anti"),
+        allowMissingColumns = true)
     write(merged, versionDir(table, v + 1), partitionCols)
     commit(spark, table, v + 1,
       untouched ++ listDataFiles(spark, table, v + 1))
@@ -685,13 +694,21 @@ object Versioned {
           .join(beforeRead.select(keys.map(col): _*), keys, "left_anti")
         // the after side carries only logically-present rows, so a
         // tombstoned key classifies as a DELETE (before row, no after)
-        (beforeRead.unionByName(beforeLookup),
-          readOrEmpty(addedBaseE).unionByName(dropTombstones(afterLog)))
+        (beforeRead.unionByName(beforeLookup,
+            allowMissingColumns = true),
+          readOrEmpty(addedBaseE).unionByName(dropTombstones(afterLog),
+            allowMissingColumns = true))
       }
-    val before = before0.select(
-      schema.fieldNames.toSeq.map(c => col(c).as(s"__b_$c")): _*)
-    val after = after0.select(
-      schema.fieldNames.toSeq.map(c => col(c).as(s"__a_$c")): _*)
+    // schema EVOLUTION across the commit: the feed's schema is the
+    // AFTER side's; before-images born before an added column
+    // null-fill it (so an evolution rewrite with unchanged values
+    // reports updates only where the new column is non-null)
+    def aligned(df: DataFrame, prefix: String): DataFrame =
+      df.select(schema.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(s"$prefix${f.name}")): _*)
+    val before = aligned(before0, "__b_")
+    val after = aligned(after0, "__a_")
     val keyEq = keys.map(k => col(s"__b_$k") === col(s"__a_$k"))
       .reduce(_ && _)
     val isIns = col(s"__b_${keys.head}").isNull
@@ -760,7 +777,8 @@ object Versioned {
         val latest = logLatest(spark, table, logsE)
         prunedBase
           .join(latest.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(dropTombstones(latest))
+          .unionByName(dropTombstones(latest),
+            allowMissingColumns = true)
       }
     if (entries.size <= 1) return full.filter(residual)
     if (files.isEmpty) return withLog(full.filter(lit(false)))

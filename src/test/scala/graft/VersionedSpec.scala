@@ -580,4 +580,65 @@ class VersionedSpec extends SparkSpec {
       s"merged keys must reflect exactly one committed writer: " +
         cur.filter(r => r._1 == 7L || r._1 == 8L).toString)
   }
+
+  test("schema evolution: widening merge null-fills; travel keeps v0") {
+    import spark.implicits._
+    val t = tmpDir("versioned_evo") + "/t"
+    Versioned.init(docs(Seq(1L, 2L, 3L), _ => 100L), t)
+    // widening CoW merge: the source carries a NEW column
+    val widened = Seq((2L, "src_2", 200L, 9L), (4L, "src_1", 400L, 7L))
+      .toDF("doc_id", "source", "n_chars", "quality")
+    Versioned.mergeUpsert(widened, t, Seq("doc_id"))
+    val cur = Versioned.current(spark, t)
+    assert(cur.columns.contains("quality"))
+    val q = cur.select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(q == Map(1L -> None, 2L -> Some(9L), 3L -> None,
+      4L -> Some(7L)), s"$q")
+    // time travel: v0 predates the column — its schema is unchanged
+    assert(!Versioned.snapshot(spark, t, 0).columns.contains("quality"))
+    // CDC across the evolution commit: carried-over rows (null == null
+    // on the new column) are NOT spurious updates; the upsert with an
+    // unchanged payload but a new non-null column IS an update
+    val ch = Versioned.changes(spark, t, 0, 1, Seq("doc_id"))
+      .select("doc_id", "change_type").as[(Long, String)]
+      .collect().toSet
+    assert(ch == Set((2L, "update"), (4L, "insert")), s"$ch")
+    // narrowing source: a later merge WITHOUT the column null-fills
+    // its own rows (whole-row replace), others keep their values
+    Versioned.mergeUpsert(docs(Seq(2L), _ => 250L), t, Seq("doc_id"))
+    val q2 = Versioned.current(spark, t)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(q2 == Map(1L -> None, 2L -> None, 3L -> None,
+      4L -> Some(7L)), s"$q2")
+  }
+
+  test("schema evolution through the MoR log: read, fold, survive") {
+    import spark.implicits._
+    val t = tmpDir("versioned_evo_mor") + "/t"
+    Versioned.init(docs(Seq(1L, 2L, 3L), _ => 100L), t)
+    val widened = Seq((3L, "src_0", 300L, 5L), (5L, "src_2", 500L, 8L))
+      .toDF("doc_id", "source", "n_chars", "quality")
+    Versioned.mergeUpsertMoR(widened, t, Seq("doc_id"))
+    def qmap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "quality").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some(r.getLong(1)))).toMap
+    val expected = Map(1L -> None, 2L -> None, 3L -> Some(5L),
+      5L -> Some(8L))
+    // merged MoR read: base rows null-fill the log's new column
+    assert(qmap(Versioned.current(spark, t)) == expected)
+    // the fold rewrites the grazed base files; values survive and the
+    // manifest is log-free
+    Versioned.compactLogs(spark, t)
+    assert(qmap(Versioned.current(spark, t)) == expected)
+    // a CoW merge REQUIRES a log-free manifest — succeeding proves
+    // the fold retired the log entries
+    Versioned.mergeUpsert(docs(Seq(6L), _ => 600L), t, Seq("doc_id"))
+    assert(qmap(Versioned.current(spark, t)) ==
+      expected + (6L -> None))
+  }
 }
