@@ -167,4 +167,52 @@ object Mv {
     Catalog.replace(spark, tmp, view.path)
     writeWatermark(spark, view.path, wm)
   }
+
+  /** CDC-DRIVEN rollup maintenance — incremental view maintenance
+    * under UPDATES and DELETES, not just appends: apply a
+    * [[Versioned.changes]] feed (fromV → toV) to a count+long-sum
+    * rollup materialized as of fromV, via the classic delta rule
+    *   mv' = mv + f(after-image) − f(before-image).
+    * Inserts add their after-image; deletes subtract their carried
+    * before-image; updates subtract the fromV pre-image and add the
+    * after-image — which also moves mass correctly when the GROUP
+    * column itself changed. This is the piece [[refreshIncrementalRollup]]
+    * cannot do (append-only watermarks see a CoW rewrite as a
+    * full re-append).
+    *
+    * Pre-images for updated keys are looked up in the fromV snapshot
+    * restricted by left-semi to the feed's update keys — key-bounded
+    * and served by the same footer-stat pruning as the merge planner,
+    * so the refresh cost is O(|feed|) + O(|view|), independent of
+    * table size. At 100 TB the `mv` argument is the STORED view
+    * relation (here the caller materializes it; the algebra is what's
+    * maintained).
+    */
+  def applyCdcRollup(spark: SparkSession, mv: DataFrame, table: String,
+      fromV: Int, toV: Int, keys: Seq[String], groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val feed = Versioned.changes(spark, table, fromV, toV, keys)
+    val sgn = (s: Int, df: DataFrame) => df.select(
+      col(groupCol),
+      lit(s.toLong).as("__n"),
+      (col(valueCol).cast("long") * s).as("__v"))
+    val plus = sgn(1,
+      feed.filter(col("change_type").isin("insert", "update")))
+    val minusDel = sgn(-1, feed.filter(col("change_type") === "delete"))
+    // update pre-images: fromV rows for exactly the updated keys
+    val updKeys = feed.filter(col("change_type") === "update")
+      .select(keys.map(col): _*)
+    val minusUpd = sgn(-1,
+      Versioned.snapshot(spark, table, fromV)
+        .join(updKeys, keys, "left_semi"))
+    val delta = plus.unionByName(minusDel).unionByName(minusUpd)
+      .groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_docs"),
+        sum(col("__v")).as("total_chars"))
+    operators.AnalyticsOps.mergeRollups(mv, delta, groupCol)
+      // maintenance can leave emptied groups at (0, 0) — drop them so
+      // the maintained view equals the recompute (which never has them)
+      .filter(col("n_docs") =!= 0L)
+  }
 }

@@ -230,6 +230,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .resultSorted(col("event_type").asc)
     }),
+    // r3: AS-OF join — each purchase attributed to the most recent
+    // click at-or-before it by the same user (the point-in-time
+    // lookup Spark has no operator for). Union-marker + one window
+    // pass per key: O(|L|+|R| log) per partition, never a per-key
+    // cross product. The oracle states the semantics directly as a
+    // per-row LATERAL top-1 — a completely different algorithm.
+    "r3_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      SkewOps.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+          rightPayload = Seq("click_id", "click_ts"),
+          tiebreakCol = "click_id")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) -
+            unix_micros(col("click_ts")))
+        .select("purchase_id", "user_id", "click_id", "gap_us")
+        .resultSorted(col("purchase_id").asc)
+    }),
 
     // ---- north-star: content dedup over documents ----
     "n2_exact_dedup" -> ((s, dir) => {
@@ -372,6 +395,16 @@ object SparkEntry {
       DedupOps.clusterSizeHistogram(DedupOps.dupClusters(
         DedupOps.minhashPairs(Tables.documents(s, dir),
           "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)))),
+    // n24: CANONICAL SELECTION — the dedup pipeline's final policy
+    // step: one kept representative per n9 cluster (best = largest
+    // n_chars, id-asc tiebreak) plus the kept/dropped accounting.
+    "n24_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.keepBestPerCluster(
+        DedupOps.dupClusters(DedupOps.minhashPairs(docs,
+          "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)),
+        docs, "doc_id", "n_chars")
+    }),
 
     // ---- JSON / predicate / status / multimodal surface ----
     "f4_json_extract" -> ((s, dir) =>
@@ -509,6 +542,17 @@ object SparkEntry {
     "t8_redaction_stats" -> ((s, dir) =>
       AnalyticsOps.redactionStats(Tables.events(s, dir),
         key = "event_type", payloadCol = "props")),
+    // t21: n-gram diversity (type-token ratio per source) — the
+    // templated/synthetic-text detector; exact distinct via a
+    // composite-key pre-aggregate, never count-distinct state.
+    "t21_ngram_diversity" -> ((s, dir) =>
+      TextOps.ngramDiversity(Tables.documents(s, dir),
+        "source", "text")),
+    // t22: word-blocklist safety gate — a pure scan-stage predicate
+    // (arrays_overlap with a broadcast list), no shuffle of text.
+    "t22_blocklist_gate" -> ((s, dir) =>
+      TextOps.blocklistGate(Tables.documents(s, dir),
+        "source", "text", Seq("slow", "big"))),
     "w2_running_totals" -> ((s, dir) =>
       AnalyticsOps.runningTotals(
         Tables.events(s, dir).filter(col("event_type") === "purchase"),
@@ -692,6 +736,20 @@ object SparkEntry {
     "k13_change_feed" -> ((s, dir) =>
       Versioned.changes(s, prunedMergeRoot(s, dir), 0, 1, Seq("doc_id"))
         .resultSorted(col("doc_id").asc)),
+    // k23: INCREMENTAL VIEW MAINTENANCE under updates — k13's change
+    // feed applied to a rollup materialized at v0 via the delta rule
+    // (+after −before); pre-images come from a key-bounded v0 lookup,
+    // so refresh cost is O(|feed|) + O(|view|), never a table rescan.
+    // The oracle recomputes the v1 aggregate from scratch — the
+    // maintained view must equal it exactly.
+    "k23_cdc_rollup" -> ((s, dir) => {
+      val root = prunedMergeRoot(s, dir)
+      val mv0 = AnalyticsOps.rollup(
+        Versioned.snapshot(s, root, 0), "source", "n_chars")
+      Mv.applyCdcRollup(s, mv0, root, 0, 1, Seq("doc_id"),
+          "source", "n_chars")
+        .resultSorted(col("source").asc)
+    }),
     // k14: DATA-SKIPPING scan — the read-path twin of k12's merge
     // pruning: a range predicate on the layout key reads only the
     // files whose footer [min,max] intersects it (VersionedSpec
@@ -1394,6 +1452,21 @@ object SparkEntry {
         |  ON l.user_id = r.user_id AND r.ts >= l.ts
         |  AND epoch_ms(r.ts) < epoch_ms(l.ts) + 600000
         |GROUP BY l.event_type ORDER BY l.event_type ASC""".stripMargin,
+    // r3: the oracle states AS-OF semantics directly — per purchase,
+    // the LATERAL top-1 click at-or-before it (ts desc, id desc) —
+    // a per-row nested loop the Spark side must equal via one
+    // union-marker window pass.
+    "r3_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.click_id,
+        |  epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+        |FROM events p
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id, ts AS cts FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts <= p.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id ASC""".stripMargin,
     "n8_ivf_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2016,6 +2089,9 @@ object SparkEntry {
     "n11_cluster_sizes" ->
       operators.DedupOps.dupClusterSizesSql("documents", "doc_id",
         "text", 0.8, maxDf = ShingleMaxDf),
+    "n24_keep_best" ->
+      operators.DedupOps.keepBestSql("documents", "doc_id", "text",
+        0.8, "n_chars", maxDf = ShingleMaxDf),
     "t5_fingerprints" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
@@ -2034,6 +2110,31 @@ object SparkEntry {
     "t7_rolling_fingerprints" ->
       operators.TextOps.rollingFingerprintsSql("documents", "doc_id",
         "text"),
+    // t21: bigrams via the same positional list comprehension as t9's
+    // trigrams; TTR = exact types over occurrences.
+    "t21_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT source,
+        |    unnest(CASE WHEN len(w) >= 2
+        |      THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |      ELSE [] END) AS bg
+        |  FROM t),
+        |c AS (SELECT source, bg, count(*) AS c FROM g
+        |  GROUP BY source, bg)
+        |SELECT source, count(*) AS n_types, sum(c)::BIGINT AS n_bigrams,
+        |  round(count(*)::DOUBLE / sum(c), 6) AS ttr
+        |FROM c GROUP BY source ORDER BY source ASC""".stripMargin,
+    // t22: token-set intersect against the same two-word list.
+    "t22_blocklist_gate" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN len(list_intersect(string_split(text, ' '),
+        |      ['slow', 'big'])) > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_flagged,
+        |  count(*) - sum(CASE WHEN len(list_intersect(
+        |      string_split(text, ' '), ['slow', 'big'])) > 0
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_clean
+        |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
     "t9_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),
@@ -2633,6 +2734,23 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM merged
         |WHERE doc_id BETWEEN 301 AND 400
         |ORDER BY doc_id ASC""".stripMargin,
+    // k23: the oracle is the from-scratch v1 aggregate the maintained
+    // view must equal (same merged CTE as k12/k14).
+    "k23_cdc_rollup" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |upd AS (
+        |  SELECT doc_id, source, n_chars + 500 AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id <= 200),
+        |merged AS (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b LEFT JOIN upd u ON b.doc_id = u.doc_id
+        |  WHERE u.doc_id IS NULL)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM merged GROUP BY source ORDER BY source ASC""".stripMargin,
     // k15: the merge chain's relational definition — the second merge
     // replaces whole rows, so a key matching both predicates ends at
     // original+7 (CASE order mirrors last-write-wins).

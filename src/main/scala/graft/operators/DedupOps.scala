@@ -725,6 +725,66 @@ object DedupOps {
       .resultSorted(col("sz").asc)
   }
 
+  /** CANONICAL SELECTION — the step after cluster resolution that
+    * actually produces the deduplicated corpus: keep the single best
+    * document per near-dup cluster (here best = largest `qualityCol`,
+    * doc-id-ascending tiebreak) and report what was kept vs dropped.
+    * This is the "keep one representative" policy every production
+    * dedup pipeline ends with (URL-dedup keeps the canonical page,
+    * near-dup dedup keeps the longest/highest-quality variant).
+    *
+    * Shape: the cluster relation (|docs-with-dups| rows, tiny next to
+    * the corpus) joins the quality column, then one window rank per
+    * cluster — a shuffle bounded by the DUPLICATED subset, never the
+    * corpus. The report is one row per cluster.
+    */
+  def keepBestPerCluster(clusters: DataFrame, docs: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.select(col(idCol).as("__qid"),
+      col(qualityCol).as("__q"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col("doc_id").asc)
+    clusters.join(q, col("doc_id") === col("__qid"))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(max(when(col("__rn") === 1, col("doc_id"))).as("keep_id"),
+        max(when(col("__rn") === 1, col("__q"))).as("keep_quality"),
+        count(lit(1)).as("n_members"),
+        sum(when(col("__rn") =!= 1, col("__q")).otherwise(lit(0L)))
+          .cast("long").as("dropped_quality"))
+      .resultSorted(col("cluster_id").asc)
+  }
+
+  /** Oracle twin of [[keepBestPerCluster]] ∘ [[dupClusters]]: the
+    * [[dupClustersSql]] recursive CTE joined to the quality column
+    * with a per-cluster rank.
+    */
+  def keepBestSql(table: String, idCol: String, textCol: String,
+      minJaccard: Double, qualityCol: String, n: Int = 3,
+      maxDf: Int = Int.MaxValue): String = {
+    val base = dupClustersSql(table, idCol, textCol, minJaccard, n, maxDf)
+    val tail = "SELECT id AS doc_id, min(r) AS cluster_id\n" +
+      "FROM reach GROUP BY id ORDER BY doc_id ASC"
+    require(base.endsWith(tail), "dupClustersSql tail changed")
+    base.dropRight(tail.length) +
+      s""",clusters AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |ranked AS (SELECT c.cluster_id, c.doc_id, d.$qualityCol AS q,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY d.$qualityCol DESC, c.doc_id ASC) AS rn
+         |  FROM clusters c JOIN $table d ON d.$idCol = c.doc_id)
+         |SELECT cluster_id,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         |  max(CASE WHEN rn = 1 THEN q END) AS keep_quality,
+         |  count(*) AS n_members,
+         |  sum(CASE WHEN rn <> 1 THEN q ELSE 0 END)::BIGINT
+         |    AS dropped_quality
+         |FROM ranked GROUP BY cluster_id
+         |ORDER BY cluster_id ASC""".stripMargin
+  }
+
   /** Oracle twin of [[clusterSizeHistogram]] ∘ [[dupClusters]]: the
     * [[dupClustersSql]] recursive CTE with the two size aggregates on
     * top.

@@ -67,6 +67,83 @@ object SkewOps {
       .drop("k2", "__b", "__b2")
   }
 
+  /** AS-OF join (point-in-time backward join): pair each left row
+    * with the single most recent right row of the same key whose
+    * timestamp is <= the left row's timestamp — the
+    * attribution/feature-lookup join (each purchase attributed to the
+    * last prior click; each sample joined to the feature value in
+    * effect when it was taken). Spark has no ASOF operator; the naive
+    * forms are a per-key theta-join cross product or a
+    * collect-per-key loop, both of which die at scale.
+    *
+    * This is the UNION-MARKER formulation: both sides are tagged and
+    * unioned, then ONE window pass per key ordered by (ts, side)
+    * carries the latest right payload forward into each left row via
+    * `last(_, ignoreNulls)` over an unbounded-preceding frame. Right
+    * rows sort BEFORE left rows at equal timestamps, so the match is
+    * inclusive (right.ts <= left.ts). Cost: one shuffle on the key +
+    * one in-partition sort over |L|+|R| rows — never O(|L|·|R|), no
+    * per-key explosion, window state is one row. At 100 TB this is
+    * the same plan: the key-hash exchange spreads users across
+    * executors and the running-last frame is O(1) memory per
+    * partition stream.
+    *
+    * Right rows are first reduced to one per (key, ts) keeping the
+    * max `tiebreakCol` — ASOF tie semantics are otherwise
+    * engine-dependent, and the oracle gate needs a deterministic
+    * winner.
+    *
+    * Generalizes [[ReferenceOps.asOfJoin]] (the single-stream
+    * special case that carries only the matched timestamp): two
+    * independent relations, arbitrary right payload columns carried
+    * onto the match — i.e. an actual JOIN, servable against any
+    * dimension-history table. Its oracle (r3) is the LATERAL top-1
+    * per-row form — a structurally different algorithm, so the gate
+    * checks semantics, not the same plan twice.
+    *
+    * Reference: the reference joins each dataset's fetch events to
+    * the metadata snapshot in effect at fetch time
+    * (ethical_crawler.py:416-451, refresh-then-query) — the as-of
+    * lookup done there by refetching is expressed here as one join.
+    *
+    * @param rightPayload columns of `right` carried onto the match
+    *                     (null when no right row precedes the left row)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      rightPayload: Seq[String], tiebreakCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftPayload = left.columns.toSeq
+    // One right row per (key, ts): max tiebreak wins, deterministic.
+    val wTie = Window.partitionBy(col("__k"), col("__t"))
+      .orderBy(col(tiebreakCol).desc)
+    val r1 = right
+      .select(col(keyCol).as("__k"), col(rightTsCol).as("__t"),
+        col("*"))
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") === 1)
+      .select(Seq(col("__k"), col("__t"), lit(0).as("__side")) ++
+        leftPayload.map(c => lit(null).as(s"__l_$c")) ++
+        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+    val l1 = left
+      .select(Seq(col(keyCol).as("__k"), col(leftTsCol).as("__t"),
+        lit(1).as("__side")) ++
+        leftPayload.map(c => col(c).as(s"__l_$c")) ++
+        rightPayload.map(c => lit(null).as(s"__r_$c")): _*)
+    // Right payloads are typed by r1's side of the union; left rows
+    // carry typed nulls (cast by unionByName against r1's schema).
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r1.unionByName(l1, allowMissingColumns = false)
+      .select(Seq(col("__side")) ++
+        leftPayload.map(c => col(s"__l_$c").as(c)) ++
+        rightPayload.map(c =>
+          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   /** Sketch-based heavy hitters: Count-Min Sketch over a column
     * (Spark's built-in `stat.countMinSketch`), probed for the given
     * candidate values. Fixed-size state (depth×width counters)

@@ -947,4 +947,58 @@ object TextOps {
           .as("chunk_md5"))
       .orderBy(col(idCol).asc, col("chunk_id").asc)
   }
+
+  /** N-GRAM DIVERSITY per source: distinct bigram types vs total
+    * bigram occurrences (the type-token ratio) — the standard
+    * templated-/synthetic-text detector at corpus granularity: a
+    * source whose ratio collapses is stamping out near-identical
+    * text (self-BLEU's cheap exact cousin). Bigrams are built
+    * positionally in one expression pass (the [[bigramLmScore]]
+    * stream); the distinct count is EXACT via a (source, bigram)
+    * pre-aggregate — one shuffle on the composite key, then a
+    * map-side-combinable per-source fold, never a count-distinct
+    * state blowup. Linear at any corpus size.
+    */
+  def ngramDiversity(df: DataFrame, srcCol: String, textCol: String)
+      : DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val w = tokens(col(textCol))
+    val pairs = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(srcCol), explode(pairs).as("bg"))
+      .groupBy(col(srcCol), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).cast("long").as("n_bigrams"))
+      .select(col(srcCol), col("n_types"), col("n_bigrams"),
+        round(col("n_types").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("ttr"))
+      .resultSorted(col(srcCol).asc)
+  }
+
+  /** WORD-BLOCKLIST gate: per source, how many documents contain any
+    * blocklisted token — the safety-filter stage (slur/boilerplate/
+    * spam word lists) every production corpus pass runs before
+    * quality scoring. The test is a set intersect of the document's
+    * token array with a broadcast literal list (`arrays_overlap`,
+    * codegen'd, no explode, no join, no shuffle of text) — at 100 TB
+    * this is a pure scan-stage predicate; a 100k-word production list
+    * swaps the literal array for a broadcast join against the
+    * exploded token set, same semantics.
+    */
+  def blocklistGate(df: DataFrame, srcCol: String, textCol: String,
+      blocked: Seq[String]): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val hit = arrays_overlap(tokens(col(textCol)),
+      array(blocked.map(lit): _*))
+    df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col(srcCol), col("n_docs"), col("n_flagged"),
+        (col("n_docs") - col("n_flagged")).as("n_clean"))
+      .resultSorted(col(srcCol).asc)
+  }
 }

@@ -117,4 +117,35 @@ class MvSpec extends SparkSpec {
       g.analyticsMaterialized("nope")
     }
   }
+
+  test("applyCdcRollup: maintained view equals recompute across " +
+      "insert/update(group move)/delete, emptied group dropped") {
+    import spark.implicits._
+    import graft.operators.AnalyticsOps
+    val root = tmpDir("mvcdc") + "/t"
+    // v0: a = {1, 2}, b = {3, 4}
+    Versioned.init(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+        (4L, "b", 40L)).toDF("doc_id", "source", "n_chars"),
+      root)
+    // v1: doc 2 moves a→c with a new value (group-moving update),
+    // docs 3 and 4 are tombstoned (group b empties), doc 5 inserts
+    Versioned.mergeUpsertMoR(
+      Seq((2L, "c", 25L, false), (3L, "b", 30L, true),
+        (4L, "b", 40L, true), (5L, "c", 50L, false))
+        .toDF("doc_id", "source", "n_chars", "is_del"),
+      root, Seq("doc_id"), deleteFlag = Some("is_del"))
+    val mv0 = AnalyticsOps.rollup(
+      Versioned.snapshot(spark, root, 0), "source", "n_chars")
+    val got = Mv.applyCdcRollup(spark, mv0, root, 0, 1, Seq("doc_id"),
+        "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = AnalyticsOps.rollup(
+      Versioned.current(spark, root), "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    assert(want == Set(("a", 1L, 10L), ("c", 2L, 75L)))
+  }
 }

@@ -318,6 +318,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bucketed.nonEmpty)
   }
 
+  test("asofJoin: matches naive per-row latest-at-or-before lookup") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: click(10) click(20) purchase(20, ties inclusive)
+    //         purchase(25 → click 20) click(30) purchase(35 → 30)
+    // user 2: purchase(5) before any click → null match
+    // user 3: two clicks at the SAME ts → max tiebreak (id 32) wins
+    val clicks = Seq(
+      (1L, ts(10), 100L), (1L, ts(20), 101L), (1L, ts(30), 102L),
+      (3L, ts(40), 31L), (3L, ts(40), 32L))
+      .toDF("user_id", "ts", "click_id")
+      .withColumn("click_ts", col("ts"))
+    val purchases = Seq(
+      (900L, 1L, ts(20)), (901L, 1L, ts(25)), (902L, 1L, ts(35)),
+      (903L, 2L, ts(5)), (904L, 3L, ts(41)))
+      .toDF("purchase_id", "user_id", "ts")
+    val got = SkewOps.asofJoin(purchases, clicks, "user_id", "ts",
+        "ts", rightPayload = Seq("click_id"), tiebreakCol = "click_id")
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(900L -> 101L, 901L -> 101L, 902L -> 102L,
+      903L -> -1L, 904L -> 32L))
+  }
+
+  test("keepBestPerCluster: arg-max quality with id-asc tiebreak") {
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L),
+        (20L, 2L), (21L, 2L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((10L, 5L), (11L, 9L), (12L, 9L),
+        (20L, 3L), (21L, 3L))
+      .toDF("doc_id", "n_chars")
+    val got = DedupOps.keepBestPerCluster(clusters, docs,
+        "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // cluster 1: 11 and 12 tie at 9 → 11 wins (id asc); dropped 5+9
+    // cluster 2: 20 and 21 tie at 3 → 20 wins; dropped 3
+    assert(got == Map(
+      1L -> ((11L, 9L, 3L, 14L)),
+      2L -> ((20L, 3L, 2L, 3L))))
+  }
+
   test("heavyHitters sketch: estimates bounded below by exact counts") {
     val ev = graft.Tables.events(spark, sfSmoke)
     val exact = ev.groupBy("event_type").count()

@@ -53,7 +53,9 @@ class ScaleShapeSpec extends SparkSpec {
       "k20_mor_upsert", "k21_mor_delete", "e6_quantile_sketch",
       "c10_weighted_sample",
       "t20_bpe_encode", "c11_chunk_split", "l10_phrase_search",
-      "e7_heavy_hitters", "n23_hard_negatives")
+      "e7_heavy_hitters", "n23_hard_negatives",
+      "r3_asof_join", "n24_keep_best", "k23_cdc_rollup",
+      "t21_ngram_diversity", "t22_blocklist_gate")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),

@@ -549,4 +549,29 @@ class TextMultimodalSpec extends SparkSpec {
       assert(tot == n + (nc - 1) * (64 - 48), s"doc $id: $nc $tot $n")
     }
   }
+
+  test("ngramDiversity: exact type-token ratio; 1-token docs drop out") {
+    val df = Seq(
+      (1L, "a a a a", "rep"),       // bigrams: "a a" ×3 → 1 type / 3
+      (2L, "a b a b", "mix"),       // "a b","b a","a b" → 2 types / 3
+      (3L, "x", "mix"))             // no bigrams
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.ngramDiversity(df, "source", "text")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("mix", 2L, 3L, 0.666667),
+      ("rep", 1L, 3L, 0.333333)))
+  }
+
+  test("blocklistGate: flags any-token intersection only") {
+    val df = Seq(
+      (1L, "clean text here", "s1"),
+      (2L, "contains bad token", "s1"),
+      (3L, "badly is not bad-token", "s1"), // substring ≠ token
+      (4L, "worse stuff", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.blocklistGate(df, "source", "text",
+        Seq("bad", "worse"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("s1", 3L, 1L, 2L), ("s2", 1L, 1L, 0L)))
+  }
 }
