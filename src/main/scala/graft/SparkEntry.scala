@@ -553,6 +553,20 @@ object SparkEntry {
     "t22_blocklist_gate" -> ((s, dir) =>
       TextOps.blocklistGate(Tables.documents(s, dir),
         "source", "text", Seq("slow", "big"))),
+    // w5: batch gap-sessionization — lag-marked breaks + running
+    // session numbering in one (user) exchange; the batch twin of
+    // the st3/st4 streaming session windows.
+    "w5_sessionize" -> ((s, dir) =>
+      AnalyticsOps.sessionize(Tables.events(s, dir),
+        keyCol = "user_id", tsCol = "ts", tiebreaker = "event_id",
+        gapMinutes = 30)),
+    // c12: the END-TO-END pipeline as one plan — gate → exact dedup
+    // → pack; the oracle replays the same three stages as one CTE
+    // chain.
+    "c12_pipeline_e2e" -> ((s, dir) =>
+      AnalyticsOps.pipelineE2e(Tables.documents(s, dir),
+        idCol = "doc_id", groupCol = "source", textCol = "text",
+        minTokens = 5, budgetTokens = 8192)),
     "w2_running_totals" -> ((s, dir) =>
       AnalyticsOps.runningTotals(
         Tables.events(s, dir).filter(col("event_type") === "purchase"),
@@ -696,6 +710,43 @@ object SparkEntry {
       graft.streaming.StreamingOps.morUpsertSink(stream, s, table,
         Seq("doc_id"), None, root + "/ckpt", foldEvery = 2)
       Versioned.current(s, table).resultSorted(col("doc_id").asc)
+    }),
+    // st7: STREAMING as-of — purchases arrive in 3 micro-batches and
+    // are attributed against the static click history per batch; the
+    // appended union must equal r3's one-shot batch join (held to
+    // r3's oracle verbatim).
+    "st7_stream_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val root = tempTableRoot("graft_stream_asof")
+      val in = new java.io.File(root + "/in")
+      in.mkdirs()
+      (0 until 3).foreach { i =>
+        val tmp = s"$root/b$i"
+        purchases.filter(col("purchase_id") % 3 === i)
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(in, s"batch_$i.parquet").toPath)
+        ()
+      }
+      val stream = s.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val out = root + "/out"
+      graft.streaming.StreamingOps.asofSink(stream, clicks,
+        "user_id", "ts", "ts", Seq("click_id", "click_ts"),
+        "click_id", out, root + "/ckpt")
+      s.read.parquet(out)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("click_ts")))
+        .select("purchase_id", "user_id", "click_id", "gap_us")
+        .resultSorted(col("purchase_id").asc)
     }),
     "k18_signature_store" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1243,6 +1294,22 @@ object SparkEntry {
     * updates win, unmatched target rows carry over, unmatched source
     * rows insert.
     */
+  /** Shared by r3 (batch as-of) and st7 (streaming as-of) — the
+    * streaming sink must equal the batch join exactly, so both hold
+    * to the same LATERAL top-1 statement.
+    */
+  private val AsofOracleSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, c.click_id,
+      |  epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+      |FROM events p
+      |LEFT JOIN LATERAL (
+      |  SELECT event_id AS click_id, ts AS cts FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |    AND c.ts <= p.ts
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id ASC""".stripMargin
+
   private val MergedDocsCtes: String =
     """WITH base AS (
       |  SELECT doc_id, source, n_chars FROM documents
@@ -1456,17 +1523,11 @@ object SparkEntry {
     // the LATERAL top-1 click at-or-before it (ts desc, id desc) —
     // a per-row nested loop the Spark side must equal via one
     // union-marker window pass.
-    "r3_asof_join" ->
-      """SELECT p.event_id AS purchase_id, p.user_id, c.click_id,
-        |  epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
-        |FROM events p
-        |LEFT JOIN LATERAL (
-        |  SELECT event_id AS click_id, ts AS cts FROM events c
-        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
-        |    AND c.ts <= p.ts
-        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
-        |WHERE p.event_type = 'purchase'
-        |ORDER BY purchase_id ASC""".stripMargin,
+    "r3_asof_join" -> AsofOracleSql,
+    // st7: the streaming as-of sink is held to r3's oracle VERBATIM —
+    // per-micro-batch join + append must equal the one-shot batch
+    // join (the st5 ≡ c5 adjudication pattern).
+    "st7_stream_asof" -> AsofOracleSql,
     "n8_ivf_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2859,6 +2920,62 @@ object SparkEntry {
     // c5: shard = floor(tokens-before-this-doc / budget) over the
     // per-source doc_id-ordered stream; token convention is the c1/t1
     // whitespace split, so both sides count identically.
+    // w5: same window composition stated in SQL; exact-integer gap
+    // arithmetic in microseconds on both sides.
+    "w5_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |            > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  sum(dur_us)::BIGINT AS total_dur_us,
+        |  round(sum(dur_us)::DOUBLE / count(*), 6) AS avg_dur_us
+        |FROM g GROUP BY n_events ORDER BY n_events ASC""".stripMargin,
+    // c12: gate → dedup → pack replayed as one CTE chain (the gate's
+    // ratio is the cross-multiplied integer form; dedup is the n2
+    // md5-window convention; pack is the c5 formula).
+    "c12_pipeline_e2e" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT
+        |      AS n_uniq
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, text, n_tok FROM t
+        |  WHERE n_tok >= 5 AND n_uniq * 10 >= n_tok * 3),
+        |r AS (
+        |  SELECT doc_id, source, n_tok,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(trim(lower(text)),
+        |        '\s+', ' ', 'g'))
+        |      ORDER BY doc_id ASC) AS rn
+        |  FROM g),
+        |d AS (SELECT source, doc_id, n_tok FROM r WHERE rn = 1),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, floor((cum - n_tok) / 8192.0)::BIGINT AS shard_id,
+        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS shard_tokens
+        |FROM c GROUP BY source, shard_id
+        |ORDER BY source ASC, shard_id ASC""".stripMargin,
     "c5_sequence_pack" ->
       """WITH t AS (
         |  SELECT source, doc_id,

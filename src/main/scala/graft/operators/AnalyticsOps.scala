@@ -233,6 +233,86 @@ object AnalyticsOps {
       .resultSorted(col(langCol).asc)
   }
 
+  /** BATCH SESSIONIZATION — gap-based sessions from an event stream:
+    * a session breaks when the inter-event gap within a key exceeds
+    * `gapMinutes` (the batch twin of the st3/st4 streaming session
+    * windows, and the sessionization every behavioral/agent-trace
+    * dataset build runs). Two stacked window passes over ONE
+    * (key)-exchange + one in-partition sort: lag() marks the breaks,
+    * a running sum numbers the sessions; the per-session and
+    * histogram aggregates then ride the same key partitioning
+    * (grouping on (key, session) is satisfied by the key hash —
+    * no further exchange of the event stream). Gap arithmetic is
+    * exact integer microseconds; durations stay exact longs, the
+    * mean divides once at the end.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      tiebreaker: String, gapMinutes: Int): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tiebreaker).asc)
+    val prev = lag(col(tsCol), 1).over(wOrd)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val newSess = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapUs, 1L)
+      .otherwise(0L)
+    df.select(col(keyCol), col(tsCol), col(tiebreaker))
+      .withColumn("__new", newSess)
+      .withColumn("__sid", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          .as("dur_us"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("dur_us")).cast("long").as("total_dur_us"))
+      .select(col("n_events"), col("n_sessions"), col("total_dur_us"),
+        round(col("total_dur_us").cast("double") /
+          col("n_sessions").cast("double"), 6).as("avg_dur_us"))
+      .resultSorted(col("n_events").asc)
+  }
+
+  /** END-TO-END pipeline composition — the engine's operators run as
+    * ONE declarative plan: quality gate → exact dedup → sequence
+    * pack, producing the training-shard manifest. This is the shape
+    * a real pre-training data build has (gate cheap and early, dedup
+    * on the survivors, pack the final stream), and the point of
+    * doing it in one plan: the gate is a scan-stage predicate (text
+    * pruned before any exchange), dedup's exchange carries
+    * (content-key, id, group, n_tok) — never the payload — and the
+    * pack window rides the c5 single-exchange shape. Catalyst fuses
+    * the stages; nothing is materialized between them.
+    *
+    * Gate thresholds are exact-integer (token count ≥ minTokens;
+    * distinct-token ratio ≥ 0.3 as the cross-multiplied
+    * 10·n_uniq ≥ 3·n_tok) so both engines agree boundary-exactly.
+    */
+  def pipelineE2e(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, minTokens: Int, budgetTokens: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val gated = df.select(col(idCol), col(groupCol), col(textCol),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .filter(col("n_tok") >= minTokens &&
+        col("n_uniq") * 10L >= col("n_tok") * 3L)
+    val wd = Window.partitionBy(col("__ck")).orderBy(col(idCol).asc)
+    val deduped = gated
+      .withColumn("__ck", DedupOps.contentKey(col(textCol)))
+      .withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(idCol), col("n_tok"))
+    val wp = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deduped
+      .withColumn("shard_id",
+        floor((sum(col("n_tok")).over(wp) - col("n_tok")) /
+          lit(budgetTokens.toDouble)).cast("long"))
+      .groupBy(col(groupCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("shard_tokens"))
+      .resultSorted(col(groupCol).asc, col("shard_id").asc)
+  }
+
   /** Incremental rollup maintenance: merge a delta batch's aggregate
     * into an existing rollup WITHOUT rescanning history — the
     * materialized-view-maintenance shape every continuously-ingesting

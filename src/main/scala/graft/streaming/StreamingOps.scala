@@ -434,6 +434,39 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** STREAMING AS-OF enrichment: left rows arrive as a micro-batched
+    * stream and are attributed against a STATIC right-side history
+    * (the point-in-time feature/attribution lookup in its serving
+    * shape — e.g. purchases scored against a committed click log, a
+    * sample stream against a feature snapshot). Because the right
+    * side is fixed and each left row's match depends only on its own
+    * (key, timestamp), [[graft.operators.SkewOps.asofJoin]]
+    * DISTRIBUTES over any batching of the left side: per-micro-batch
+    * join + append ≡ the one-shot batch join — so st7 is held to
+    * r3's oracle VERBATIM (the st5 ≡ c5 adjudication pattern).
+    * Per-batch cost is one |batch|+|R_keys-touched| window pass; a
+    * slowly-changing right side upgrades this to re-reading the
+    * versioned snapshot per batch (k-tier), semantics unchanged.
+    */
+  def asofSink(stream: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      rightPayload: Seq[String], tiebreakCol: String,
+      outPath: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.SkewOps.asofJoin(batch, right, keyCol,
+              leftTsCol, rightTsCol, rightPayload, tiebreakCol)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming aggregation to completion against a memory sink
     * and return the result table. `Complete` output mode (the test
     * harness wants the final totals; `Append` + watermark close is the

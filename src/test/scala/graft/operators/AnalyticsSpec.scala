@@ -470,4 +470,40 @@ class AnalyticsSpec extends SparkSpec {
       assert(merged == direct, s"buckets=$b")
     }
   }
+
+  test("sessionize: gap splits, exact durations, per-key isolation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    // user 1: events at 0, 10, 50 min (gap 30) → {0,10}, {50}
+    // user 2: events at 0, 29, 60 → {0,29}, {60} (29 ≤ 30 stays)
+    val ev = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L),
+        (2L, ts(0), 4L), (2L, ts(29), 5L), (2L, ts(60), 6L))
+      .toDF("user_id", "ts", "event_id")
+    val out = AnalyticsOps.sessionize(ev, "user_id", "ts",
+        "event_id", gapMinutes = 30)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // 2 one-event sessions (dur 0), 2 two-event sessions
+    // (durs 10 min and 29 min = 600e6 + 1740e6 us)
+    assert(out == Seq((1L, 2L, 0L, 0.0),
+      (2L, 2L, 2340000000L, 1170000000.0)))
+  }
+
+  test("pipelineE2e: gate drops short/repetitive, dedup keeps first, " +
+      "pack cuts at the budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "alpha beta gamma delta epsilon zeta"), // 6 tok, kept
+      (2L, "s", "too short"),                           // gated: < 5
+      (3L, "s", "a a a a a a a a a a"),                 // gated: ratio
+      (4L, "s", "alpha beta gamma delta epsilon zeta"), // dup of 1
+      (5L, "s", "one two three four five six seven"))   // 7 tok, kept
+      .toDF("doc_id", "source", "text")
+    val out = AnalyticsOps.pipelineE2e(docs, "doc_id", "source",
+        "text", minTokens = 5, budgetTokens = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // survivors: doc 1 (6 tok), doc 5 (7 tok); cum=6 → shard 0,
+    // cum=13, start offset 6 → floor(6/10)=0 → both in shard 0
+    assert(out == Seq(("s", 0L, 2L, 13L)))
+  }
 }

@@ -55,7 +55,8 @@ class ScaleShapeSpec extends SparkSpec {
       "t20_bpe_encode", "c11_chunk_split", "l10_phrase_search",
       "e7_heavy_hitters", "n23_hard_negatives",
       "r3_asof_join", "n24_keep_best", "k23_cdc_rollup",
-      "t21_ngram_diversity", "t22_blocklist_gate")
+      "t21_ngram_diversity", "t22_blocklist_gate",
+      "w5_sessionize", "c12_pipeline_e2e", "st7_stream_asof")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),

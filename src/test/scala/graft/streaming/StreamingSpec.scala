@@ -491,4 +491,45 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 0L), (2L, 0L), (3L, 1L)),
       s"state must carry across micro-batches: ${got.toSeq}")
   }
+
+  test("asofSink: micro-batched enrichment equals the one-shot batch join") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val clicks = Seq((1L, ts(10), 100L), (1L, ts(20), 101L),
+        (2L, ts(5), 200L))
+      .toDF("user_id", "ts", "click_id")
+    val purchases = Seq((900L, 1L, ts(15)), (901L, 1L, ts(25)),
+        (902L, 2L, ts(4)), (903L, 2L, ts(6)))
+      .toDF("purchase_id", "user_id", "ts")
+    val root = tmpDir("asofsink")
+    val in = new java.io.File(root + "/in"); in.mkdirs()
+    (0 until 2).foreach { i =>
+      val tmp = s"$root/b$i"
+      purchases.filter(col("purchase_id") % 2 === i)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"batch_$i.parquet").toPath)
+      ()
+    }
+    val stream = spark.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val out = root + "/out"
+    StreamingOps.asofSink(stream, clicks, "user_id", "ts", "ts",
+      Seq("click_id"), "click_id", out, root + "/ckpt")
+    val streamed = spark.read.parquet(out)
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val batch = graft.operators.SkewOps.asofJoin(purchases, clicks,
+        "user_id", "ts", "ts", Seq("click_id"), "click_id")
+      .select("purchase_id", "click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(streamed == batch)
+    assert(streamed == Map(900L -> 100L, 901L -> 101L, 902L -> -1L,
+      903L -> 200L))
+  }
 }
