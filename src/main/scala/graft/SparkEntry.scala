@@ -395,6 +395,12 @@ object SparkEntry {
       DedupOps.clusterSizeHistogram(DedupOps.dupClusters(
         DedupOps.minhashPairs(Tables.documents(s, dir),
           "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)))),
+    // n25: EXACT-SUBSTRING overlap — verbatim-quotation pairs (any
+    // shared exact 8-token run), the long-span detector set-
+    // similarity dilutes away; same one-shuffle equi-join shape as n3.
+    "n25_substring_pairs" -> ((s, dir) =>
+      DedupOps.substringPairs(Tables.documents(s, dir),
+        "doc_id", "text", n = 8, maxDf = ShingleMaxDf)),
     // n24: CANONICAL SELECTION — the dedup pipeline's final policy
     // step: one kept representative per n9 cluster (best = largest
     // n_chars, id-asc tiebreak) plus the kept/dropped accounting.
@@ -2153,6 +2159,9 @@ object SparkEntry {
     "n24_keep_best" ->
       operators.DedupOps.keepBestSql("documents", "doc_id", "text",
         0.8, "n_chars", maxDf = ShingleMaxDf),
+    "n25_substring_pairs" ->
+      operators.DedupOps.substringPairsSql("documents", "doc_id",
+        "text", n = 8, maxDf = ShingleMaxDf),
     "t5_fingerprints" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))

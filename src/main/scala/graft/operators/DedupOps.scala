@@ -931,6 +931,52 @@ object DedupOps {
        |WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= $minJaccard
        |ORDER BY id_a ASC, id_b ASC""".stripMargin
 
+  /** EXACT-SUBSTRING overlap pairs — the long-span detector
+    * (deduplicating-training-data "ExactSubstr" granularity,
+    * relationalized): pairs of documents sharing at least one exact
+    * run of `n` consecutive tokens (default 8), with the count of
+    * distinct shared spans. Complements the n3/n4 similarity tier:
+    * Jaccard finds globally-similar documents; this finds VERBATIM
+    * QUOTATION — a long copied passage inside otherwise-different
+    * documents, which set-similarity dilutes below any threshold.
+    *
+    * Shape: the same one-shuffle shared-shingle equi-join as n3, at
+    * the longer gram (candidates bounded by shared-span count, never
+    * all-pairs; df cap cuts boilerplate spans the same way). Both
+    * join sides are the same child, so the shingle explode computes
+    * once (exchange reuse). At 100 TB the production form shards the
+    * span index exactly like the k18 signature store — same relation,
+    * persisted.
+    */
+  def substringPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = capShingleDf(hashedShingles(df, idCol, textCol, n), maxDf)
+    val a = sh.select(col(idCol).as("id_a"), col("x"))
+    val b = sh.select(col(idCol).as("id_b"), col("x"))
+    a.join(b, Seq("x"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  /** Oracle twin of [[substringPairs]] (same 60-bit md5 span keys,
+    * same df cap).
+    */
+  def substringPairsSql(table: String, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = Int.MaxValue): String =
+    s"""WITH sh0 AS (
+       |${shinglesSql(table, idCol, textCol, n)}),
+       |shAll AS (SELECT $idCol,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh0),
+       |sh AS ${if (maxDf == Int.MaxValue)
+                  s"(SELECT $idCol, x FROM shAll)"
+                else capSql("shAll", idCol, maxDf)}
+       |SELECT a.$idCol AS id_a, b.$idCol AS id_b,
+       |  count(*) AS shared_spans
+       |FROM sh a JOIN sh b ON a.x = b.x AND a.$idCol < b.$idCol
+       |GROUP BY 1, 2 ORDER BY id_a ASC, id_b ASC""".stripMargin
+
   /** Cross-SOURCE duplication matrix — which sources copy from each
     * other: [[jaccardPairs]]' near-dup pairs (same threshold, same
     * df-cap) rolled up to the (source_a, source_b) level, each pair

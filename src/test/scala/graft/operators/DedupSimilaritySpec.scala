@@ -343,6 +343,19 @@ class DedupSimilaritySpec extends SparkSpec {
       903L -> -1L, 904L -> 32L))
   }
 
+  test("substringPairs: 8-token verbatim run found, 7-token run not") {
+    val span8 = "q w e r t y u i" // 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta $span8 gamma"),
+      (2L, s"totally different words here $span8"),      // shares span8
+      (3L, "q w e r t y u only seven shared alpha"),     // 7-run only
+      (4L, "no overlap at all with anything else"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.substringPairs(docs, "doc_id", "text", n = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
   test("keepBestPerCluster: arg-max quality with id-asc tiebreak") {
     val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L),
         (20L, 2L), (21L, 2L))
