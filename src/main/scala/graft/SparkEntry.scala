@@ -1032,6 +1032,12 @@ object SparkEntry {
       MultimodalOps.frameStats(
         MultimodalOps.sampleFrames(assets, stride = 100))
     }),
+    // m5: MULTIMODAL packing — combined text-token + ViT-patch cost
+    // through the c5 pack window; payload bytes never leave the scan.
+    "m5_mm_pack" -> ((s, dir) =>
+      MultimodalOps.multimodalPack(Tables.documents(s, dir),
+        idCol = "doc_id", groupCol = "source", textCol = "text",
+        patchBytes = 64, budgetTokens = 8192)),
     // m4: content-hash dedup of binary assets — the multimodal twin
     // of n2; payload bytes never shuffle.
     "m4_asset_dedup" -> ((s, dir) =>
@@ -1436,6 +1442,22 @@ object SparkEntry {
     // video kind ⇔ doc_id % 3 = 2 (assetsFromDocuments); stride 100:
     // greatest(1, len // 100) frames, tail bytes beyond the last full
     // frame are dropped unless the doc is shorter than one stride
+    // m5: integer ceil for the patch cost, the c5 cum/floor pack.
+    "m5_mm_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' '))::BIGINT
+        |      + (octet_length(encode(text)) + 63) // 64 AS cost
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, cost,
+        |    sum(cost) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, floor((cum - cost) / 8192.0)::BIGINT AS shard_id,
+        |  count(*) AS n_examples, sum(cost)::BIGINT AS shard_cost
+        |FROM c GROUP BY source, shard_id
+        |ORDER BY source ASC, shard_id ASC""".stripMargin,
     "m3_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len

@@ -226,4 +226,38 @@ object MultimodalOps {
         sum(element_at(col("bins"), 7)).as("bin_alpha_lo"),
         sum(element_at(col("bins"), 8)).as("bin_alpha_hi"))
       .resultSorted(col("kind").asc)
+
+  /** MULTIMODAL sequence packing: each training example is a
+    * (text, asset) pair whose context cost is text tokens PLUS patch
+    * tokens — the vision-language packing rule (a ViT-style encoder
+    * spends one token per fixed-size patch, so an asset's cost is
+    * ⌈bytes / patchBytes⌉). The c5 single-exchange pack window runs
+    * on the combined cost; only (group, id, cost) crosses the
+    * exchange — payload bytes never leave the scan, exactly the
+    * constraint that matters when the asset column is real media.
+    * Cost arithmetic is exact (integer ceil via (b + p − 1) div p;
+    * the cumulative division is by a power-of-two-free constant but
+    * both engines divide the same exact longs).
+    */
+  def multimodalPack(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, patchBytes: Int, budgetTokens: Int): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    import org.apache.spark.sql.expressions.Window
+    val nBytes = octet_length(encode(col(textCol), "UTF-8"))
+      .cast("long")
+    val cost = (size(graft.operators.TextOps.tokens(col(textCol)))
+      .cast("long") +
+      floor((nBytes + lit(patchBytes - 1).cast("long")) /
+        lit(patchBytes.toDouble)).cast("long")).as("cost")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol), cost)
+      .withColumn("shard_id",
+        floor((sum(col("cost")).over(w) - col("cost")) /
+          lit(budgetTokens.toDouble)).cast("long"))
+      .groupBy(col(groupCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col("cost")).cast("long").as("shard_cost"))
+      .resultSorted(col(groupCol).asc, col("shard_id").asc)
+  }
 }

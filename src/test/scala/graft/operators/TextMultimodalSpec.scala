@@ -550,6 +550,21 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodalPack: cost = tokens + byte-ceil patches; budget cuts") {
+    // text of 3 tokens, 11 bytes → cost 3 + ceil(11/4)=3 → 6
+    val df = Seq(
+      (1L, "a", "aa bb ccccc"),  // 3 tok + ceil(11/4)=3 → 6
+      (2L, "a", "dd ee"),        // 2 tok + ceil(5/4)=2  → 4
+      (3L, "a", "f"))            // 1 tok + 1            → 2
+      .toDF("doc_id", "source", "text")
+    // budget 8: doc1 starts at 0 → shard 0 (cum 6); doc2 starts at 6
+    // → shard 0 (cum 10); doc3 starts at 10 → shard 1
+    val out = MultimodalOps.multimodalPack(df, "doc_id", "source",
+        "text", patchBytes = 4, budgetTokens = 8)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 0L, 2L, 10L), ("a", 1L, 1L, 2L)))
+  }
+
   test("ngramDiversity: exact type-token ratio; 1-token docs drop out") {
     val df = Seq(
       (1L, "a a a a", "rep"),       // bigrams: "a a" ×3 → 1 type / 3
