@@ -449,6 +449,14 @@ object SparkEntry {
       FtsOps.searchBm25Docs(Tables.documents(s, dir), "doc_id",
         "text", terms = Seq("batch", "dup"), k = 50)),
 
+    // l11: TWO-STAGE RERANK — BM25 recall set exactly re-scored by
+    // dense cosine, restricted to the candidates (dense cost O(n·dim)
+    // at any corpus size); the serving path l9's rank fusion doesn't
+    // cover.
+    "l11_rerank" -> ((s, dir) =>
+      FtsOps.rerankDense(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), "doc_id", "text",
+        terms = Seq("batch", "dup"), queryId = 0L, n = 50, k = 10)),
     // l9: HYBRID retrieval — BM25 lexical candidates fused with dense
     // cosine candidates by reciprocal-rank fusion (rank-based, no
     // cross-tower score calibration needed).
@@ -2354,6 +2362,12 @@ object SparkEntry {
       operators.FtsOps.searchBm25BatchSql("documents", "doc_id",
         "text", BatchFtsQueries, 10),
     // l9: the two towers' own SQL (BM25 CTEs + the n1 cosine CTEs),
+    // l11: the BM25 CTE feeding the n1 cosine form restricted to the
+    // candidate ids.
+    "l11_rerank" ->
+      operators.FtsOps.rerankDenseSql("documents", "embeddings",
+        "doc_id", "text", terms = Seq("batch", "dup"), queryId = 0L,
+        n = 50, k = 10),
     // ranked with the same (score DESC, id ASC) total order, fused
     // by 1/(60+rank) in the same two-term order.
     "l9_hybrid_rrf" ->

@@ -391,6 +391,53 @@ object FtsOps {
        |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
 
+  /** TWO-STAGE RETRIEVAL RERANK — the production serving path l9's
+    * rank FUSION doesn't cover: BM25 generates an n-candidate recall
+    * set, then EXACT dense cosine re-scores ONLY those candidates and
+    * the top k by dense score win (candidate generation cheap and
+    * wide, precise scoring narrow). The scale property is the point:
+    * the dense model never scores the corpus — the embeddings scan is
+    * restricted to the n candidate ids by an AQE-broadcast inner join
+    * (|candidates| rows), so dense cost is O(n·dim) at ANY corpus
+    * size. Output carries both scores (bm25 for provenance, dense as
+    * the ranking key).
+    */
+  def rerankDense(docs: DataFrame, embeddings: DataFrame,
+      idCol: String, textCol: String, terms: Seq[String],
+      queryId: Long, n: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, toDoubleArray}
+    val cands = searchBm25Docs(docs, idCol, textCol, terms, n)
+      .select(col(idCol).as("vec_id"), col("score").as("bm25"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(toDoubleArray(col("embedding")).as("qvec"))
+    embeddings.join(cands, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("bm25"),
+        round(cosine(toDoubleArray(col("embedding")), col("qvec")), 6)
+          .as("dense"))
+      .orderBy(col("dense").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle twin of [[rerankDense]]: the BM25 CTE feeding the n1
+    * cosine form restricted to the candidate ids.
+    */
+  def rerankDenseSql(table: String, embTable: String, idCol: String,
+      textCol: String, terms: Seq[String], queryId: Long, n: Int,
+      k: Int): String =
+    s"""WITH bm AS (
+       |${searchBm25DocsSql(table, idCol, textCol, terms, n)}),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM $embTable),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId)
+       |SELECT bm.$idCol AS vec_id, bm.score AS bm25,
+       |  round(list_dot_product(v, qv) /
+       |    (sqrt(list_dot_product(v, v)) *
+       |     sqrt(list_dot_product(qv, qv))), 6) AS dense
+       |FROM bm JOIN e ON e.vec_id = bm.$idCol CROSS JOIN q
+       |ORDER BY dense DESC, vec_id ASC LIMIT $k""".stripMargin
+
   /** PHRASE search over POSITIONAL postings — the FTS feature the
     * tf/BM25 ladder can't express (term adjacency): postings carry the
     * token POSITION, the phrase "a b" is the equi-self-join of a's and

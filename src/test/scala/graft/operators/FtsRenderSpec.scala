@@ -220,4 +220,21 @@ class FtsRenderSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(hits.map(_.getLong(0)).toSet == lexical)
   }
+
+  test("rerankDense: results are BM25 candidates reordered by dense score") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val emb = graft.Tables.embeddings(spark, sfSmoke)
+    val cands = FtsOps.searchBm25Docs(docs, "doc_id", "text",
+        Seq("batch", "dup"), 30)
+      .select("doc_id").as[Long].collect().toSet
+    val out = FtsOps.rerankDense(docs, emb, "doc_id", "text",
+        Seq("batch", "dup"), queryId = 0L, n = 30, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.nonEmpty && out.length <= 5)
+    // every reranked row came from the candidate set
+    assert(out.map(_._1).forall(cands.contains))
+    // ranking key is the dense score, non-increasing
+    assert(out.map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1)))
+  }
 }
