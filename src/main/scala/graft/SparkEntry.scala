@@ -1006,6 +1006,12 @@ object SparkEntry {
     "e4_kmv_distinct" -> ((s, dir) =>
       AnalyticsOps.kmvDistinct(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
+    // e8: KMV INTERSECTION — the audience-overlap matrix from the
+    // sketches alone (ρ-estimator over the pairwise union sketch);
+    // exact intersection rides along as the accuracy witness.
+    "e8_kmv_intersect" -> ((s, dir) =>
+      AnalyticsOps.kmvIntersect(Tables.events(s, dir),
+        key = "event_type", idCol = "user_id")),
     // e7: mergeable HEAVY HITTERS — global frequency top-k read off
     // hash-disjoint per-bucket top-k candidates (lossless merge by
     // construction); the oracle states the direct top-k the merged
@@ -2638,6 +2644,50 @@ object SparkEntry {
         |  round(abs(dq.kq_direct - ex.exact_p50) / ex.exact_p50, 6)
         |    AS rel_err
         |FROM ex, dq, mq""".stripMargin,
+    // e8: the same hash/minima convention as e4/e5; ρ-estimator over
+    // the pairwise union sketch, exact when unsaturated.
+    "e8_kmv_intersect" ->
+      """WITH hashes AS (
+        |  SELECT DISTINCT event_type AS t,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |minima AS (
+        |  SELECT t, h FROM (
+        |    SELECT t, h,
+        |      row_number() OVER (PARTITION BY t ORDER BY h ASC) AS rn
+        |    FROM hashes) WHERE rn <= 256),
+        |dom AS (SELECT a.t AS ta, b.t AS tb
+        |  FROM (SELECT DISTINCT t FROM minima) a
+        |  JOIN (SELECT DISTINCT t FROM minima) b ON a.t < b.t),
+        |un AS (
+        |  SELECT ta, tb, h,
+        |    max(CASE WHEN m.t = ta THEN 1 ELSE 0 END) AS ina,
+        |    max(CASE WHEN m.t = tb THEN 1 ELSE 0 END) AS inb
+        |  FROM dom JOIN minima m ON m.t = ta OR m.t = tb
+        |  GROUP BY ta, tb, h),
+        |sk AS (
+        |  SELECT ta, tb, count(*) AS n_used, max(h) AS hk,
+        |    sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS rho
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY ta, tb
+        |          ORDER BY h ASC) AS rn FROM un)
+        |  WHERE rn <= 256 GROUP BY ta, tb),
+        |est AS (
+        |  SELECT ta, tb,
+        |    CASE WHEN n_used < 256 THEN rho::DOUBLE
+        |         ELSE rho::DOUBLE / 256.0 *
+        |           (255.0 * 1152921504606846976.0 / hk) END AS est
+        |  FROM sk),
+        |ids AS (SELECT DISTINCT event_type AS t, user_id AS id
+        |  FROM events),
+        |exact AS (
+        |  SELECT a.t AS ta, b.t AS tb, count(*) AS exact_intersect
+        |  FROM ids a JOIN ids b ON a.id = b.id AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT e.ta AS type_a, e.tb AS type_b,
+        |  coalesce(x.exact_intersect, 0) AS exact_intersect,
+        |  round(e.est)::BIGINT AS kmv_intersect
+        |FROM est e LEFT JOIN exact x ON x.ta = e.ta AND x.tb = e.tb
+        |ORDER BY type_a ASC, type_b ASC""".stripMargin,
     "e4_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

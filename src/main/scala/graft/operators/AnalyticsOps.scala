@@ -454,6 +454,69 @@ object AnalyticsOps {
       .crossJoin(estOf(perGroup, "kmv_merged"))
   }
 
+  /** KMV INTERSECTION — the sketch algebra beyond union (e5): the
+    * estimated overlap |A∩B| of every pair of key-groups' id sets,
+    * from their k-minimum-value sketches alone (Beyer et al.'s
+    * ρ-estimator: take the k smallest hashes of S_A ∪ S_B; ρ = the
+    * fraction of them present in BOTH sketches; |A∩B| ≈ ρ · D_union).
+    * When the union sketch is unsaturated (n_used < k) both sets are
+    * fully enumerated and the estimate IS exact. This is the audience
+    * -overlap / cross-source-membership matrix computed WITHOUT ever
+    * joining the raw id sets — at 100 TB the sketches are
+    * k·|groups| rows total, and the whole pair matrix costs
+    * |pairs|·2k rows of work regardless of corpus size. Hashes are
+    * the e4/e5 md5 convention, so the estimator is deterministic and
+    * oracle-expressible; the exact intersection rides along as the
+    * accuracy witness.
+    */
+  def kmvIntersect(df: DataFrame, key: String, idCol: String,
+      k: Int = 256): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hashes = df.select(col(key).as("t"), h.as("h")).distinct()
+    val wg = Window.partitionBy(col("t")).orderBy(col("h").asc)
+    val minima = hashes.withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= k).select(col("t"), col("h"))
+    val types = minima.select(col("t")).distinct()
+    val dom = types.select(col("t").as("ta"))
+      .join(types.select(col("t").as("tb")), col("ta") < col("tb"))
+    // |pairs| rows broadcast against the k·|groups| minima relation —
+    // a bounded fan-out, never a raw-id join
+    val un = broadcast(dom)
+      .join(minima, col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(when(col("t") === col("ta"), 1L).otherwise(0L))
+          .as("ina"),
+        max(when(col("t") === col("tb"), 1L).otherwise(0L)).as("inb"))
+    val wp = Window.partitionBy(col("ta"), col("tb"))
+      .orderBy(col("h").asc)
+    val sk = un.withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= k)
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n_used"), max(col("h")).as("hk"),
+        sum(when(col("ina") === 1L && col("inb") === 1L, 1L)
+          .otherwise(0L)).as("rho"))
+    val est = sk.select(col("ta"), col("tb"),
+      when(col("n_used") < k, col("rho").cast("double"))
+        .otherwise(col("rho").cast("double") / lit(k.toDouble) *
+          (lit((k - 1).toDouble * 1.152921504606846976e18) /
+            col("hk").cast("double")))
+        .as("est"))
+    val ids = df.select(col(key).as("t"), col(idCol).as("id"))
+      .distinct()
+    val exact = ids.as("A").join(ids.as("B"),
+        col("A.id") === col("B.id") && col("A.t") < col("B.t"))
+      .select(col("A.t").as("ta"), col("B.t").as("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    est.join(exact, Seq("ta", "tb"), "left")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        coalesce(col("exact_intersect"), lit(0L))
+          .as("exact_intersect"),
+        round(col("est")).cast("long").as("kmv_intersect"))
+      .resultSorted(col("type_a").asc, col("type_b").asc)
+  }
+
   /** MERGEABLE QUANTILE SKETCH — the e5 property carried from
     * distinct-counts to QUANTILES: the sketch is the k rows with the
     * SMALLEST id-hash (a deterministic uniform sample by hash rank,

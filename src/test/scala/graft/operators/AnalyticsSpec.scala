@@ -471,6 +471,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kmvIntersect: exact when unsaturated; within the ρ-band when not") {
+    import spark.implicits._
+    // groups a and b: 2000 ids each, 1000 shared → |A∩B| = 1000
+    val rows = (0 until 2000).map(i => ("a", i.toLong)) ++
+      (1000 until 3000).map(i => ("b", i.toLong))
+    val df = rows.toDF("t", "id")
+    // saturated (k=64 « 2000): estimate within 3/sqrt(k) ≈ 37%
+    val sat = AnalyticsOps.kmvIntersect(df, "t", "id", k = 64)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(sat._1 == 1000L)
+    assert(math.abs(sat._2 - 1000L) <= 375L, s"saturated est: $sat")
+    // unsaturated (k = 8192 > |A∪B|): estimate is EXACT
+    val unsat = AnalyticsOps.kmvIntersect(df, "t", "id", k = 8192)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(unsat == ((1000L, 1000L)))
+  }
+
   test("sessionize: gap splits, exact durations, per-key isolation") {
     import spark.implicits._
     import java.sql.Timestamp
