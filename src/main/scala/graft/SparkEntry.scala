@@ -1006,6 +1006,13 @@ object SparkEntry {
     "e4_kmv_distinct" -> ((s, dir) =>
       AnalyticsOps.kmvDistinct(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
+    // a11: FUNNEL — strictly-ordered signup → click → purchase
+    // conversion; per-step anchors are earliest qualifying
+    // occurrences, join inputs shrink monotonically.
+    "a11_funnel" -> ((s, dir) =>
+      AnalyticsOps.funnel(Tables.events(s, dir),
+        userCol = "user_id", tsCol = "ts", typeCol = "event_type",
+        steps = Seq("signup", "click", "purchase"))),
     // e8: KMV INTERSECTION — the audience-overlap matrix from the
     // sketches alone (ρ-estimator over the pairwise union sketch);
     // exact intersection rides along as the accuracy witness.
@@ -2644,6 +2651,24 @@ object SparkEntry {
         |  round(abs(dq.kq_direct - ex.exact_p50) / ex.exact_p50, 6)
         |    AS rel_err
         |FROM ex, dq, mq""".stripMargin,
+    // a11: per-step CTEs anchored at the earliest qualifying ts.
+    "a11_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 1::INT AS step, 'signup' AS step_name,
+        |  count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2::INT, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3::INT, 'purchase', count(*) FROM s3
+        |ORDER BY step ASC""".stripMargin,
     // e8: the same hash/minima convention as e4/e5; ρ-estimator over
     // the pairwise union sketch, exact when unsaturated.
     "e8_kmv_intersect" ->

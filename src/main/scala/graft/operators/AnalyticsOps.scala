@@ -454,6 +454,36 @@ object AnalyticsOps {
       .crossJoin(estOf(perGroup, "kmv_merged"))
   }
 
+  /** FUNNEL analysis — strictly-ordered multi-step conversion: how
+    * many users performed step 1, then step 2 AFTER their first
+    * step 1, then step 3 after that, … (each step's anchor is the
+    * EARLIEST qualifying occurrence, the standard product-analytics
+    * semantics). One hash aggregate per step plus an equi-join of
+    * the (user, anchor-ts) relation — each join input is bounded by
+    * |users who reached the previous step|, monotonically shrinking;
+    * the event table is scanned once per step with the type filter
+    * pushed to the scan. No window over the raw stream, no per-user
+    * collect.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val reachedAll = steps.tail.scanLeft(first) { (prev, step) =>
+      df.filter(col(typeCol) === step)
+        .join(prev, Seq(userCol))
+        .filter(col(tsCol) > col("__t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    }
+    reachedAll.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("int").as("step"),
+          lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+      .resultSorted(col("step").asc)
+  }
+
   /** KMV INTERSECTION — the sketch algebra beyond union (e5): the
     * estimated overlap |A∩B| of every pair of key-groups' id sets,
     * from their k-minimum-value sketches alone (Beyer et al.'s

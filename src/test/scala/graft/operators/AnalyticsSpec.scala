@@ -471,6 +471,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnel: strict ordering — steps before the anchor don't count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // u1 converts fully in order
+      (1L, "signup", ts(10)), (1L, "click", ts(20)),
+      (1L, "purchase", ts(30)),
+      // u2's click precedes signup → stops at step 1
+      (2L, "click", ts(5)), (2L, "signup", ts(10)),
+      (2L, "purchase", ts(50)),
+      // u3 reaches click; purchase precedes the click → stops at 2
+      (3L, "signup", ts(10)), (3L, "purchase", ts(15)),
+      (3L, "click", ts(20)))
+      .toDF("user_id", "event_type", "ts")
+    val out = AnalyticsOps.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "signup", 3L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+
   test("kmvIntersect: exact when unsaturated; within the ρ-band when not") {
     import spark.implicits._
     // groups a and b: 2000 ids each, 1000 shared → |A∩B| = 1000

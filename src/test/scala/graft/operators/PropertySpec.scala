@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -190,6 +191,37 @@ class PropertySpec extends SparkSpec {
       }
       // digit-leading path can't prefix-match letter-only rules
       assert(rules.canFetch("AnyBot", "/0"))
+    }
+  }
+
+  test("property: asofJoin equals the naive per-row latest-at-or-before scan") {
+    import java.sql.Timestamp
+    val tsGen = Gen.chooseNum(0L, 40L)
+    val evGen = Gen.listOf(Gen.zip(keyGen, tsGen))
+    samples(Gen.zip(evGen, evGen), n = 6).foreach {
+      case (leftRows, rightRows) =>
+        val left = leftRows.zipWithIndex.map { case ((k, t), i) =>
+          (i.toLong, k, new Timestamp(t * 1000L))
+        }
+        val right = rightRows.zipWithIndex.map { case ((k, t), i) =>
+          (1000L + i, k, new Timestamp(t * 1000L))
+        }
+        val naive = left.map { case (lid, k, lt) =>
+          val cand = right.filter(r => r._2 == k && !r._3.after(lt))
+          // max (ts, id) — the oracle's (ts DESC, id DESC LIMIT 1)
+          lid -> cand.sortBy(r => (r._3.getTime, r._1)).lastOption
+            .map(_._1).getOrElse(-1L)
+        }.toMap
+        val lDf = left.toDF("lid", "k", "ts")
+        val rDf = right.toDF("rid", "k", "ts")
+          .select(col("k"), col("ts"), col("rid"))
+        val got = SkewOps.asofJoin(lDf, rDf, "k", "ts", "ts",
+            rightPayload = Seq("rid"), tiebreakCol = "rid")
+          .select("lid", "rid")
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+        assert(got == naive,
+          s"left=$left right=$right got=$got want=$naive")
     }
   }
 }
