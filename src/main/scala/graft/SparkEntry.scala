@@ -1019,6 +1019,13 @@ object SparkEntry {
     "e8_kmv_intersect" -> ((s, dir) =>
       AnalyticsOps.kmvIntersect(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
+    // e9: RELATIONAL HLL — the HyperLogLog estimator as pure algebra
+    // (exact-integer harmonic sum, bin()-based ρ), hash-matched
+    // through the gate; upgrades e3's rows-only status with a
+    // deterministic twin.
+    "e9_hll_exact" -> ((s, dir) =>
+      AnalyticsOps.hllDistinct(Tables.events(s, dir),
+        key = "event_type", idCol = "user_id")),
     // e7: mergeable HEAVY HITTERS — global frequency top-k read off
     // hash-disjoint per-bucket top-k candidates (lossless merge by
     // construction); the oracle states the direct top-k the merged
@@ -2651,6 +2658,45 @@ object SparkEntry {
         |  round(abs(dq.kq_direct - ex.exact_p50) / ex.exact_p50, 6)
         |    AS rel_err
         |FROM ex, dq, mq""".stripMargin,
+    // e9: the identical estimator in SQL — integer registers, one
+    // division, one deterministic ln in the linear-counting branch.
+    "e9_hll_exact" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS t,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT t, h // 4503599627370496 AS bucket,
+        |    h % 4503599627370496 AS w
+        |  FROM h),
+        |regs AS (
+        |  SELECT t, bucket,
+        |    max(CASE WHEN w = 0 THEN 53
+        |             ELSE 53 - length(bin(w)) END) AS rho
+        |  FROM r GROUP BY t, bucket),
+        |agg AS (
+        |  SELECT t, count(*) AS n_present,
+        |    sum((2::BIGINT ^ (53 - rho))::BIGINT)::BIGINT
+        |      AS sum_present
+        |  FROM regs GROUP BY t),
+        |est AS (
+        |  SELECT t, 256 - n_present AS v,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+        |      * 9007199254740992.0
+        |      / (sum_present
+        |         + (256 - n_present) * 9007199254740992)::DOUBLE
+        |      AS raw
+        |  FROM agg),
+        |ex AS (
+        |  SELECT event_type AS t, count(DISTINCT user_id)
+        |    AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT ex.t AS event_type, ex.exact_distinct,
+        |  round(CASE WHEN raw <= 640.0 AND v > 0
+        |    THEN 256.0 * ln(256.0 / v) ELSE raw END)::BIGINT
+        |    AS hll_distinct
+        |FROM ex JOIN est ON est.t = ex.t
+        |ORDER BY event_type ASC""".stripMargin,
     // a11: per-step CTEs anchored at the earliest qualifying ts.
     "a11_funnel" ->
       """WITH s1 AS (

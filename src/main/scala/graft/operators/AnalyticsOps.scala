@@ -454,6 +454,56 @@ object AnalyticsOps {
       .crossJoin(estOf(perGroup, "kmv_merged"))
   }
 
+  /** RELATIONAL HYPERLOGLOG — the HLL estimator itself through the
+    * oracle gate (e3 uses Spark's built-in `approx_count_distinct`,
+    * whose sketch internals aren't reproducible outside Spark, so e3
+    * is rows-only; THIS is the estimator as pure relational algebra,
+    * deterministic and hash-matched): 8-bit bucket from the top of
+    * the e4-convention md5 hash, ρ = leading-zero rank of the
+    * remaining 52 bits (exact via `length(bin(w))` — no float log),
+    * register = max ρ per bucket, and the harmonic sum computed in
+    * EXACT integers (Σ 2^(53−ρ) as longs; empty registers contribute
+    * 2^53) so no float-summation-order divergence exists anywhere —
+    * the one division happens at the end. Linear-counting correction
+    * below 2.5m (the single deterministic libm `ln`, the t11/c10
+    * precedent). Registers are mergeable by max — the same
+    * per-partition → global property as e5/e6, which is why this is
+    * THE 100 TB distinct-count: fixed 256-register state per group
+    * at any cardinality. Exact count rides along as the witness.
+    */
+  def hllDistinct(df: DataFrame, key: String, idCol: String)
+      : DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hashed = df.select(col(key).as("t"), h.as("h")).distinct()
+    val regs = hashed
+      .select(col("t"), shiftright(col("h"), 52).as("bucket"),
+        col("h").bitwiseAND(lit((1L << 52) - 1)).as("w"))
+      .groupBy(col("t"), col("bucket"))
+      .agg(max(when(col("w") === 0L, lit(53))
+        .otherwise(lit(53) - length(bin(col("w"))))).as("rho"))
+    val agg = regs.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(pow(lit(2.0), lit(53) - col("rho")).cast("long"))
+          .as("sum_present"))
+    val est = agg.select(col("t"), (lit(m) - col("n_present")).as("v"),
+      (lit(alpha) * lit(256.0) * lit(256.0) *
+        lit(9007199254740992.0) /
+        (col("sum_present") +
+          (lit(m.toLong) - col("n_present")) * lit(9007199254740992L))
+          .cast("double")).as("raw"))
+    val exact = df.groupBy(col(key).as("t"))
+      .agg(countDistinct(col(idCol)).as("exact_distinct"))
+    exact.join(est, Seq("t"))
+      .select(col("t").as(key), col("exact_distinct"),
+        round(when(col("raw") <= lit(2.5 * m) && col("v") > 0L,
+            lit(m.toDouble) * log(lit(256.0) / col("v").cast("double")))
+          .otherwise(col("raw"))).cast("long").as("hll_distinct"))
+      .resultSorted(col(key).asc)
+  }
+
   /** FUNNEL analysis — strictly-ordered multi-step conversion: how
     * many users performed step 1, then step 2 AFTER their first
     * step 1, then step 3 after that, … (each step's anchor is the

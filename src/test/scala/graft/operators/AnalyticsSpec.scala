@@ -471,6 +471,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("hllDistinct: both branches land within the HLL error band") {
+    import spark.implicits._
+    // "big" exercises the raw harmonic branch (n » 2.5m = 640),
+    // "small" the linear-counting branch
+    val rows = (0 until 20000).map(i => ("big", i.toLong)) ++
+      (0 until 50).map(i => ("small", i.toLong))
+    val out = AnalyticsOps.hllDistinct(rows.toDF("t", "id"), "t", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("big")._1 == 20000L)
+    assert(math.abs(out("big")._2 - 20000L) <= 2000L, s"$out")
+    assert(out("small")._1 == 50L)
+    assert(math.abs(out("small")._2 - 50L) <= 8L, s"$out")
+  }
+
   test("funnel: strict ordering — steps before the anchor don't count") {
     import spark.implicits._
     import java.sql.Timestamp
