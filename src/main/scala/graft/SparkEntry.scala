@@ -214,6 +214,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_members"))
         .resultSorted(col("centroid_id").asc)
     }),
+    // n26: index DELETE — the tombstoned slice stops surfacing in the
+    // served IVF-PQ results without any rebuild; the oracle recomputes
+    // the same serve with the deleted ids excluded from candidates.
+    "n26_index_delete" -> ((s, dir) => {
+      val root = deletedVectorIndexRoot(s, dir)
+      val qs = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 73 === 0)
+        .select(col("vec_id").as("query_id"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+            .as("qv"))
+      VectorIndexOps.servedIvfPqBatch(s, root, qs, k = 5, nProbe = 3)
+    }),
     "r1_salted_counts" -> ((s, dir) =>
       SkewOps.saltedCounts(Tables.events(s, dir), "event_type", 16)),
     // r2: the bucketized temporal RANGE join promoted to the oracle
@@ -1265,6 +1277,22 @@ object SparkEntry {
       r
     })
 
+  /** n26 fixture: the full trained index with the `vec_id % 31 = 1`
+    * slice tombstoned out (MoR log deletes; codebooks frozen) — the
+    * unindex path whose serve results the oracle recomputes by
+    * exclusion.
+    */
+  private def deletedVectorIndexRoot(s: SparkSession, dir: String)
+      : String =
+    versionedFixtures.computeIfAbsent((s, dir, "vecindex_del"), _ => {
+      val r = tempTableRoot("graft_vecidx_del") + "/index"
+      val emb = Tables.embeddings(s, dir)
+      VectorIndexOps.initVectorIndex(emb, r, stride = 50, nSub = 4)
+      VectorIndexOps.deleteVectors(s,
+        emb.filter(col("vec_id") % 31 === 1).select("vec_id"), r)
+      r
+    })
+
   /** k17 fixture: the merged-docs table SHALLOW-CLONED (metadata-only
     * manifest referencing the source's files), then diverged by a
     * MERGE into the clone only. The query reads both tables side by
@@ -1444,7 +1472,21 @@ object SparkEntry {
       "\nFROM assignment GROUP BY centroid_id ORDER BY centroid_id ASC"
   }
 
+  /** n26's oracle: the n15/n21 serve with the tombstoned slice
+    * excluded from candidates — derived from [[IvfPqBatchOracleSql]]
+    * so the codebook convention can never drift.
+    */
+  private val IndexDeleteOracleSql: String = {
+    val marker = "WHERE vec_id <> query_id),"
+    require(IvfPqBatchOracleSql.contains(marker),
+      "IvfPqBatchOracleSql cand shape changed")
+    IvfPqBatchOracleSql.replace(marker,
+      "WHERE vec_id <> query_id AND vec_id % 31 <> 1),")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // n26: serve-after-delete ≡ serve-with-exclusion.
+    "n26_index_delete" -> IndexDeleteOracleSql,
     // n6_ann_lsh_topk and e3_sketch_profile intentionally omitted:
     // LSH / HLL / t-digest are approximate → driver records the weaker
     // rows-only check; ScalaTest bounds them against the exact answers

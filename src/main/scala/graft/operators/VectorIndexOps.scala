@@ -164,6 +164,39 @@ object VectorIndexOps {
       .toDF("n_batch", "n_appended", "n_skipped")
   }
 
+  /** DELETE from the index — the remaining CRUD leg (append = n22):
+    * tombstone the given vector ids out of the inverted file and the
+    * code table via MoR log deletes (O(|batch|) write, no base-file
+    * rewrite; `Versioned.compact` folds the log later like any other
+    * table). Serving reads are log-aware, so deleted vectors stop
+    * surfacing immediately — the unindex/right-to-be-forgotten path
+    * a production vector store needs without a rebuild. Codebooks
+    * stay frozen (deleting members never retrains). Idempotent:
+    * already-absent ids tombstone to a no-op report.
+    */
+  def deleteVectors(spark: SparkSession, ids: DataFrame, root: String)
+      : DataFrame = {
+    val assign = Versioned.current(spark, s"$root/assign")
+    val victims = assign.join(ids, Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val nReq = ids.select("vec_id").distinct().count()
+    val nDel = victims.count()
+    if (nDel > 0) {
+      Versioned.mergeUpsertMoR(
+        victims.withColumn("__del", lit(true)),
+        s"$root/assign", Seq("vec_id"), deleteFlag = Some("__del"))
+      Versioned.mergeUpsertMoR(
+        Versioned.current(spark, s"$root/codes")
+          .join(ids, Seq("vec_id"), "left_semi")
+          .withColumn("__del", lit(true)),
+        s"$root/codes", Seq("vec_id", "s"), deleteFlag = Some("__del"))
+      ()
+    }
+    import spark.implicits._
+    Seq((nReq, nDel, nReq - nDel))
+      .toDF("n_requested", "n_deleted", "n_absent")
+  }
+
   /** SERVE from the stored index: batch IVF-PQ top-k
     * ([[SimilarityOps.ivfPqTopKBatch]]'s probe → LUT → ADC plan,
     * value-identical given the same codebook convention) where the

@@ -58,7 +58,8 @@ class ScaleShapeSpec extends SparkSpec {
       "t21_ngram_diversity", "t22_blocklist_gate",
       "w5_sessionize", "c12_pipeline_e2e", "st7_stream_asof",
       "n25_substring_pairs", "m5_mm_pack", "l11_rerank",
-      "e8_kmv_intersect", "a11_funnel", "e9_hll_exact")
+      "e8_kmv_intersect", "a11_funnel", "e9_hll_exact",
+      "n26_index_delete")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),

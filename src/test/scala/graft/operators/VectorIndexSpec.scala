@@ -96,4 +96,31 @@ class VectorIndexSpec extends SparkSpec {
     assert(!r2.exists(_._2 == v0),
       s"tampered assignment must be visible: $r2")
   }
+
+  test("deleteVectors: tombstoned ids stop surfacing; delete is idempotent") {
+    val root = tmpDir("vecidxdel") + "/index"
+    val emb = Tables.embeddings(spark, sfSmoke)
+    VectorIndexOps.initVectorIndex(emb, root, stride = 50, nSub = 4)
+    val before = VectorIndexOps
+      .servedIvfPqBatch(spark, root, queriesDf(sfSmoke), 5, 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // delete exactly the ids the index currently serves → results
+    // must change and never contain them again
+    val victimIds = before.map(_._2).distinct.take(3)
+    val victims = victimIds.toDF("vec_id")
+    val rep1 = VectorIndexOps.deleteVectors(spark, victims, root)
+      .as[(Long, Long, Long)].head()
+    assert(rep1 == ((victimIds.size.toLong, victimIds.size.toLong, 0L)))
+    val after = VectorIndexOps
+      .servedIvfPqBatch(spark, root, queriesDf(sfSmoke), 5, 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(after.nonEmpty)
+    assert(!after.exists(r => victimIds.contains(r._2)),
+      s"deleted ids resurfaced: $after")
+    // idempotent: a second delete of the same ids is a no-op report
+    val rep2 = VectorIndexOps.deleteVectors(spark, victims, root)
+      .as[(Long, Long, Long)].head()
+    assert(rep2 == ((victimIds.size.toLong, 0L,
+      victimIds.size.toLong)))
+  }
 }
