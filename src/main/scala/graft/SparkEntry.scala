@@ -1018,6 +1018,17 @@ object SparkEntry {
     "e4_kmv_distinct" -> ((s, dir) =>
       AnalyticsOps.kmvDistinct(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
+    // w6: COHORT RETENTION — users cohorted by first-event week,
+    // distinct-active per week offset; the count-distinct is a
+    // pre-grouped aggregate, never distinct state.
+    "w6_cohort_retention" -> ((s, dir) =>
+      AnalyticsOps.cohortRetention(Tables.events(s, dir),
+        userCol = "user_id", tsCol = "ts")),
+    // c13: EPOCH SHUFFLE — deterministic, different order per epoch
+    // (hash of (epoch, id)); order-sensitive integer witness.
+    "c13_epoch_shuffle" -> ((s, dir) =>
+      AnalyticsOps.epochShuffle(Tables.documents(s, dir),
+        idCol = "doc_id", epochs = 3)),
     // a11: FUNNEL — strictly-ordered signup → click → purchase
     // conversion; per-step anchors are earliest qualifying
     // occurrences, join inputs shrink monotonically.
@@ -2739,6 +2750,38 @@ object SparkEntry {
         |    AS hll_distinct
         |FROM ex JOIN est ON est.t = ex.t
         |ORDER BY event_type ASC""".stripMargin,
+    // w6: date_trunc week + exact integer day-diff / 7 in both
+    // engines.
+    "w6_cohort_retention" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT e.user_id, fw.cohort_week,
+        |    (date_diff('day', fw.cohort_week::DATE,
+        |       date_trunc('week', e.ts)::DATE) // 7)::INT
+        |      AS week_offset
+        |  FROM events e JOIN fw ON e.user_id = fw.user_id)
+        |SELECT cohort_week, week_offset, count(*) AS n_active
+        |FROM act GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week ASC, week_offset ASC""".stripMargin,
+    // c13: md5(epoch:id) ordering, Σ position·id exact-integer
+    // witness per epoch.
+    "c13_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT d.doc_id, ep.epoch,
+        |    md5(ep.epoch || ':' || d.doc_id) AS h
+        |  FROM documents d
+        |  CROSS JOIN (VALUES (0), (1), (2)) AS ep(epoch)),
+        |p AS (
+        |  SELECT epoch, doc_id,
+        |    row_number() OVER (PARTITION BY epoch
+        |      ORDER BY h ASC, doc_id ASC) AS pos
+        |  FROM e)
+        |SELECT epoch, count(*) AS n_docs,
+        |  sum(pos * doc_id)::BIGINT AS order_sum,
+        |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_id
+        |FROM p GROUP BY epoch ORDER BY epoch ASC""".stripMargin,
     // a11: per-step CTEs anchored at the earliest qualifying ts.
     "a11_funnel" ->
       """WITH s1 AS (

@@ -454,6 +454,57 @@ object AnalyticsOps {
       .crossJoin(estOf(perGroup, "kmv_merged"))
   }
 
+  /** COHORT RETENTION — the week-grid engagement matrix: users
+    * cohorted by their FIRST event's week, counted distinct in each
+    * subsequent week offset. Two aggregates: min-ts per user (one
+    * exchange on the user), then a (cohort, offset) count-distinct
+    * computed as a pre-grouped (cohort, offset, user) aggregate that
+    * rides the same user-hash partitioning — never a
+    * count-distinct state blowup. Week arithmetic is date_trunc +
+    * exact integer day-diff / 7, identical in both engines.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val firstWeek = df.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    df.select(col(userCol), date_trunc("week", col(tsCol)).as("w"))
+      .join(firstWeek, Seq(userCol))
+      .select(col(userCol), col("cohort_week"),
+        (datediff(col("w"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .resultSorted(col("cohort_week").asc, col("week_offset").asc)
+  }
+
+  /** EPOCH SHUFFLE — the per-epoch training-order guarantee:
+    * deterministic, reproducible, and DIFFERENT for every epoch
+    * (ordering by a hash of (id, epoch) — the standard seeded
+    * shuffle every multi-epoch training run needs so epoch 2 doesn't
+    * replay epoch 1's order). The witness is order-SENSITIVE:
+    * Σ position·id per epoch (exact integers), plus the first id of
+    * each epoch's stream. One window per epoch partition — the
+    * orders materialize in parallel across epochs.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int)
+      : DataFrame = {
+    val e = df.select(col(idCol))
+      .crossJoin(broadcast(
+        df.sparkSession.range(0, epochs).select(
+          col("id").cast("int").as("epoch"))))
+      .withColumn("__h",
+        md5(concat_ws(":", col("epoch"), col(idCol))))
+    val w = Window.partitionBy(col("epoch"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    e.withColumn("__pos", row_number().over(w).cast("long"))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__pos") * col(idCol)).cast("long").as("order_sum"),
+        min(when(col("__pos") === 1L, col(idCol))).as("first_id"))
+      .resultSorted(col("epoch").asc)
+  }
+
   /** RELATIONAL HYPERLOGLOG — the HLL estimator itself through the
     * oracle gate (e3 uses Spark's built-in `approx_count_distinct`,
     * whose sketch internals aren't reproducible outside Spark, so e3

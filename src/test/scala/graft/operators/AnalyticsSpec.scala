@@ -471,6 +471,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cohortRetention: first-week cohorts, distinct per offset") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Mondays: 2024-01-01 and 2024-01-08
+    def ts(day: Int, h: Int = 12) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(3)),          // u1 cohort w1, active w0 ×2
+      (1L, ts(10)),                      // u1 active w1
+      (2L, ts(2)),                       // u2 cohort w1, w0 only
+      (3L, ts(8)), (3L, ts(9)))          // u3 cohort w2, w0 ×2
+      .toDF("user_id", "ts")
+    val out = AnalyticsOps.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getInt(1), r.getLong(2))).toSeq
+    assert(out == Seq(("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L),
+      ("2024-01-08", 0, 1L)))
+  }
+
+  test("epochShuffle: deterministic, order differs across epochs") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val a = AnalyticsOps.epochShuffle(docs, "doc_id", epochs = 3)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val b = AnalyticsOps.epochShuffle(docs, "doc_id", epochs = 3)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(a == b)                         // reproducible
+    assert(a.map(_._2).toSet == Set(200L)) // every epoch = full corpus
+    assert(a.map(_._3).distinct.size == 3, // every epoch a new order
+      s"order_sum collided: $a")
+  }
+
   test("hllDistinct: both branches land within the HLL error band") {
     import spark.implicits._
     // "big" exercises the raw harmonic branch (n » 2.5m = 640),
