@@ -1018,6 +1018,19 @@ object SparkEntry {
     "e4_kmv_distinct" -> ((s, dir) =>
       AnalyticsOps.kmvDistinct(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
+    // c14: SPLIT-AWARE packing — the true concat-and-split layout
+    // (straddling docs split across shards; every non-final shard
+    // carries exactly the budget).
+    "c14_split_pack" -> ((s, dir) =>
+      AnalyticsOps.splitPack(Tables.documents(s, dir),
+        idCol = "doc_id", groupCol = "source", textCol = "text",
+        budgetTokens = 8192)),
+    // w7: GAP-FILLED daily series — the date spine makes missing
+    // days explicit zero rows for a sparse event subset.
+    "w7_gapfill" -> ((s, dir) =>
+      AnalyticsOps.gapFillDaily(Tables.events(s, dir),
+        keyCol = "event_type", tsCol = "ts",
+        rowFilter = col("value") > lit(24.0))),
     // w6: COHORT RETENTION — users cohorted by first-event week,
     // distinct-active per week offset; the count-distinct is a
     // pre-grouped aggregate, never distinct state.
@@ -2750,6 +2763,48 @@ object SparkEntry {
         |    AS hll_distinct
         |FROM ex JOIN est ON est.t = ex.t
         |ORDER BY event_type ASC""".stripMargin,
+    // c14: per-doc shard-range unnest; spans are exact integers.
+    "c14_split_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS e
+        |  FROM t),
+        |s AS (
+        |  SELECT source, doc_id, n_tok, e, e - n_tok AS st,
+        |    unnest(range(((e - n_tok) // 8192)::BIGINT,
+        |                 (((e - 1) // 8192) + 1)::BIGINT)) AS shard_id
+        |  FROM c WHERE n_tok > 0)
+        |SELECT source, shard_id, count(*) AS n_docs,
+        |  sum(least(e, (shard_id + 1) * 8192)
+        |      - greatest(st, shard_id * 8192))::BIGINT AS shard_tokens
+        |FROM s GROUP BY source, shard_id
+        |ORDER BY source ASC, shard_id ASC""".stripMargin,
+    // w7: generate_series spine × key domain, left join, zero fill.
+    "w7_gapfill" ->
+      """WITH sparse AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS cnt
+        |  FROM events WHERE value > 24.0
+        |  GROUP BY event_type, day),
+        |bounds AS (
+        |  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1
+        |  FROM events),
+        |spine AS (
+        |  SELECT event_type, day::DATE AS day FROM (
+        |    SELECT k.event_type, unnest(generate_series(d0, d1,
+        |      INTERVAL 1 DAY)) AS day
+        |    FROM (SELECT DISTINCT event_type FROM events) k
+        |    CROSS JOIN bounds))
+        |SELECT s.event_type, s.day::TIMESTAMP AS day,
+        |  coalesce(sp.cnt, 0)::BIGINT AS cnt
+        |FROM spine s LEFT JOIN sparse sp
+        |  ON sp.event_type = s.event_type AND sp.day = s.day
+        |ORDER BY s.event_type ASC, s.day ASC""".stripMargin,
     // w6: date_trunc week + exact integer day-diff / 7 in both
     // engines.
     "w6_cohort_retention" ->

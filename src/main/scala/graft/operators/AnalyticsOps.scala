@@ -454,6 +454,70 @@ object AnalyticsOps {
       .crossJoin(estOf(perGroup, "kmv_merged"))
   }
 
+  /** SPLIT-AWARE sequence packing — the boundary-exact layout c5
+    * approximates: documents are concatenated per group and the
+    * stream is cut EVERY `budget` tokens, with straddling documents
+    * SPLIT across shards (the true concat-and-split every trainer
+    * consumes — each shard except the group's last carries exactly
+    * `budget` tokens, asserted in the spec). Each doc explodes into
+    * the ≤ n_tok/budget + 1 shards it touches with its exact token
+    * span per shard — a bounded fan-out of the NARROW (group, id,
+    * n_tok) relation on top of c5's one-exchange window; the text
+    * still never leaves the scan.
+    */
+  def splitPack(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, budgetTokens: Int): DataFrame = {
+    val b = budgetTokens.toLong
+    val toks = df.select(col(groupCol), col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = toks
+      .withColumn("end", sum(col("n_tok")).over(w))
+      .withColumn("start", col("end") - col("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("shard_id", explode(sequence(
+        floor(col("start") / b).cast("long"),
+        floor((col("end") - 1) / b).cast("long"))))
+      .withColumn("tok_in_shard",
+        least(col("end"), (col("shard_id") + 1) * b) -
+          greatest(col("start"), col("shard_id") * b))
+    spans.groupBy(col(groupCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_shard")).cast("long").as("shard_tokens"))
+      .resultSorted(col(groupCol).asc, col("shard_id").asc)
+  }
+
+  /** TIME-SERIES GAP FILL — the date-spine pattern: daily counts of a
+    * sparse event subset with MISSING DAYS made explicit as zero rows
+    * (a dashboard/anomaly job can't distinguish "no data" from "no
+    * row" otherwise). The spine is generated relationally
+    * (sequence/explode over the observed [min, max] day range × the
+    * key domain — no driver-side date loop) and left-joined by the
+    * sparse counts; at 100 TB the spine is |days|·|keys| rows of
+    * METADATA scale while the events aggregate once.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+      rowFilter: Column): DataFrame = {
+    val sparse = df.filter(rowFilter)
+      .select(col(keyCol), to_date(col(tsCol)).as("day"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = df.select(min(to_date(col(tsCol))).as("d0"),
+      max(to_date(col(tsCol))).as("d1"))
+    val spine = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(sparse, Seq(keyCol, "day"), "left")
+      // day emitted as TIMESTAMP: a DATE column canonicalizes
+      // differently between the two engines' pandas paths (DuckDB
+      // DATE → Timestamp, parquet DATE → date object)
+      .select(col(keyCol), col("day").cast("timestamp").as("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .resultSorted(col(keyCol).asc, col("day").asc)
+  }
+
   /** COHORT RETENTION — the week-grid engagement matrix: users
     * cohorted by their FIRST event's week, counted distinct in each
     * subsequent week offset. Two aggregates: min-ts per user (one

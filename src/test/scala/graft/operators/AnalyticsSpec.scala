@@ -471,6 +471,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("splitPack: straddlers split; every non-final shard is exactly full") {
+    import spark.implicits._
+    // three 5-token docs, budget 8 → [d1(5) d2(3)][d2(2) d3(5)]
+    val docs = Seq((1L, "s", "a b c d e"), (2L, "s", "f g h i j"),
+      (3L, "s", "k l m n o")).toDF("doc_id", "source", "text")
+    val out = AnalyticsOps.splitPack(docs, "doc_id", "source", "text",
+        budgetTokens = 8)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("s", 0L, 2L, 8L), ("s", 1L, 2L, 7L)))
+    // invariant on real data: every non-final shard carries the budget
+    val real = AnalyticsOps.splitPack(
+        graft.Tables.documents(spark, sfSmoke),
+        "doc_id", "source", "text", budgetTokens = 512)
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    real.foreach { case (src, shards) =>
+      val last = shards.map(_._2).max
+      shards.filter(_._2 != last).foreach { s =>
+        assert(s._4 == 512L, s"$src shard ${s._2} not full: $s")
+      }
+    }
+  }
+
+  test("gapFillDaily: missing days appear as zero rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val ev = Seq(("a", ts(1), 50.0), ("a", ts(3), 60.0),
+        ("b", ts(2), 10.0), ("b", ts(3), 99.0))
+      .toDF("event_type", "ts", "value")
+    val out = AnalyticsOps.gapFillDaily(ev, "event_type", "ts",
+        col("value") > 20.0)
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toString.take(10), r.getLong(2))).toSeq
+    // spine covers days 1–3 for both keys; sparse hits zero-filled
+    assert(out == Seq(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-02", 0L),
+      ("a", "2024-01-03", 1L),
+      ("b", "2024-01-01", 0L), ("b", "2024-01-02", 0L),
+      ("b", "2024-01-03", 1L)))
+  }
+
   test("cohortRetention: first-week cohorts, distinct per offset") {
     import spark.implicits._
     import java.sql.Timestamp
