@@ -413,6 +413,12 @@ object SparkEntry {
     "n25_substring_pairs" -> ((s, dir) =>
       DedupOps.substringPairs(Tables.documents(s, dir),
         "doc_id", "text", n = 8, maxDf = ShingleMaxDf)),
+    // n27: span-CONTAINMENT — docs that are verbatim excerpts of a
+    // longer doc (every 8-token span shared); the removal list a
+    // quotation-dedup pass consumes.
+    "n27_contained_docs" -> ((s, dir) =>
+      DedupOps.containedDocs(Tables.documents(s, dir),
+        "doc_id", "text", n = 8, maxDf = ShingleMaxDf)),
     // n24: CANONICAL SELECTION — the dedup pipeline's final policy
     // step: one kept representative per n9 cluster (best = largest
     // n_chars, id-asc tiebreak) plus the kept/dropped accounting.
@@ -813,6 +819,23 @@ object SparkEntry {
     "k13_change_feed" -> ((s, dir) =>
       Versioned.changes(s, prunedMergeRoot(s, dir), 0, 1, Seq("doc_id"))
         .resultSorted(col("doc_id").asc)),
+    // k24: DELETE WHERE — predicate-delete DML (retention/TTL
+    // enforcement) as one MoR tombstone commit; the oracle is the
+    // surviving-rows aggregate.
+    "k24_delete_where" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      val root = tempTableRoot("graft_delwhere") + "/docs"
+      Versioned.init(docs.repartitionByRange(6, col("doc_id")), root)
+      Versioned.deleteWhere(s, root,
+        col("n_chars") < 200L || col("doc_id") % 10 === 4,
+        Seq("doc_id"))
+      Versioned.current(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .resultSorted(col("source").asc)
+    }),
     // k23: INCREMENTAL VIEW MAINTENANCE under updates — k13's change
     // feed applied to a rollup materialized at v0 via the delta rule
     // (+after −before); pre-images come from a key-bounded v0 lookup,
@@ -2278,6 +2301,9 @@ object SparkEntry {
     "n25_substring_pairs" ->
       operators.DedupOps.substringPairsSql("documents", "doc_id",
         "text", n = 8, maxDf = ShingleMaxDf),
+    "n27_contained_docs" ->
+      operators.DedupOps.containedDocsSql("documents", "doc_id",
+        "text", n = 8, maxDf = ShingleMaxDf),
     "t5_fingerprints" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
@@ -3101,6 +3127,13 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM merged
         |WHERE doc_id BETWEEN 301 AND 400
         |ORDER BY doc_id ASC""".stripMargin,
+    // k24: the surviving-rows aggregate (delete ≡ filter).
+    "k24_delete_where" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM documents
+        |WHERE NOT (n_chars < 200 OR doc_id % 10 = 4)
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
     // k23: the oracle is the from-scratch v1 aggregate the maintained
     // view must equal (same merged CTE as k12/k14).
     "k23_cdc_rollup" ->

@@ -914,6 +914,29 @@ object Versioned {
       .orderBy(col("version").asc)
   }
 
+  /** DELETE WHERE — the predicate-delete DML statement (retention /
+    * TTL / right-to-be-forgotten enforcement): rows matching `pred`
+    * in the CURRENT snapshot are tombstoned via one MoR log commit —
+    * O(|matching rows|) written, no base-file rewrite; `compact`
+    * folds later like any logged table. The matching-row read is
+    * served by the same footer-stat pruning as any scan, so a
+    * predicate on the layout key touches only overlapping files.
+    * Returns the number of rows deleted (0 = no commit written).
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      pred: org.apache.spark.sql.Column, keys: Seq[String]): Long = {
+    val victims = current(spark, table).filter(pred).localCheckpoint()
+    val n = victims.count()
+    if (n > 0) {
+      mergeUpsertMoR(
+        victims.withColumn("__del", org.apache.spark.sql.functions
+          .lit(true)),
+        table, keys, deleteFlag = Some("__del"))
+      ()
+    }
+    n
+  }
+
   /** Drop all snapshots older than `keepLast` versions (expire
     * snapshots). A data file is deleted only when NO kept manifest
     * references it; markers are dropped FIRST so no reader resolves a

@@ -960,6 +960,56 @@ object DedupOps {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** CONTAINMENT detection on top of [[substringPairs]]: a document
+    * is (span-)contained in another when EVERY one of its n-token
+    * spans appears in the other — the "fully quoted" case (a doc
+    * that is a verbatim excerpt of a longer one), which near-dup
+    * Jaccard scores low and exact dedup misses entirely. The span
+    * counts ride the same capped shingle relation; containment is
+    * `shared == n_spans(containee)` checked in both directions.
+    * Output: (contained_id, container_id, n_spans) — the removal
+    * list a quotation-dedup pass consumes.
+    */
+  def containedDocs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = capShingleDf(hashedShingles(df, idCol, textCol, n), maxDf)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("x"))
+    val b = sh.select(col(idCol).as("id_b"), col("x"))
+    val inter = a.join(b, Seq("x"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("n_sh", "na"), Seq("id_a"))
+      .filter(col("i") === col("na"))
+      .select(col("id_a").as("contained_id"),
+        col("id_b").as("container_id"), col("na").as("n_spans"))
+      .orderBy(col("contained_id").asc, col("container_id").asc)
+  }
+
+  /** Oracle twin of [[containedDocs]]. */
+  def containedDocsSql(table: String, idCol: String, textCol: String,
+      n: Int = 8, maxDf: Int = Int.MaxValue): String =
+    s"""WITH sh0 AS (
+       |${shinglesSql(table, idCol, textCol, n)}),
+       |shAll AS (SELECT $idCol,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh0),
+       |sh AS ${if (maxDf == Int.MaxValue)
+                  s"(SELECT $idCol, x FROM shAll)"
+                else capSql("shAll", idCol, maxDf)},
+       |sizes AS (SELECT $idCol, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.x = b.x AND a.$idCol <> b.$idCol
+       |  GROUP BY 1, 2)
+       |SELECT id_a AS contained_id, id_b AS container_id,
+       |  n_sh AS n_spans
+       |FROM inter JOIN sizes s ON s.$idCol = id_a
+       |WHERE i = n_sh
+       |ORDER BY contained_id ASC, container_id ASC""".stripMargin
+
   /** Oracle twin of [[substringPairs]] (same 60-bit md5 span keys,
     * same df cap).
     */

@@ -641,4 +641,22 @@ class VersionedSpec extends SparkSpec {
     assert(qmap(Versioned.current(spark, t)) ==
       expected + (6L -> None))
   }
+
+  test("deleteWhere: predicate delete ≡ filter; idempotent; time travel intact") {
+    val t = tmpDir("vdelw") + "/t"
+    Versioned.init(docs(1L to 10L, i => 100L * i), t)
+    val n = Versioned.deleteWhere(spark, t,
+      col("n_chars") >= 700L, Seq("doc_id"))
+    assert(n == 4L) // docs 7..10
+    val ids = Versioned.current(spark, t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 6L).toSet)
+    // idempotent: nothing left matching → no commit
+    val v = Versioned.currentVersion(spark, t).get
+    assert(Versioned.deleteWhere(spark, t,
+      col("n_chars") >= 700L, Seq("doc_id")) == 0L)
+    assert(Versioned.currentVersion(spark, t).get == v)
+    // pre-delete snapshot still serves all rows
+    assert(Versioned.snapshot(spark, t, 0).count() == 10L)
+  }
 }

@@ -356,6 +356,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("containedDocs: full-span excerpt flagged; partial overlap not") {
+    val base = "q w e r t y u i o p a s d f"          // 14 tokens
+    val docs = Seq(
+      (1L, base),                                       // container
+      (2L, "q w e r t y u i o p"),  // 10 tok → 3 spans, all in base
+      (3L, s"x y $base z"),         // contains base + extra spans
+      (4L, "q w e r t y u i plus different tail here")) // partial
+      .toDF("doc_id", "text")
+    val out = DedupOps.containedDocs(docs, "doc_id", "text", n = 8)
+      .select("contained_id", "container_id")
+      .as[(Long, Long)].collect().toSeq
+    // doc 2's spans ⊂ doc 1 and ⊂ doc 3; doc 1's spans ⊂ doc 3;
+    // doc 4 shares only one span with 1/2/3 → never contained
+    assert(out == Seq((1L, 3L), (2L, 1L), (2L, 3L)))
+  }
+
   test("keepBestPerCluster: arg-max quality with id-asc tiebreak") {
     val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L),
         (20L, 2L), (21L, 2L))

@@ -60,7 +60,8 @@ class ScaleShapeSpec extends SparkSpec {
       "n25_substring_pairs", "m5_mm_pack", "l11_rerank",
       "e8_kmv_intersect", "a11_funnel", "e9_hll_exact",
       "n26_index_delete", "w6_cohort_retention", "c13_epoch_shuffle",
-      "c14_split_pack", "w7_gapfill")
+      "c14_split_pack", "w7_gapfill", "n27_contained_docs",
+      "k24_delete_where")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
