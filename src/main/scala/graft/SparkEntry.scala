@@ -1041,6 +1041,18 @@ object SparkEntry {
     "e4_kmv_distinct" -> ((s, dir) =>
       AnalyticsOps.kmvDistinct(Tables.events(s, dir),
         key = "event_type", idCol = "user_id")),
+    // c15: TARGET-SHARE mixture — explicit token-budget spec driven
+    // to per-source deterministic keep-rates (the third mixing
+    // policy next to c4 temperature and c8 quality weights).
+    "c15_target_mixture" -> ((s, dir) =>
+      AnalyticsOps.targetMixture(Tables.documents(s, dir),
+        idCol = "doc_id", srcCol = "source", textCol = "text",
+        share = 0.5)),
+    // l12: SNIPPET extraction — the ±4-token window around the first
+    // occurrence; text never shuffles (hash witness).
+    "l12_snippets" -> ((s, dir) =>
+      FtsOps.snippets(Tables.documents(s, dir), "doc_id", "text",
+        term = "merge", radius = 4)),
     // c14: SPLIT-AWARE packing — the true concat-and-split layout
     // (straddling docs split across shards; every non-final shard
     // carries exactly the budget).
@@ -2789,6 +2801,35 @@ object SparkEntry {
         |    AS hll_distinct
         |FROM ex JOIN est ON est.t = ex.t
         |ORDER BY event_type ASC""".stripMargin,
+    // c15: the same solver arithmetic stated in SQL (left-assoc
+    // doubles, md5 gate).
+    "c15_target_mixture" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |ps AS (SELECT source, sum(n_tok)::BIGINT AS src_tokens
+        |  FROM t GROUP BY source),
+        |tot AS (SELECT sum(src_tokens)::BIGINT AS tt,
+        |    count(*) AS ns FROM ps),
+        |rates AS (
+        |  SELECT source, src_tokens,
+        |    floor(tt::DOUBLE * 0.5 / ns)::BIGINT AS target_tokens,
+        |    least(1000,
+        |      floor(1000.0 * floor(tt::DOUBLE * 0.5 / ns)
+        |        / src_tokens)::BIGINT) AS rate_pm
+        |  FROM ps CROSS JOIN tot)
+        |SELECT t.source, r.src_tokens, r.target_tokens, r.rate_pm,
+        |  sum(CASE WHEN ('0x' || substr(md5(t.doc_id::VARCHAR), 1, 15))
+        |    ::BIGINT % 1000 < r.rate_pm THEN t.n_tok ELSE 0 END)
+        |    ::BIGINT AS sampled_tokens
+        |FROM t JOIN rates r ON r.source = t.source
+        |GROUP BY t.source, r.src_tokens, r.target_tokens, r.rate_pm
+        |ORDER BY t.source ASC""".stripMargin,
+    // l12: list_position + inclusive list slice.
+    "l12_snippets" ->
+      operators.FtsOps.snippetsSql("documents", "doc_id", "text",
+        term = "merge", radius = 4),
     // c14: per-doc shard-range unnest; spans are exact integers.
     "c14_split_pack" ->
       """WITH t AS (

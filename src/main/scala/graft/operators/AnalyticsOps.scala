@@ -454,6 +454,45 @@ object AnalyticsOps {
       .crossJoin(estOf(perGroup, "kmv_merged"))
   }
 
+  /** TARGET-SHARE mixture solver — the third mixing policy next to
+    * c4 (temperature) and c8 (quality-proportional): given an
+    * explicit TOKEN BUDGET (`share` of the corpus) split equally
+    * across sources, derive each source's deterministic keep-rate
+    * (min(1, target/source_tokens) in per-mille) and report the
+    * achieved sample under the c4 md5 gate — how a mixture is
+    * actually driven to a spec ("x% of training tokens from each
+    * source") rather than derived from corpus statistics. Rates are
+    * a |sources|-row broadcast; the sampling pass is the same
+    * deterministic scan-stage predicate as c4/c10.
+    */
+  def targetMixture(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, share: Double): DataFrame = {
+    val toks = df.select(col(srcCol), col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+    val perSrc = toks.groupBy(col(srcCol))
+      .agg(sum(col("n_tok")).cast("long").as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).cast("long").as("tt"),
+      count(lit(1)).as("ns"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(col("tt").cast("double") * share /
+          col("ns").cast("double")).cast("long"))
+      .withColumn("rate_pm",
+        least(lit(1000L),
+          floor(lit(1000.0) * col("target_tokens").cast("double") /
+            col("src_tokens").cast("double")).cast("long")))
+      .select(col(srcCol), col("src_tokens"), col("target_tokens"),
+        col("rate_pm"))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long") % 1000
+    toks.join(broadcast(rates), Seq(srcCol))
+      .groupBy(col(srcCol), col("src_tokens"), col("target_tokens"),
+        col("rate_pm"))
+      .agg(sum(when(bucket < col("rate_pm"), col("n_tok"))
+        .otherwise(0L)).cast("long").as("sampled_tokens"))
+      .resultSorted(col(srcCol).asc)
+  }
+
   /** SPLIT-AWARE sequence packing — the boundary-exact layout c5
     * approximates: documents are concatenated per group and the
     * stream is cut EVERY `budget` tokens, with straddling documents

@@ -391,6 +391,55 @@ object FtsOps {
        |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
 
+  /** SNIPPET EXTRACTION — the display half of search serving: for
+    * each document matching a term, the ±`radius`-token window
+    * around the FIRST occurrence (what a result page shows under the
+    * title). The first-occurrence position comes from the positional
+    * postings (pruned to the term before anything touches a
+    * position), and the snippet is sliced from the token array in
+    * the same projection — the text never shuffles; the output
+    * carries the snippet hash + token count so the gate can verify
+    * the exact window without hauling strings through the compare.
+    */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+      term: String, radius: Int): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val toks = split(lower(col(textCol)), " ")
+    val firstPos = array_position(toks, term) // 1-based, 0 = absent
+    val start = greatest(col("first_pos") - radius, lit(1L))
+    val len = (col("first_pos") + radius - start + 1L).cast("int")
+    docs
+      .select(col(idCol), toks.as("__toks"),
+        firstPos.as("first_pos"))
+      .filter(col("first_pos") > 0L)
+      .select(col(idCol), col("first_pos"),
+        size(slice(col("__toks"), start.cast("int"), len)).cast("long")
+          .as("snippet_tokens"),
+        substring(md5(array_join(
+          slice(col("__toks"), start.cast("int"), len), " ")), 1, 16)
+          .as("snippet_md5"))
+      .resultSorted(col(idCol).asc)
+  }
+
+  /** Oracle twin of [[snippets]] (list_position + list slicing). */
+  def snippetsSql(table: String, idCol: String, textCol: String,
+      term: String, radius: Int): String =
+    s"""WITH t AS (SELECT $idCol,
+       |    string_split(lower($textCol), ' ') AS toks FROM $table),
+       |m AS (SELECT $idCol, toks,
+       |    list_position(toks, '$term')::BIGINT AS first_pos
+       |  FROM t
+       |  WHERE list_position(toks, '$term') IS NOT NULL
+       |    AND list_position(toks, '$term') > 0),
+       |s AS (SELECT $idCol, first_pos,
+       |    toks[greatest(first_pos - $radius, 1):
+       |         first_pos + $radius] AS win
+       |  FROM m)
+       |SELECT $idCol, first_pos,
+       |  len(win)::BIGINT AS snippet_tokens,
+       |  substr(md5(array_to_string(win, ' ')), 1, 16) AS snippet_md5
+       |FROM s ORDER BY $idCol ASC""".stripMargin
+
   /** TWO-STAGE RETRIEVAL RERANK — the production serving path l9's
     * rank FUSION doesn't cover: BM25 generates an n-candidate recall
     * set, then EXACT dense cosine re-scores ONLY those candidates and

@@ -471,6 +471,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("targetMixture: rates capped at 1000; under-budget sources keep all") {
+    import spark.implicits._
+    // source a: 100 tokens across 10 docs; source b: 20 tokens.
+    // share 0.5 → total 120 → target 30/source → a rate 300‰,
+    // b rate min(1000, 1500) = 1000‰ (keeps everything)
+    val docs = ((1 to 10).map(i =>
+        (i.toLong, "a", Seq.fill(10)("w").mkString(" "))) ++
+      (11 to 12).map(i =>
+        (i.toLong, "b", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = AnalyticsOps.targetMixture(docs, "doc_id", "source",
+        "text", share = 0.5)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a")._2 == 100L && out("a")._3 == 30L &&
+      out("a")._4 == 300L)
+    assert(out("b")._2 == 20L && out("b")._4 == 1000L &&
+      out("b")._5 == 20L) // rate capped → full source kept
+    // the md5 gate keeps a deterministic subset ≤ the source total
+    assert(out("a")._5 <= 100L && out("a")._5 % 10 == 0L)
+  }
+
   test("splitPack: straddlers split; every non-final shard is exactly full") {
     import spark.implicits._
     // three 5-token docs, budget 8 → [d1(5) d2(3)][d2(2) d3(5)]

@@ -221,6 +221,23 @@ class FtsRenderSpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).toSet == lexical)
   }
 
+  test("snippets: window clamps at both edges; absent term drops out") {
+    val docs = Seq(
+      (1L, "a b c hit d e f"),      // interior: window b..f (pos 4)
+      (2L, "hit x y z q r s t u"),  // left-clamped: hit..q (pos 1)
+      (3L, "p q r s t u v w hit"),  // right-clamped (pos 9)
+      (4L, "no match here"))
+      .toDF("doc_id", "text")
+    val out = FtsOps.snippets(docs, "doc_id", "text", "hit", radius = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 4L, 5L), (2L, 1L, 3L), (3L, 9L, 3L)))
+    // doc 1's window is exactly "b c hit d e"
+    val md5 = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("b c hit d e").take(16)
+    assert(out.head._4 == md5)
+  }
+
   test("rerankDense: results are BM25 candidates reordered by dense score") {
     val docs = graft.Tables.documents(spark, sfSmoke)
     val emb = graft.Tables.embeddings(spark, sfSmoke)
