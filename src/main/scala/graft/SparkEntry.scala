@@ -129,6 +129,11 @@ object SparkEntry {
     "n10_ivf_batch" -> ((s, dir) =>
       SimilarityOps.ivfTopKBatch(Tables.embeddings(s, dir),
         queryMod = 73, k = 5, stride = 50, nProbe = 3)),
+    // n28: recall@k of the IVF tier vs exact brute force — the
+    // index-quality metric itself through the oracle gate.
+    "n28_ivf_recall" -> ((s, dir) =>
+      SimilarityOps.ivfRecall(Tables.embeddings(s, dir),
+        queryMod = 73, k = 5, stride = 50, nProbe = 3)),
     // n12: the recall dial — near-dup pairs with every vector probing
     // its 2 best clusters, recovering cross-bucket pairs n7 misses.
     "n12_multiprobe_neardup" -> ((s, dir) =>
@@ -1454,6 +1459,80 @@ object SparkEntry {
     * stored index must reproduce the recompute path exactly, so both
     * gates hold against the one SQL.
     */
+  /** n10's oracle; n28 derives from it (same CTEs, no drift). */
+  private val IvfBatchOracleSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM e),
+      |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+      |  FROM n WHERE vec_id % 50 = 0),
+      |assignment AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT a.vec_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_dot_product(a.v, c.cv) /
+      |                       (a.nrm * c.cnrm), 6) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM n a CROSS JOIN cents c) WHERE rn = 1),
+      |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
+      |  FROM n WHERE vec_id % 73 = 0),
+      |probed AS (
+      |  SELECT query_id, centroid_id FROM (
+      |    SELECT q.query_id, c.centroid_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_dot_product(c.cv, q.qv) /
+      |                       (c.cnrm * q.qnrm), 6) DESC,
+      |                 c.centroid_id ASC) AS rn
+      |    FROM qs q CROSS JOIN cents c) WHERE rn <= 3),
+      |members AS (
+      |  SELECT query_id, vec_id
+      |  FROM assignment JOIN probed USING (centroid_id)),
+      |scored AS (
+      |  SELECT m.query_id, a.vec_id,
+      |    round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6)
+      |      AS score,
+      |    row_number() OVER (PARTITION BY m.query_id
+      |      ORDER BY round(list_dot_product(a.v, q.qv) /
+      |                     (a.nrm * q.qnrm), 6) DESC,
+      |               a.vec_id ASC) AS rn
+      |  FROM members m JOIN n a USING (vec_id)
+      |    JOIN qs q USING (query_id)
+      |  WHERE a.vec_id <> m.query_id)
+      |SELECT query_id, vec_id, score FROM scored WHERE rn <= 5
+      |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin
+
+  /** n28's oracle: n10's chain as the approximate side + the exact
+    * brute-force ranking, recall = |∩|/k per query.
+    */
+  private val IvfRecallOracleSql: String = {
+    val tail = "SELECT query_id, vec_id, score FROM scored WHERE rn <= 5\n" +
+      "ORDER BY query_id ASC, score DESC, vec_id ASC"
+    require(IvfBatchOracleSql.endsWith(tail),
+      "IvfBatchOracleSql tail changed")
+    IvfBatchOracleSql.dropRight(tail.length) +
+      """,approx AS (SELECT query_id, vec_id FROM scored WHERE rn <= 5),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, a.vec_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_dot_product(a.v, q.qv) /
+        |                       (a.nrm * q.qnrm), 6) DESC,
+        |                 a.vec_id ASC) AS rn
+        |    FROM n a CROSS JOIN qs q WHERE a.vec_id <> q.query_id)
+        |  WHERE rn <= 5),
+        |hits AS (
+        |  SELECT e.query_id, count(*) AS n_hits
+        |  FROM exact e JOIN approx x ON x.query_id = e.query_id
+        |    AND x.vec_id = e.vec_id
+        |  GROUP BY e.query_id)
+        |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall
+        |FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+        |ORDER BY q.query_id ASC""".stripMargin
+  }
+
   private val IvfPqBatchOracleSql: String =
     """WITH e AS (SELECT vec_id,
       |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1948,48 +2027,11 @@ object SparkEntry {
         |    JOIN n b ON cand.vec_b = b.vec_id)
         |SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.4
         |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
-    "n10_ivf_batch" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-        |  FROM e),
-        |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-        |  FROM n WHERE vec_id % 50 = 0),
-        |assignment AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT a.vec_id, c.centroid_id,
-        |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY round(list_dot_product(a.v, c.cv) /
-        |                       (a.nrm * c.cnrm), 6) DESC,
-        |                 c.centroid_id ASC) AS rn
-        |    FROM n a CROSS JOIN cents c) WHERE rn = 1),
-        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm
-        |  FROM n WHERE vec_id % 73 = 0),
-        |probed AS (
-        |  SELECT query_id, centroid_id FROM (
-        |    SELECT q.query_id, c.centroid_id,
-        |      row_number() OVER (PARTITION BY q.query_id
-        |        ORDER BY round(list_dot_product(c.cv, q.qv) /
-        |                       (c.cnrm * q.qnrm), 6) DESC,
-        |                 c.centroid_id ASC) AS rn
-        |    FROM qs q CROSS JOIN cents c) WHERE rn <= 3),
-        |members AS (
-        |  SELECT query_id, vec_id
-        |  FROM assignment JOIN probed USING (centroid_id)),
-        |scored AS (
-        |  SELECT m.query_id, a.vec_id,
-        |    round(list_dot_product(a.v, q.qv) / (a.nrm * q.qnrm), 6)
-        |      AS score,
-        |    row_number() OVER (PARTITION BY m.query_id
-        |      ORDER BY round(list_dot_product(a.v, q.qv) /
-        |                     (a.nrm * q.qnrm), 6) DESC,
-        |               a.vec_id ASC) AS rn
-        |  FROM members m JOIN n a USING (vec_id)
-        |    JOIN qs q USING (query_id)
-        |  WHERE a.vec_id <> m.query_id)
-        |SELECT query_id, vec_id, score FROM scored WHERE rn <= 5
-        |ORDER BY query_id ASC, score DESC, vec_id ASC""".stripMargin,
+    "n10_ivf_batch" -> IvfBatchOracleSql,
+    // n28: the recall@k metric itself through the gate — approx =
+    // the n10 chain, exact = the brute-force ranking, both derived
+    // from the same CTEs so conventions can't drift.
+    "n28_ivf_recall" -> IvfRecallOracleSql,
     "n2_exact_dedup" ->
       """WITH dup AS (
         |  SELECT doc_id, text, source FROM documents

@@ -424,6 +424,52 @@ object SimilarityOps {
       .orderBy(col("query_id").asc, col("score").desc, col("vec_id").asc)
   }
 
+  /** RECALL@k EVALUATION of the IVF tier — the index-quality metric
+    * every ANN deployment reports, computed by the engine itself:
+    * [[ivfTopKBatch]]'s approximate top-k per query intersected with
+    * the exact brute-force top-k (same queries, same rounding, same
+    * tiebreaks), recall = |∩|/k. Fully deterministic, so the metric
+    * itself goes through the oracle gate — the evaluation harness is
+    * part of the engine, not a notebook. Cost: the approximate side
+    * is the probe-bounded n10 plan; the exact side broadcasts the ≤Q
+    * query rows against one corpus scan (the n23 shape). At 100 TB
+    * the exact side runs on a SAMPLE of queries — the metric needs
+    * tens of queries, not the corpus.
+    */
+  def ivfRecall(embeddings: DataFrame, queryMod: Int, k: Int,
+      stride: Int, nProbe: Int): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val approx = ivfTopKBatch(embeddings, queryMod, k, stride, nProbe)
+      .select("query_id", "vec_id")
+    val qs = embeddings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        toDoubleArray(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    val vecs = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val exact = vecs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosinePrenormed(col("v"), col("qv"), col("nrm"),
+          col("qnrm")), 6).as("score"))
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id")
+    val hits = exact.join(approx, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    qs.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(k.toDouble), 6).as("recall"))
+      .resultSorted(col("query_id").asc)
+  }
+
   /** Approximate nearest neighbours via random-hyperplane bucketing
     * (MLlib BucketedRandomProjectionLSH). Returns (vec_id, dist) for
     * the k nearest to `queryId` by euclidean distance among LSH

@@ -356,6 +356,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("ivfRecall: monotone in nProbe; full probe = perfect recall") {
+    val emb = graft.Tables.embeddings(spark, sfSmoke)
+    def meanRecall(nProbe: Int): Double = {
+      val r = SimilarityOps.ivfRecall(emb, queryMod = 73, k = 5,
+          stride = 50, nProbe = nProbe)
+        .select("recall").as[Double].collect()
+      r.sum / r.length
+    }
+    val nCents = emb.filter(col("vec_id") % 50 === 0).count().toInt
+    val r1 = meanRecall(1)
+    val r3 = meanRecall(3)
+    val rAll = meanRecall(nCents)
+    assert(r1 <= r3 + 1e-9 && r3 <= rAll + 1e-9, s"$r1 $r3 $rAll")
+    // probing every cell IS brute force → recall exactly 1
+    assert(rAll == 1.0, s"full-probe recall: $rAll")
+  }
+
   test("containedDocs: full-span excerpt flagged; partial overlap not") {
     val base = "q w e r t y u i o p a s d f"          // 14 tokens
     val docs = Seq(
