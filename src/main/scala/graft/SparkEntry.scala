@@ -748,6 +748,39 @@ object SparkEntry {
         Seq("doc_id"), None, root + "/ckpt", foldEvery = 2)
       Versioned.current(s, table).resultSorted(col("doc_id").asc)
     }),
+    // st8: STREAMING distinct-count — per-batch HLL registers
+    // MAX-merged into a fixed-size store; the final estimate over
+    // the stored registers equals batch e9 exactly (register merge
+    // is exact), so st8 holds to e9's oracle verbatim.
+    "st8_stream_hll" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "event_type", "user_id")
+      val root = tempTableRoot("graft_stream_hll")
+      val in = new java.io.File(root + "/in")
+      in.mkdirs()
+      (0 until 3).foreach { i =>
+        val tmp = s"$root/b$i"
+        ev.filter(col("event_id") % 3 === i)
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(in, s"batch_$i.parquet").toPath)
+        ()
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val store = root + "/regs"
+      graft.streaming.StreamingOps.hllRegisterSink(stream, s,
+        "event_type", "user_id", store, root + "/ckpt")
+      val est = AnalyticsOps.hllEstimate(Catalog.load(s, store))
+      ev.groupBy(col("event_type").as("t"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .join(est, Seq("t"))
+        .select(col("t").as("event_type"), col("exact_distinct"),
+          col("hll_distinct"))
+        .resultSorted(col("event_type").asc)
+    }),
     // st7: STREAMING as-of — purchases arrive in 3 micro-batches and
     // are attributed against the static click history per batch; the
     // appended union must equal r3's one-shot batch join (held to
@@ -1441,6 +1474,47 @@ object SparkEntry {
       |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
       |WHERE p.event_type = 'purchase'
       |ORDER BY purchase_id ASC""".stripMargin
+
+  /** Shared by e9 (batch HLL) and st8 (streamed registers) — the
+    * streamed store must equal the batch computation exactly.
+    */
+  private val HllOracleSql: String =
+    """WITH h AS (
+        |  SELECT DISTINCT event_type AS t,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT t, h // 4503599627370496 AS bucket,
+        |    h % 4503599627370496 AS w
+        |  FROM h),
+        |regs AS (
+        |  SELECT t, bucket,
+        |    max(CASE WHEN w = 0 THEN 53
+        |             ELSE 53 - length(bin(w)) END) AS rho
+        |  FROM r GROUP BY t, bucket),
+        |agg AS (
+        |  SELECT t, count(*) AS n_present,
+        |    sum((2::BIGINT ^ (53 - rho))::BIGINT)::BIGINT
+        |      AS sum_present
+        |  FROM regs GROUP BY t),
+        |est AS (
+        |  SELECT t, 256 - n_present AS v,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+        |      * 9007199254740992.0
+        |      / (sum_present
+        |         + (256 - n_present) * 9007199254740992)::DOUBLE
+        |      AS raw
+        |  FROM agg),
+        |ex AS (
+        |  SELECT event_type AS t, count(DISTINCT user_id)
+        |    AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT ex.t AS event_type, ex.exact_distinct,
+        |  round(CASE WHEN raw <= 640.0 AND v > 0
+        |    THEN 256.0 * ln(256.0 / v) ELSE raw END)::BIGINT
+        |    AS hll_distinct
+        |FROM ex JOIN est ON est.t = ex.t
+        |ORDER BY event_type ASC""".stripMargin
 
   private val MergedDocsCtes: String =
     """WITH base AS (
@@ -2804,45 +2878,11 @@ object SparkEntry {
         |  round(abs(dq.kq_direct - ex.exact_p50) / ex.exact_p50, 6)
         |    AS rel_err
         |FROM ex, dq, mq""".stripMargin,
+    // st8: the streamed register store must equal batch e9 exactly.
+    "st8_stream_hll" -> HllOracleSql,
     // e9: the identical estimator in SQL — integer registers, one
     // division, one deterministic ln in the linear-counting branch.
-    "e9_hll_exact" ->
-      """WITH h AS (
-        |  SELECT DISTINCT event_type AS t,
-        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
-        |  FROM events),
-        |r AS (
-        |  SELECT t, h // 4503599627370496 AS bucket,
-        |    h % 4503599627370496 AS w
-        |  FROM h),
-        |regs AS (
-        |  SELECT t, bucket,
-        |    max(CASE WHEN w = 0 THEN 53
-        |             ELSE 53 - length(bin(w)) END) AS rho
-        |  FROM r GROUP BY t, bucket),
-        |agg AS (
-        |  SELECT t, count(*) AS n_present,
-        |    sum((2::BIGINT ^ (53 - rho))::BIGINT)::BIGINT
-        |      AS sum_present
-        |  FROM regs GROUP BY t),
-        |est AS (
-        |  SELECT t, 256 - n_present AS v,
-        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-        |      * 9007199254740992.0
-        |      / (sum_present
-        |         + (256 - n_present) * 9007199254740992)::DOUBLE
-        |      AS raw
-        |  FROM agg),
-        |ex AS (
-        |  SELECT event_type AS t, count(DISTINCT user_id)
-        |    AS exact_distinct
-        |  FROM events GROUP BY 1)
-        |SELECT ex.t AS event_type, ex.exact_distinct,
-        |  round(CASE WHEN raw <= 640.0 AND v > 0
-        |    THEN 256.0 * ln(256.0 / v) ELSE raw END)::BIGINT
-        |    AS hll_distinct
-        |FROM ex JOIN est ON est.t = ex.t
-        |ORDER BY event_type ASC""".stripMargin,
+    "e9_hll_exact" -> HllOracleSql,
     // c15: the same solver arithmetic stated in SQL (left-assoc
     // doubles, md5 gate).
     "c15_target_mixture" ->

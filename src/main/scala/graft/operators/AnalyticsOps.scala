@@ -625,36 +625,55 @@ object AnalyticsOps {
     * THE 100 TB distinct-count: fixed 256-register state per group
     * at any cardinality. Exact count rides along as the witness.
     */
-  def hllDistinct(df: DataFrame, key: String, idCol: String)
+  /** The (t, bucket, rho) register relation of [[hllDistinct]] —
+    * mergeable by MAX on (t, bucket), which is what makes the sketch
+    * streamable (st8) and distributable: registers from any
+    * partitioning of the input, max-merged, equal the registers of
+    * the union.
+    */
+  def hllRegisters(df: DataFrame, key: String, idCol: String)
       : DataFrame = {
-    val m = 256
-    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val hashed = df.select(col(key).as("t"), h.as("h")).distinct()
-    val regs = hashed
+    df.select(col(key).as("t"), h.as("h")).distinct()
       .select(col("t"), shiftright(col("h"), 52).as("bucket"),
         col("h").bitwiseAND(lit((1L << 52) - 1)).as("w"))
       .groupBy(col("t"), col("bucket"))
       .agg(max(when(col("w") === 0L, lit(53))
         .otherwise(lit(53) - length(bin(col("w"))))).as("rho"))
+  }
+
+  /** The estimator over a (t, bucket, rho) register relation —
+    * [[hllDistinct]]'s arithmetic, reusable over STORED/streamed
+    * registers.
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
     val agg = regs.groupBy(col("t"))
       .agg(count(lit(1)).as("n_present"),
         sum(pow(lit(2.0), lit(53) - col("rho")).cast("long"))
           .as("sum_present"))
-    val est = agg.select(col("t"), (lit(m) - col("n_present")).as("v"),
-      (lit(alpha) * lit(256.0) * lit(256.0) *
-        lit(9007199254740992.0) /
-        (col("sum_present") +
-          (lit(m.toLong) - col("n_present")) * lit(9007199254740992L))
-          .cast("double")).as("raw"))
+    agg.select(col("t"), (lit(m) - col("n_present")).as("v"),
+        (lit(alpha) * lit(256.0) * lit(256.0) *
+          lit(9007199254740992.0) /
+          (col("sum_present") +
+            (lit(m.toLong) - col("n_present")) * lit(9007199254740992L))
+            .cast("double")).as("raw"))
+      .select(col("t"),
+        round(when(col("raw") <= lit(2.5 * m) && col("v") > 0L,
+            lit(m.toDouble) * log(lit(256.0) / col("v").cast("double")))
+          .otherwise(col("raw"))).cast("long").as("hll_distinct"))
+  }
+
+  def hllDistinct(df: DataFrame, key: String, idCol: String)
+      : DataFrame = {
+    val est = hllEstimate(hllRegisters(df, key, idCol))
     val exact = df.groupBy(col(key).as("t"))
       .agg(countDistinct(col(idCol)).as("exact_distinct"))
     exact.join(est, Seq("t"))
       .select(col("t").as(key), col("exact_distinct"),
-        round(when(col("raw") <= lit(2.5 * m) && col("v") > 0L,
-            lit(m.toDouble) * log(lit(256.0) / col("v").cast("double")))
-          .otherwise(col("raw"))).cast("long").as("hll_distinct"))
+        col("hll_distinct"))
       .resultSorted(col(key).asc)
   }
 

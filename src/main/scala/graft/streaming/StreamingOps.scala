@@ -467,6 +467,47 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** STREAMING DISTINCT-COUNT via mergeable HLL registers: each
+    * micro-batch's (key, bucket, ρ) registers are MAX-merged into a
+    * persisted register table (256 rows per key — fixed state at ANY
+    * cardinality, the whole point of the sketch for an unbounded
+    * stream), and the final estimate over the stored registers
+    * EQUALS the batch e9 computation over the union — which is why
+    * st8 is held to e9's oracle verbatim (the st5 ≡ c5 pattern):
+    * register merge is exact, not approximate-on-approximate.
+    * The store is metadata-scale, so the merge is a read-union-
+    * reaggregate-swap per batch; at production rates the same merge
+    * runs as `flatMapGroupsWithState` with the 256-register array as
+    * the state value — identical algebra, state-store-resident.
+    */
+  def hllRegisterSink(stream: DataFrame, spark: SparkSession,
+      key: String, idCol: String, storePath: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val regs = graft.operators.AnalyticsOps
+            .hllRegisters(batch, key, idCol)
+          val merged =
+            if (graft.Catalog.tableExists(spark, storePath))
+              graft.Catalog.load(spark, storePath)
+                .unionByName(regs)
+                .groupBy(col("t"), col("bucket"))
+                .agg(max(col("rho")).as("rho"))
+            else regs
+          // write-temp-then-swap: the merged plan READS the store
+          val tmp = storePath + "__hll_tmp"
+          graft.Catalog.overwrite(merged, tmp)
+          graft.Catalog.replace(spark, tmp, storePath)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming aggregation to completion against a memory sink
     * and return the result table. `Complete` output mode (the test
     * harness wants the final totals; `Append` + watermark close is the

@@ -492,6 +492,36 @@ class StreamingSpec extends SparkSpec {
       s"state must carry across micro-batches: ${got.toSeq}")
   }
 
+  test("hllRegisterSink: streamed registers equal the batch union's") {
+    import spark.implicits._
+    val rows = (0 until 600).map(i => (i.toLong, s"t${i % 3}", i.toLong % 97))
+      .toDF("event_id", "event_type", "user_id")
+    val root = tmpDir("hllsink")
+    val in = new java.io.File(root + "/in"); in.mkdirs()
+    (0 until 2).foreach { i =>
+      val tmp = s"$root/b$i"
+      rows.filter(col("event_id") % 2 === i)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"batch_$i.parquet").toPath)
+      ()
+    }
+    val stream = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val store = root + "/regs"
+    StreamingOps.hllRegisterSink(stream, spark, "event_type",
+      "user_id", store, root + "/ckpt")
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val streamed = regMap(graft.Catalog.load(spark, store))
+    val batch = regMap(graft.operators.AnalyticsOps
+      .hllRegisters(rows, "event_type", "user_id"))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("asofSink: micro-batched enrichment equals the one-shot batch join") {
     import spark.implicits._
     import java.sql.Timestamp
