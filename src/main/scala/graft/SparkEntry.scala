@@ -579,6 +579,15 @@ object SparkEntry {
     "t8_redaction_stats" -> ((s, dir) =>
       AnalyticsOps.redactionStats(Tables.events(s, dir),
         key = "event_type", payloadCol = "props")),
+    // t23: per-class precision/recall/F1 of the t3 language-ID gate
+    // against the labels — the model eval layer over the confusion
+    // matrix.
+    "t23_langid_eval" -> ((s, dir) =>
+      TextOps.langIdEval(Tables.documents(s, dir), "lang", "text")),
+    // e10: the Count-Min estimator as relational algebra (exact
+    // integer registers, min over d rows); exact counts ride along.
+    "e10_cms_exact" -> ((s, dir) =>
+      SkewOps.cmsCounts(Tables.events(s, dir), "user_id", k = 20)),
     // t21: n-gram diversity (type-token ratio per source) — the
     // templated/synthetic-text detector; exact distinct via a
     // composite-key pre-aggregate, never count-distinct state.
@@ -1516,6 +1525,60 @@ object SparkEntry {
         |FROM ex JOIN est ON est.t = ex.t
         |ORDER BY event_type ASC""".stripMargin
 
+  /** t3's oracle; t23 derives its metric layer from it. */
+  private val LangIdMatrixSql: String =
+    """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |h AS (SELECT lang,
+        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS hde,
+        |    len(list_filter(w, x -> x IN ('le','la','et','est','les'))) AS hfr,
+        |    len(list_filter(w, x -> x IN ('el','los','y','es','una'))) AS hes,
+        |    len(list_filter(w, x -> x IN ('the','a','of','and','is','in'))) AS hen
+        |  FROM t)
+        |SELECT lang,
+        |  CASE WHEN hde > 0 AND hde >= hfr AND hde >= hes AND hde >= hen THEN 'de'
+        |       WHEN hfr > 0 AND hfr >= hes AND hfr >= hen THEN 'fr'
+        |       WHEN hes > 0 AND hes >= hen THEN 'es'
+        |       WHEN hen > 0 THEN 'en'
+        |       ELSE 'und' END AS predicted,
+        |  count(*) AS n_docs
+        |FROM h GROUP BY 1, 2
+        |ORDER BY lang ASC, predicted ASC""".stripMargin
+
+  /** t23's oracle: the t3 confusion matrix + per-class
+    * precision/recall/F1 (F1 from the rounded p/r, both engines
+    * bit-identical).
+    */
+  private val LangIdEvalSql: String = {
+    val tail = "ORDER BY lang ASC, predicted ASC"
+    require(LangIdMatrixSql.endsWith(tail), "t3 oracle tail changed")
+    "WITH m AS (" + LangIdMatrixSql.dropRight(tail.length) + "),\n" +
+      """bt AS (SELECT lang AS cls_t, sum(n_docs)::BIGINT AS n_true,
+        |    sum(CASE WHEN predicted = lang THEN n_docs ELSE 0 END)
+        |      ::BIGINT AS n_correct
+        |  FROM m GROUP BY lang),
+        |bp AS (SELECT predicted AS cls_p, sum(n_docs)::BIGINT AS n_pred
+        |  FROM m GROUP BY predicted),
+        |j AS (
+        |  SELECT coalesce(cls_t, cls_p) AS class,
+        |    coalesce(n_true, 0) AS n_true,
+        |    coalesce(n_pred, 0) AS n_pred,
+        |    coalesce(n_correct, 0) AS n_correct
+        |  FROM bt FULL OUTER JOIN bp ON cls_t = cls_p),
+        |pr AS (
+        |  SELECT class, n_true, n_pred, n_correct,
+        |    CASE WHEN n_pred > 0
+        |      THEN round(n_correct::DOUBLE / n_pred, 6) END AS precision,
+        |    CASE WHEN n_true > 0
+        |      THEN round(n_correct::DOUBLE / n_true, 6) END AS recall
+        |  FROM j)
+        |SELECT class, n_true, n_pred, n_correct, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |        AND precision + recall > 0
+        |    THEN round(2.0 * precision * recall / (precision + recall), 6)
+        |  END AS f1
+        |FROM pr ORDER BY class ASC""".stripMargin
+  }
+
   private val MergedDocsCtes: String =
     """WITH base AS (
       |  SELECT doc_id, source, n_chars FROM documents
@@ -2158,23 +2221,31 @@ object SparkEntry {
         |  round(ttr * 0.5 + (1.0 - stop_ratio) * 0.3 +
         |        least(awl / 8.0, 1.0) * 0.2, 6) AS quality
         |FROM c ORDER BY quality DESC, doc_id ASC LIMIT 50""".stripMargin,
-    "t3_langid" ->
-      """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
-        |h AS (SELECT lang,
-        |    len(list_filter(w, x -> x IN ('der','die','das','und','ist'))) AS hde,
-        |    len(list_filter(w, x -> x IN ('le','la','et','est','les'))) AS hfr,
-        |    len(list_filter(w, x -> x IN ('el','los','y','es','una'))) AS hes,
-        |    len(list_filter(w, x -> x IN ('the','a','of','and','is','in'))) AS hen
-        |  FROM t)
-        |SELECT lang,
-        |  CASE WHEN hde > 0 AND hde >= hfr AND hde >= hes AND hde >= hen THEN 'de'
-        |       WHEN hfr > 0 AND hfr >= hes AND hfr >= hen THEN 'fr'
-        |       WHEN hes > 0 AND hes >= hen THEN 'es'
-        |       WHEN hen > 0 THEN 'en'
-        |       ELSE 'und' END AS predicted,
-        |  count(*) AS n_docs
-        |FROM h GROUP BY 1, 2
-        |ORDER BY lang ASC, predicted ASC""".stripMargin,
+    "t3_langid" -> LangIdMatrixSql,
+    // t23: metric layer derived from the same matrix CTEs.
+    "t23_langid_eval" -> LangIdEvalSql,
+    // e10: the CMS estimator verbatim — md5-derived (j, bucket)
+    // registers, min over d rows, exact counts as the witness.
+    "e10_cms_exact" ->
+      """WITH items AS (SELECT user_id::VARCHAR AS x FROM events),
+        |js(j) AS (VALUES (0), (1), (2), (3)),
+        |regs AS (
+        |  SELECT j, ('0x' || substr(md5(j || ':' || x), 1, 15))
+        |      ::BIGINT % 256 AS b, count(*) AS c
+        |  FROM items CROSS JOIN js GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT user_id, count(*) AS exact_cnt FROM events
+        |  GROUP BY user_id
+        |  ORDER BY exact_cnt DESC, user_id ASC LIMIT 20),
+        |probe AS (
+        |  SELECT user_id, exact_cnt, j,
+        |    ('0x' || substr(md5(j || ':' || user_id::VARCHAR), 1, 15))
+        |      ::BIGINT % 256 AS b
+        |  FROM cands CROSS JOIN js)
+        |SELECT p.user_id, p.exact_cnt, min(r.c)::BIGINT AS cms_cnt
+        |FROM probe p JOIN regs r ON r.j = p.j AND r.b = p.b
+        |GROUP BY p.user_id, p.exact_cnt
+        |ORDER BY exact_cnt DESC, user_id ASC""".stripMargin,
     "t4_simhash" ->
       operators.DedupOps.simhashSql("documents", "doc_id", "text"),
     "t10_rare_tokens" ->

@@ -148,6 +148,43 @@ object SkewOps {
       .drop("__side")
   }
 
+  /** RELATIONAL COUNT-MIN SKETCH — [[heavyHitters]]' driver-side
+    * `stat.countMinSketch` re-expressed as pure algebra with
+    * exact-integer registers (the e9-for-HLL treatment applied to
+    * CMS), so the estimator itself goes through the oracle gate:
+    * d=4 md5-derived hash rows × w=256 counters, estimate = min
+    * over rows — never an undercount, overcount bounded by εN.
+    * Registers are SUM-mergeable (per-partition counters add), the
+    * d·w state is fixed at any cardinality, and the probe is a
+    * broadcast join of the candidate set — the streaming/100 TB
+    * frequency estimate with its exactness witness riding along.
+    */
+  def cmsCounts(df: DataFrame, itemCol: String, k: Int, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val js = df.sparkSession.range(0, d)
+      .select(col("id").cast("int").as("j"))
+    def bucketOf(x: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws(":", col("j"), x)), 1, 15), 16, 10)
+        .cast("long") % w
+    val regs = df.select(col(itemCol).cast("string").as("x"))
+      .crossJoin(broadcast(js))
+      .select(col("j"), bucketOf(col("x")).as("b"))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val cands = df.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col(itemCol).asc)
+      .limit(k)
+    cands.crossJoin(broadcast(js))
+      .select(col(itemCol), col("exact_cnt"), col("j"),
+        bucketOf(col(itemCol).cast("string")).as("b"))
+      .join(regs, Seq("j", "b"))
+      .groupBy(col(itemCol), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_cnt"))
+      .resultSorted(col("exact_cnt").desc, col(itemCol).asc)
+  }
+
   /** Sketch-based heavy hitters: Count-Min Sketch over a column
     * (Spark's built-in `stat.countMinSketch`), probed for the given
     * candidate values. Fixed-size state (depth×width counters)

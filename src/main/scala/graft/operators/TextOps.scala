@@ -183,6 +183,48 @@ object TextOps {
       .resultSorted(col(langCol).asc, col("predicted").asc)
   }
 
+  /** CLASSIFIER EVALUATION of the language-ID heuristic — per-class
+    * precision / recall / F1 against the labeled `langCol` (the
+    * eval every gate model needs before it filters a corpus; t3's
+    * output IS the confusion matrix — this is the metric layer on
+    * top). Classes = labels ∪ predictions (so a prediction-only
+    * class like 'und' appears with n_true = 0). Metrics divide the
+    * exact integer counts once, are 6-dp rounded, and F1 is
+    * computed FROM the rounded p/r so both engines agree
+    * bit-exactly.
+    */
+  def langIdEval(df: DataFrame, langCol: String, textCol: String)
+      : DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val m = langId(df, langCol, textCol)
+    val byTrue = m.groupBy(col(langCol).as("cls_t"))
+      .agg(sum(col("n_docs")).cast("long").as("n_true"),
+        sum(when(col("predicted") === col(langCol), col("n_docs"))
+          .otherwise(0L)).cast("long").as("n_correct"))
+    val byPred = m.groupBy(col("predicted").as("cls_p"))
+      .agg(sum(col("n_docs")).cast("long").as("n_pred"))
+    val joined = byTrue.join(byPred,
+        col("cls_t") === col("cls_p"), "full_outer")
+      .select(coalesce(col("cls_t"), col("cls_p")).as("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+    val p = when(col("n_pred") > 0L,
+      round(col("n_correct").cast("double") /
+        col("n_pred").cast("double"), 6))
+    val r = when(col("n_true") > 0L,
+      round(col("n_correct").cast("double") /
+        col("n_true").cast("double"), 6))
+    joined
+      .withColumn("precision", p).withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+            col("precision") + col("recall") > 0.0,
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)))
+      .resultSorted(col("class").asc)
+  }
+
   /** BPE-ish regex tokenization: letter runs and digit runs as
     * separate tokens (the pre-tokenization split BPE vocabularies
     * apply before merges), robust to punctuation unlike the

@@ -422,6 +422,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cmsCounts: never undercounts; exact when the table is wide") {
+    val ev = graft.Tables.events(spark, sfSmoke)
+    val out = SkewOps.cmsCounts(ev, "user_id", k = 20)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { case (_, exact, cms) =>
+      assert(cms >= exact, s"CMS undercounted: $exact vs $cms")
+    }
+    // a wide table (w » distinct items) has no collisions → exact
+    val wide = SkewOps.cmsCounts(ev, "user_id", k = 20, w = 65536)
+      .as[(Long, Long, Long)].collect()
+    wide.foreach { case (_, exact, cms) => assert(cms == exact) }
+  }
+
   test("saltedCounts equals direct groupBy counts") {
     val ev = graft.Tables.events(spark, sfSmoke)
     val direct = ev.groupBy("event_type").count()

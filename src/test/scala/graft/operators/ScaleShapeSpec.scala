@@ -62,7 +62,8 @@ class ScaleShapeSpec extends SparkSpec {
       "n26_index_delete", "w6_cohort_retention", "c13_epoch_shuffle",
       "c14_split_pack", "w7_gapfill", "n27_contained_docs",
       "k24_delete_where", "c15_target_mixture", "l12_snippets",
-      "n28_ivf_recall", "st8_stream_hll")
+      "n28_ivf_recall", "st8_stream_hll", "t23_langid_eval",
+      "e10_cms_exact")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),

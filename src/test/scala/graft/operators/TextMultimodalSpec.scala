@@ -550,6 +550,29 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("langIdEval: per-class precision/recall from the matrix") {
+    val df = Seq(
+      (1L, "the cat is of the mat", "en"),   // → en (correct)
+      (2L, "der hund ist und das", "en"),    // → de (wrong)
+      (3L, "der die das und ist", "de"),     // → de (correct)
+      (4L, "zzz qqq www", "de"))             // → und (wrong)
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.langIdEval(df, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // de: 2 true, 2 predicted (docs 2,3), 1 correct
+    assert(out("de") == ((2L, 2L, 1L)))
+    // en: 2 true, 1 predicted (doc 1), 1 correct
+    assert(out("en") == ((2L, 1L, 1L)))
+    // und: prediction-only class
+    assert(out("und") == ((0L, 1L, 0L)))
+    val de = TextOps.langIdEval(df, "lang", "text")
+      .filter(col("class") === "de")
+      .select("precision", "recall", "f1")
+      .as[(Double, Double, Double)].head()
+    assert(de == ((0.5, 0.5, 0.5)))
+  }
+
   test("multimodalPack: cost = tokens + byte-ceil patches; budget cuts") {
     // text of 3 tokens, 11 bytes → cost 3 + ceil(11/4)=3 → 6
     val df = Seq(
