@@ -63,13 +63,16 @@ object Sessions {
       // the same shared-session reason as nanosAsLong.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // The generated-class cache defaults to 100 entries; a session
-      // serving the full 104-query surface generates several hundred
+      // serving the full query surface generates several THOUSAND
       // codegen stages per pass, so the default thrashes — every query
       // pays full Janino recompilation on every re-execution. Size the
       // cache to the workload (driver-side memory cost is bounded:
       // compiled classes, not data). Same reasoning applies to a
-      // long-lived cluster driver serving a query mix.
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // long-lived cluster driver serving a query mix. 4000 was sized
+      // for the 136-query round-6 suite; at 177 queries the bench
+      // suite crossed it again (round-7 close measured +7 s of
+      // re-thrash) — 10000 restores headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // v2 file-output commit: task outputs rename straight into the
       // destination instead of a second driver-side directory rename
       // pass — halves the driver commit latency every write-path query
