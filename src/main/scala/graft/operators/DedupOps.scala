@@ -740,7 +740,6 @@ object DedupOps {
     */
   def keepBestPerCluster(clusters: DataFrame, docs: DataFrame,
       idCol: String, qualityCol: String): DataFrame = {
-    import graft.Sorting.ResultSortOps
     import org.apache.spark.sql.expressions.Window
     val q = docs.select(col(idCol).as("__qid"),
       col(qualityCol).as("__q"))
@@ -754,7 +753,10 @@ object DedupOps {
         count(lit(1)).as("n_members"),
         sum(when(col("__rn") =!= 1, col("__q")).otherwise(lit(0L)))
           .cast("long").as("dropped_quality"))
-      .resultSorted(col("cluster_id").asc)
+      // One row PER CLUSTER — scales with corpus duplication, not a
+      // bounded domain, so this output keeps the scalable range sort
+      // (resultSorted's single partition would bottleneck at 100 TB).
+      .orderBy(col("cluster_id").asc)
   }
 
   /** Oracle twin of [[keepBestPerCluster]] ∘ [[dupClusters]]: the

@@ -438,7 +438,6 @@ object SimilarityOps {
     */
   def ivfRecall(embeddings: DataFrame, queryMod: Int, k: Int,
       stride: Int, nProbe: Int): DataFrame = {
-    import graft.Sorting.ResultSortOps
     val approx = ivfTopKBatch(embeddings, queryMod, k, stride, nProbe)
       .select("query_id", "vec_id")
     val qs = embeddings.filter(col("vec_id") % queryMod === 0)
@@ -467,7 +466,10 @@ object SimilarityOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0L)).cast("double") /
           lit(k.toDouble), 6).as("recall"))
-      .resultSorted(col("query_id").asc)
+      // One row PER QUERY (|vecs|/queryMod) — tracks the corpus, not
+      // a bounded domain: keep the scalable range sort per the
+      // Sorting.scala convention.
+      .orderBy(col("query_id").asc)
   }
 
   /** Approximate nearest neighbours via random-hyperplane bucketing

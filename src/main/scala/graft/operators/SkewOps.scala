@@ -114,38 +114,52 @@ object SkewOps {
       rightPayload: Seq[String], tiebreakCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leftPayload = left.columns.toSeq
+    // Payload names may not shadow left columns — both sides would
+    // emit the name and downstream resolution turns ambiguous.
+    val clash = leftPayload.toSet.intersect(rightPayload.toSet)
+    require(clash.isEmpty,
+      s"asofJoin: rightPayload collides with left columns: " +
+        s"${clash.toSeq.sorted.mkString(", ")} — alias the right side first")
     // Ties fold into the ONE window's ordering instead of a separate
     // (key, ts) pre-reduction exchange: right rows at an equal
     // timestamp sort tiebreak-ASC, so `last` lands on the max —
     // identical winner, one exchange fewer (measured: the pre-reduce
     // variant paid a full extra hashpartitioning(__k, __t) + sort of
     // the right side).
+    //
+    // The payload travels as ONE struct per right row, not one
+    // window per column: a struct literal is non-null for every
+    // right row even when individual fields are null, so a single
+    // `last(struct, ignoreNulls)` carries the ENTIRE newest matching
+    // row atomically. (Per-column windows would backfill a NULL
+    // field from an OLDER right row — a composite row that never
+    // existed — and make matched-but-NULL indistinguishable from
+    // no-match.)
     val r1 = right
-      .select(Seq(col(keyCol).as("__k"), col(rightTsCol).as("__t"),
-        lit(0).as("__side"), col(tiebreakCol).as("__tb")) ++
-        leftPayload.map(c => lit(null).as(s"__l_$c")) ++
-        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+      .select(col(keyCol).as("__k"), col(rightTsCol).as("__t"),
+        lit(0).as("__side"), col(tiebreakCol).as("__tb"),
+        struct(rightPayload.map(col): _*).as("__r_s"))
     val l1 = left
       .select(Seq(col(keyCol).as("__k"), col(leftTsCol).as("__t"),
-        lit(1).as("__side"), lit(null).as("__tb")) ++
-        leftPayload.map(c => col(s"$c").as(s"__l_$c")) ++
-        rightPayload.map(c => lit(null).as(s"__r_$c")): _*)
-    // Right payloads are typed by r1's side of the union; left rows
-    // carry typed nulls (cast by unionByName against r1's schema).
-    // Right rows sort BEFORE left at equal __t (side 0 < 1), so the
-    // match is inclusive; left rows' relative order among themselves
-    // is irrelevant (each frame ends at its own row, and other left
-    // rows in between carry nulls the `last` skips).
+        lit(1).as("__side"), lit(null).as("__tb"),
+        lit(null).as("__r_s")) ++
+        leftPayload.map(c => col(c).as(s"__l_$c")): _*)
+    // Right-side struct is typed by r1's side of the union; left rows
+    // carry a typed null struct (cast by unionByName against r1's
+    // schema). Right rows sort BEFORE left at equal __t (side 0 < 1),
+    // so the match is inclusive; left rows' relative order among
+    // themselves is irrelevant (each frame ends at its own row, and
+    // other left rows in between carry null structs the `last` skips).
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r1.unionByName(l1, allowMissingColumns = false)
-      .select(Seq(col("__side")) ++
-        leftPayload.map(c => col(s"__l_$c").as(c)) ++
-        rightPayload.map(c =>
-          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
+    r1.unionByName(l1, allowMissingColumns = true)
+      .select(Seq(col("__side"),
+        last(col("__r_s"), ignoreNulls = true).over(w).as("__m")) ++
+        leftPayload.map(c => col(s"__l_$c").as(c)): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftPayload.map(col) ++
+        rightPayload.map(c => col(s"__m.$c").as(c)): _*)
   }
 
   /** RELATIONAL COUNT-MIN SKETCH — [[heavyHitters]]' driver-side

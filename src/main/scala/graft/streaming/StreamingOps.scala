@@ -447,6 +447,16 @@ object StreamingOps {
     * Per-batch cost is one |batch|+|R_keys-touched| window pass; a
     * slowly-changing right side upgrades this to re-reading the
     * versioned snapshot per batch (k-tier), semantics unchanged.
+    *
+    * Replay safety: `foreachBatch` is at-least-once, so a blind
+    * append would DUPLICATE a batch retried after partial failure
+    * and break the per-batch ≡ one-shot equivalence the sink
+    * promises. Each batch therefore lands in its own
+    * `batch=<batchId>` subdirectory with `overwrite` mode — a
+    * replayed batchId REPLACES its previous (possibly partial)
+    * output instead of appending beside it, making the sink
+    * effectively-once. Readers take `outPath` recursively
+    * (`batch=` is a partition column discovery dir).
     */
   def asofSink(stream: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String,
@@ -454,11 +464,12 @@ object StreamingOps {
       outPath: String, checkpointDir: String): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.operators.SkewOps.asofJoin(batch, right, keyCol,
               leftTsCol, rightTsCol, rightPayload, tiebreakCol)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite")
+            .parquet(s"$outPath/batch=$batchId")
         }
         ()
       }

@@ -343,6 +343,35 @@ class DedupSimilaritySpec extends SparkSpec {
       903L -> -1L, 904L -> 32L))
   }
 
+  test("asofJoin: NULL payload fields carry atomically from the " +
+      "matched row, never backfilled from an older right row") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1 history: (ts=10, attr="old", score=7) then
+    // (ts=20, attr=NULL, score=9). A purchase at ts=25 matches the
+    // ts=20 row — attr must be NULL (matched-but-NULL), NOT "old"
+    // backfilled from ts=10.
+    val dims = Seq(
+      (1L, ts(10), Some("old"), 7L),
+      (1L, ts(20), None, 9L))
+      .toDF("user_id", "ts", "attr", "score")
+    val facts = Seq((900L, 1L, ts(25)), (901L, 1L, ts(15)))
+      .toDF("purchase_id", "user_id", "ts")
+    val got = SkewOps.asofJoin(facts, dims, "user_id", "ts", "ts",
+        rightPayload = Seq("attr", "score"), tiebreakCol = "score")
+      .select("purchase_id", "attr", "score")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(got == Map(900L -> ((null, 9L)), 901L -> (("old", 7L))))
+    // payload names that shadow left columns are rejected up front
+    val e = intercept[IllegalArgumentException] {
+      SkewOps.asofJoin(facts, dims, "user_id", "ts", "ts",
+        rightPayload = Seq("ts"), tiebreakCol = "score")
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("substringPairs: 8-token verbatim run found, 7-token run not") {
     val span8 = "q w e r t y u i" // 8 tokens
     val docs = Seq(
