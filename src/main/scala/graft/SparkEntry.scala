@@ -377,6 +377,16 @@ object SparkEntry {
     // learned vocab (the sequence-length input to the packing tier).
     "t20_bpe_encode" -> ((s, dir) =>
       TextOps.bpeEncode(Tables.documents(s, dir), "doc_id", "text", 3)),
+    // t24: vocab-SCALE application — the learned merge list (here 4
+    // ranks; 50k in production) collected once, broadcast, and applied
+    // per document inside ONE mapPartitions corpus scan. Same greedy
+    // semantics as t20's relational form, so the t20-style oracle
+    // replays it; the scan count no longer grows with vocab size.
+    "t24_bpe_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.bpeApply(docs, "doc_id", "text",
+        TextOps.learnedMerges(docs, "text", 4))
+    }),
     // c11: overlapping token-window chunking — the pre-embedding
     // splitter (64-token chunks, stride 48); manifest rows carry an
     // md5 prefix for the chunk payload, hash-checkable without text.
@@ -2432,6 +2442,13 @@ object SparkEntry {
     "t20_bpe_encode" ->
       graft.operators.TextOps.bpeEncodeSql(
         "documents", "doc_id", "text", 3),
+    // t24: DERIVED oracle — learning-then-applying 4 merges in one
+    // relational chain is exactly bpeEncodeSql at iters=4 (bpeApply's
+    // one-scan encode must land on the same corpus), so the oracle is
+    // the t20 twin at the t24 rank count: zero convention drift.
+    "t24_bpe_apply" ->
+      graft.operators.TextOps.bpeEncodeSql(
+        "documents", "doc_id", "text", 4),
     // c11: chunk manifest replayed with range + 1-based list slicing —
     // DuckDB's toks[a:b] clamps exactly like Spark's slice.
     "c11_chunk_split" ->

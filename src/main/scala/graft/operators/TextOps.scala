@@ -956,6 +956,110 @@ object TextOps {
        |ORDER BY $idCol ASC""".stripMargin
   }
 
+  /** Collect the merge list [[bpeMergeLoop]] learns, in rank order —
+    * the vocabulary artifact a tokenizer-training job persists. The
+    * merge table is METADATA-scale (≤ vocab size rows, 32–50k in
+    * practice) so collecting it to the driver and re-broadcasting is
+    * the correct shape; the corpus never moves.
+    */
+  def learnedMerges(df: DataFrame, textCol: String,
+      iters: Int): Seq[(String, String)] =
+    bpeMergeLoop(df, textCol, iters).collect()
+      .sortBy(_.getInt(0))
+      .map { r =>
+        val p = r.getString(1).split(" ", 2)
+        (p(0), p(1))
+      }.toSeq
+
+  /** VOCAB-SCALE TOKENIZER APPLICATION — encodes the corpus with an
+    * ALREADY-LEARNED merge list in ONE corpus scan, however large the
+    * vocabulary. [[bpeEncode]] interleaves learning and applying, so
+    * each merge costs a full relational rewrite pass — exactly right
+    * for the induction loop (merges must be counted on the corpus as
+    * of the previous merge) and exactly wrong for application, where
+    * a production 32–50k-merge vocab would mean 50k corpus scans.
+    * Here the ranked merge list is a broadcast array and each
+    * document is encoded independently inside `mapPartitions` (the
+    * m1 per-partition idiom: per-doc imperative work that no
+    * composition of relational operators can express in one pass) —
+    * cost is one scan plus O(|vocab|) hash probes per document, of
+    * which only the applicable merges pay a rewrite pass.
+    *
+    * Semantics are [[bpeEncode]]'s VERBATIM, so the two are
+    * differential-testable document-for-document: each merge (a, b)
+    * is applied as two non-overlapping left-to-right passes with the
+    * string-`replace` quirk preserved — a match consumes its
+    * flanking separators, so the token immediately after a merge
+    * cannot OPEN the next match in the same pass (`" a a a a a "`
+    * pass-1 merges pairs (0,1) and (3,4), not (0,1) and (2,3));
+    * the second pass picks up the stranded leftovers. Merges apply
+    * in rank order: a merge learned at rank r is built from tokens
+    * produced at ranks < r, so one ordered sweep is the complete
+    * greedy encoding.
+    *
+    * Output matches [[bpeEncode]]: (id, n_tok, n_merged) per
+    * document — the sequence lengths the packing tier (c5/c6)
+    * consumes. Reference intent: the reference imports `tiktoken`
+    * for exactly this encode step and never calls it
+    * (ethical_crawler.py:34) — this is that capability, Spark-first.
+    */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+
+    // One replace() pass in token space: greedy left-to-right,
+    // non-overlapping, separator-consuming (see Scaladoc).
+    def onePass(toks: Array[String], a: String, b: String,
+        ab: String): Array[String] = {
+      val n = toks.length
+      val out = new scala.collection.mutable.ArrayBuffer[String](n)
+      var i = 0
+      var any = false
+      while (i < n) {
+        if (i + 1 < n && toks(i) == a && toks(i + 1) == b) {
+          out += ab; any = true; i += 2
+          // replace() consumed the trailing separator: the next
+          // token is copied verbatim — it cannot open a match
+          if (i < n) { out += toks(i); i += 1 }
+        } else { out += toks(i); i += 1 }
+      }
+      if (any) out.toArray else toks
+    }
+
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (id, text) =>
+          var toks = text.trim.split(" ", -1)
+          // token-presence index: skips the (vast) inapplicable
+          // majority of a real vocab at 2 hash probes per merge
+          val present = new java.util.HashSet[String]()
+          toks.foreach(present.add)
+          var mi = 0
+          while (mi < ms.length) {
+            val (a, b) = ms(mi)
+            if (present.contains(a) && present.contains(b)) {
+              val ab = a + "_" + b
+              val t1 = onePass(toks, a, b, ab)
+              if (t1 ne toks) {
+                toks = onePass(t1, a, b, ab)
+                present.add(ab)
+              }
+            }
+            mi += 1
+          }
+          var merged = 0L
+          toks.foreach(t => if (t.indexOf('_') >= 0) merged += 1)
+          (id, toks.length.toLong, merged)
+        }
+      }
+      .toDF(idCol, "n_tok", "n_merged")
+      .orderBy(col(idCol).asc)
+  }
+
   /** Overlapping token-window CHUNKING — the pre-embedding splitter
     * every retrieval/RAG ingest runs: chunk i of a document covers
     * tokens [i·stride+1, i·stride+chunk] (1-based), so consecutive

@@ -507,6 +507,58 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bpeApply: one-scan encode is document-exact vs bpeEncode " +
+      "for learned vocabs of several sizes") {
+    val corpus = Tables.documents(spark, sfSmoke)
+    Seq(1, 3, 5).foreach { iters =>
+      val merges = TextOps.learnedMerges(corpus, "text", iters)
+      assert(merges.size == iters)
+      val applied = TextOps.bpeApply(corpus, "doc_id", "text", merges)
+        .as[(Long, Long, Long)].collect().toSeq
+      val relational = TextOps
+        .bpeEncode(corpus, "doc_id", "text", iters)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(applied == relational, s"diverged at iters=$iters")
+    }
+  }
+
+  test("bpeApply: separator-consuming pass semantics (odd runs) and " +
+      "rank-ordered application") {
+    // " a a a a a ": replace pass 1 merges pairs (0,1) and (3,4) —
+    // the token after a merge cannot OPEN a match — pass 2 takes the
+    // stranded middle pair. 5 a's -> [a_a, a_a, a]: 3 tokens.
+    val runs = Seq((1L, "a a a a a")).toDF("doc_id", "text")
+    val got = TextOps.bpeApply(runs, "doc_id", "text",
+        Seq(("a", "a"))).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L)), s"$got")
+    // rank order matters: ("a b" then "a_b c") chains; the reverse
+    // list finds no "a_b c" adjacency at rank 1
+    val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val chained = TextOps.bpeApply(doc, "doc_id", "text",
+      Seq(("a", "b"), ("a_b", "c"))).as[(Long, Long, Long)].collect()
+    assert(chained.toSeq == Seq((1L, 1L, 1L)))
+    val reversed = TextOps.bpeApply(doc, "doc_id", "text",
+      Seq(("a_b", "c"), ("a", "b"))).as[(Long, Long, Long)].collect()
+    assert(reversed.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("bpeApply: vocab size changes neither results nor scan count") {
+    val corpus = Tables.documents(spark, sfSmoke)
+    val learned = TextOps.learnedMerges(corpus, "text", 3)
+    // pad the vocab with 5,000 inapplicable merges (realistic: most
+    // of a 50k vocab never fires on any one document) — output must
+    // be identical, and the job stays ONE corpus scan
+    val padded = learned ++ (1 to 5000).map(i => (s"__v$i", s"__w$i"))
+    val small = TextOps.bpeApply(corpus, "doc_id", "text", learned)
+    val big = TextOps.bpeApply(corpus, "doc_id", "text", padded)
+    assert(small.collect().toSeq == big.collect().toSeq)
+    // AQE prints the final AND initial plans — count only the final
+    val plan = big.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = plan.split("Scan parquet").length - 1
+    assert(scans == 1, s"expected one corpus scan, got $scans:\n$plan")
+  }
+
   test("chunkSplit: window arithmetic, overlap conservation, clamping") {
     val ten = (1 to 10).map(i => s"w$i").mkString(" ")
     val eleven = (1 to 11).map(i => s"w$i").mkString(" ")
