@@ -1177,10 +1177,15 @@ object SparkEntry {
         key = "event_type", idCol = "event_id", valueCol = "value")),
 
     // ---- multimodal decode→extract→rollup (integer-exact) ----
+    // m2 runs a REAL codec: image payloads are genuine PNGs (JDK
+    // ImageIO encode), the histogram is computed over ImageIO-DECODED
+    // pixel samples. Grayscale PNG is lossless, so the char-class
+    // oracle still replays the pixel content exactly.
     "m2_media_histogram" -> ((s, dir) => {
-      val assets = MultimodalOps.assetsFromDocuments(s,
+      val assets = MultimodalOps.assetsWithPngImages(s,
         Tables.documents(s, dir))
-      MultimodalOps.histogramStats(MultimodalOps.extractCounts(assets))
+      MultimodalOps.histogramStats(
+        MultimodalOps.extractCountsDecoded(assets))
     }),
     "m3_frame_sample" -> ((s, dir) => {
       val assets = MultimodalOps.assetsFromDocuments(s,

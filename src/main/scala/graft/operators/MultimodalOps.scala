@@ -7,12 +7,18 @@ import graft.Sorting.ResultSortOps
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, processed per-partition in batches.
   *
-  * The container ships no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[decodeStub]]); everything
-  * around it — schema, batch iteration, partition-parallel execution,
-  * feature schema — is real and is exactly what a real decoder drops
-  * into. (A PySpark deployment would use `mapInPandas` with the same
-  * batch shape; in Scala the idiom is typed `mapPartitions`.)
+  * IMAGE decode is REAL: payloads are genuine PNG files
+  * ([[encodePngGray]]) decoded through the JDK's own ImageIO codec
+  * ([[decodeImagePixels]]) — no external dependency, and the m2
+  * histogram runs over actually-decoded pixels. AUDIO/VIDEO decode
+  * remains a clearly-marked deterministic stub ([[decodeStub]]): the
+  * JDK ships no audio/video codecs (javax.sound covers PCM framing
+  * only), so those payloads keep the byte-domain fake; everything
+  * around them — schema, batch iteration, partition-parallel
+  * execution, feature schema — is real and is exactly what a codec
+  * drops into. (A PySpark deployment would use `mapInPandas` with
+  * the same batch shape; in Scala the idiom is typed
+  * `mapPartitions`.)
   *
   * Scale notes: assets are processed with `mapPartitions` so decoder
   * init (model load, codec setup) happens once per PARTITION, not per
@@ -60,9 +66,77 @@ object MultimodalOps {
       .as[MediaAsset]
   }
 
-  /** DECODE STUB — deterministic fake for the codec step. A real
-    * deployment replaces ONLY this function (e.g. JPEG decode +
-    * CNN features); signature and batch shape stay.
+  /** [[assetsFromDocuments]] with image-kind payloads PNG-ENCODED —
+    * real image files (decode them with any viewer), built
+    * per-partition so the encoder never leaves the scan stage.
+    * Pixels are the document's text bytes (1×N grayscale), so the
+    * decoded content is known to the oracle while the stored payload
+    * is genuine codec output. Audio/video payloads stay raw.
+    */
+  def assetsWithPngImages(spark: SparkSession, docs: DataFrame)
+      : Dataset[MediaAsset] = {
+    import spark.implicits._
+    assetsFromDocuments(spark, docs).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init
+      it.map { a =>
+        if (a.kind == "image" && a.bytes.nonEmpty)
+          a.copy(bytes = encodePngGray(a.bytes),
+            width = Some(1), height = Some(a.bytes.length))
+        else a
+      }
+    }
+  }
+
+  /** Encode raw bytes as a REAL 8-bit grayscale PNG — a 1×N column
+    * image whose pixel values ARE the input bytes, written by the
+    * JDK's ImageIO PNG encoder. 1×N sidesteps padding: any
+    * width > 1 would need fill pixels that poison an exact pixel
+    * histogram. Empty input returns empty (no 1×0 image exists).
+    */
+  def encodePngGray(data: Array[Byte]): Array[Byte] = {
+    if (data.isEmpty) return data
+    val img = new java.awt.image.BufferedImage(
+      1, data.length, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 1, data.length, data)
+    val bos = new java.io.ByteArrayOutputStream(data.length + 64)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via the JDK ImageIO codec chain (PNG/BMP/GIF
+    * and whatever readers the JVM registers): bytes → grayscale
+    * pixel samples, one byte per pixel, row-major. This is the
+    * actual codec step for image-kind assets — for a
+    * [[encodePngGray]] payload it returns exactly the pre-encode
+    * bytes (grayscale PNG is lossless), which is what makes the m2
+    * pixel histogram oracle-checkable end-to-end THROUGH the codec.
+    */
+  def decodeImagePixels(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.isEmpty) return bytes
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO: no registered reader for payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h)
+    val raster = img.getRaster
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = raster.getSample(x, y, 0).toByte
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** DECODE STUB — deterministic fake for the AUDIO/VIDEO codec step
+    * (the JDK ships no codecs for those kinds; image decode is real —
+    * [[decodeImagePixels]]). A real deployment replaces ONLY this
+    * function (e.g. PCM decode + spectral features); signature and
+    * batch shape stay.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -207,6 +281,34 @@ object MultimodalOps {
           i += 1
         }
         MediaCounts(a.asset_id, a.kind, a.bytes.length.toLong, hist)
+      }
+    }
+  }
+
+  /** [[extractCounts]] with the REAL codec in the loop: image-kind
+    * payloads are DECODED through ImageIO and the histogram runs
+    * over the decoded pixel samples (n_bytes = pixel count — the
+    * content size, not the compressed container size); other kinds
+    * histogram their raw payload. Same batch shape: one codec init
+    * per partition, payload bytes never shuffle — only the 16-bin
+    * counts leave the scan.
+    */
+  def extractCountsDecoded(assets: Dataset[MediaAsset])
+      : Dataset[MediaCounts] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init
+      it.map { a =>
+        val content =
+          if (a.kind == "image") decodeImagePixels(a.bytes)
+          else a.bytes
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < content.length) {
+          hist((content(i) & 0xff) >> 4) += 1L
+          i += 1
+        }
+        MediaCounts(a.asset_id, a.kind, content.length.toLong, hist)
       }
     }
   }

@@ -84,6 +84,38 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodePngGray/decodeImagePixels: real ImageIO codec " +
+      "round-trips bytes exactly; payload is a genuine PNG") {
+    val data = (0 until 2048).map(i => ((i * 37 + 11) % 256).toByte)
+      .toArray
+    val png = MultimodalOps.encodePngGray(data)
+    // PNG magic: 89 50 4E 47 0D 0A 1A 0A
+    assert(png.take(8).toSeq == Seq(0x89, 0x50, 0x4E, 0x47,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    assert(MultimodalOps.decodeImagePixels(png).toSeq == data.toSeq)
+    assert(MultimodalOps.encodePngGray(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractCountsDecoded over PNG assets equals extractCounts " +
+      "over raw assets (codec is lossless)") {
+    val docs = Tables.documents(spark, sfSmoke).limit(60)
+    val raw = MultimodalOps.extractCounts(
+        MultimodalOps.assetsFromDocuments(spark, docs))
+      .collect().map(c => c.asset_id ->
+        ((c.kind, c.n_bytes, c.bins.toSeq))).toMap
+    val dec = MultimodalOps.extractCountsDecoded(
+        MultimodalOps.assetsWithPngImages(spark, docs))
+      .collect().map(c => c.asset_id ->
+        ((c.kind, c.n_bytes, c.bins.toSeq))).toMap
+    assert(dec == raw && raw.nonEmpty)
+    // and the stored image payloads really are compressed containers,
+    // not the raw bytes re-labeled
+    val pngAsset = MultimodalOps.assetsWithPngImages(spark, docs)
+      .filter(_.kind == "image").head()
+    assert(pngAsset.bytes.take(4).toSeq ==
+      Seq(0x89.toByte, 0x50.toByte, 0x4E.toByte, 0x47.toByte))
+  }
+
   test("decodeStub: deterministic, L1-normalized histogram") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
     val f1 = MultimodalOps.decodeStub(bytes)
