@@ -741,30 +741,27 @@ object SparkEntry {
     "st6_stream_mor" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select("doc_id", "source", "n_chars")
-      val root = tempTableRoot("graft_stream_mor")
-      val table = root + "/docs"
-      Versioned.init(docs.filter(col("doc_id") % 3 =!= 0)
-        .repartitionByRange(6, col("doc_id")), table)
-      val in = new java.io.File(root + "/in")
-      in.mkdirs()
-      Seq(
-        docs.filter(col("doc_id") % 2 === 0)
-          .withColumn("n_chars", col("n_chars") + lit(1000L)),
-        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 2 =!= 0)
-          .withColumn("n_chars", col("n_chars") + lit(7L))
-      ).zipWithIndex.foreach { case (b, i) =>
-        val tmp = s"$root/b$i"
-        b.coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          new java.io.File(in, s"batch_$i.parquet").toPath)
+      // cached: the immutable input batches + the v0 table TEMPLATE;
+      // per run: a file-copied fresh table + fresh checkpoint, so the
+      // measured work is the streaming MERGE itself
+      val fix = cachedStreamInput(s, dir, "stream_mor") { root =>
+        Versioned.init(docs.filter(col("doc_id") % 3 =!= 0)
+          .repartitionByRange(6, col("doc_id")), root + "/tmpl")
+        writeInputBatches(Seq(
+          docs.filter(col("doc_id") % 2 === 0)
+            .withColumn("n_chars", col("n_chars") + lit(1000L)),
+          docs.filter(col("doc_id") % 5 === 0 &&
+              col("doc_id") % 2 =!= 0)
+            .withColumn("n_chars", col("n_chars") + lit(7L))), root)
         ()
       }
+      val run = tempTableRoot("graft_stream_mor_run")
+      val table = run + "/docs"
+      copyDir(fix + "/tmpl", table)
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+        .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
       graft.streaming.StreamingOps.morUpsertSink(stream, s, table,
-        Seq("doc_id"), None, root + "/ckpt", foldEvery = 2)
+        Seq("doc_id"), None, run + "/ckpt", foldEvery = 2)
       Versioned.current(s, table).resultSorted(col("doc_id").asc)
     }),
     // st8: STREAMING distinct-count — per-batch HLL registers
@@ -774,24 +771,17 @@ object SparkEntry {
     "st8_stream_hll" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select("event_id", "event_type", "user_id")
-      val root = tempTableRoot("graft_stream_hll")
-      val in = new java.io.File(root + "/in")
-      in.mkdirs()
-      (0 until 3).foreach { i =>
-        val tmp = s"$root/b$i"
-        ev.filter(col("event_id") % 3 === i)
-          .coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          new java.io.File(in, s"batch_$i.parquet").toPath)
+      val fix = cachedStreamInput(s, dir, "stream_hll") { root =>
+        writeInputBatches((0 until 3).map(i =>
+          ev.filter(col("event_id") % 3 === i)), root)
         ()
       }
+      val run = tempTableRoot("graft_stream_hll_run")
       val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in.toString)
-      val store = root + "/regs"
+        .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
+      val store = run + "/regs"
       graft.streaming.StreamingOps.hllRegisterSink(stream, s,
-        "event_type", "user_id", store, root + "/ckpt")
+        "event_type", "user_id", store, run + "/ckpt")
       val est = AnalyticsOps.hllEstimate(Catalog.load(s, store))
       ev.groupBy(col("event_type").as("t"))
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
@@ -812,25 +802,23 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts"))
-      val root = tempTableRoot("graft_stream_asof")
-      val in = new java.io.File(root + "/in")
-      in.mkdirs()
-      (0 until 3).foreach { i =>
-        val tmp = s"$root/b$i"
-        purchases.filter(col("purchase_id") % 3 === i)
-          .coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part.toPath,
-          new java.io.File(in, s"batch_$i.parquet").toPath)
+      val fix = cachedStreamInput(s, dir, "stream_asof") { root =>
+        writeInputBatches((0 until 3).map(i =>
+          purchases.filter(col("purchase_id") % 3 === i)), root)
         ()
       }
+      val run = tempTableRoot("graft_stream_asof_run")
       val stream = s.readStream.schema(purchases.schema)
-        .option("maxFilesPerTrigger", 1).parquet(in.toString)
-      val out = root + "/out"
-      graft.streaming.StreamingOps.asofSink(stream, clicks,
+        .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
+      val out = run + "/out"
+      // static right side: cache across the micro-batches (each batch
+      // joins the SAME committed click history — rescanning it per
+      // batch is wasted IO in any production enrichment too)
+      clicks.persist()
+      try graft.streaming.StreamingOps.asofSink(stream, clicks,
         "user_id", "ts", "ts", Seq("click_id", "click_ts"),
-        "click_id", out, root + "/ckpt")
+        "click_id", out, run + "/ckpt")
+      finally { clicks.unpersist(); () }
       s.read.parquet(out)
         .withColumn("gap_us",
           unix_micros(col("ts")) - unix_micros(col("click_ts")))
@@ -1311,6 +1299,63 @@ object SparkEntry {
       del(p.toFile)
     }))
     p.toString
+  }
+
+  /** Process-scoped cache for IMMUTABLE streaming INPUT fixtures —
+    * the micro-batch landing files st6–st8 replay, and st6's v0
+    * table TEMPLATE. These are input data, not operator state: every
+    * invocation still executes the full streaming query against a
+    * FRESH checkpoint/output/table root, so results are identical —
+    * what stops repeating is only the per-rep fixture-write IO,
+    * which is not the operator under measurement (round-7 verdict:
+    * the st-tier fixture cost must not scale with family size).
+    */
+  private val streamInputs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String,
+      String), String]()
+
+  private def cachedStreamInput(s: SparkSession, dir: String,
+      tag: String)(build: String => Unit): String =
+    streamInputs.computeIfAbsent((s, dir, tag), _ => {
+      val root = tempTableRoot(s"graft_${tag}_in")
+      build(root)
+      root
+    })
+
+  /** Lay each batch down as one parquet file under `root/in` — the
+    * landing-directory shape a file-source stream tails.
+    */
+  private def writeInputBatches(batches: Seq[DataFrame],
+      root: String): String = {
+    val in = new java.io.File(root + "/in")
+    in.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$root/b$i"
+      b.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"batch_$i.parquet").toPath)
+      ()
+    }
+    in.toString
+  }
+
+  /** Recursive file copy — hydrates a fresh mutable table root from
+    * a cached immutable template at file-IO cost instead of a Spark
+    * write job per invocation.
+    */
+  private def copyDir(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val s0 = Paths.get(src); val d0 = Paths.get(dst)
+    Files.createDirectories(d0)
+    val st = Files.walk(s0)
+    try st.forEach { p: Path =>
+      val d = d0.resolve(s0.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      else Files.copy(p, d)
+      ()
+    } finally st.close()
   }
 
   /** Process-scoped fixture cache for the READ-path versioned queries
