@@ -1189,6 +1189,15 @@ object SparkEntry {
         patchBytes = 64, budgetTokens = 8192)),
     // m4: content-hash dedup of binary assets — the multimodal twin
     // of n2; payload bytes never shuffle.
+    // x1: structured-filing extraction — XBRL-ish payloads rendered
+    // from the documents table, parsed back through Spark's NATIVE
+    // from_xml (attributes + repeated fact elements), exploded and
+    // rolled up per (entity, fact). Parse runs in the scan stage on
+    // executors; the oracle computes the rollup straight off the base
+    // table, proving the parser round-trip (the m2 pattern).
+    "x1_xml_extract" -> ((s, dir) =>
+      graft.operators.XmlOps.extractFilings(
+        graft.operators.XmlOps.filingPayload(Tables.documents(s, dir)))),
     "m4_asset_dedup" -> ((s, dir) =>
       MultimodalOps.assetDedupReport(
         MultimodalOps.assetsFromDocuments(s, Tables.documents(s, dir)))),
@@ -3911,6 +3920,10 @@ object SparkEntry {
         |  sum(len(regexp_extract_all(text, '[p-\x7F]')))::BIGINT
         |    AS bin_alpha_hi
         |FROM a GROUP BY kind ORDER BY kind ASC""".stripMargin,
+    // x1: parse(render(x)) must be the identity for the embedded
+    // facts — the oracle reads the base table directly.
+    "x1_xml_extract" ->
+      graft.operators.XmlOps.extractFilingsSql("documents"),
     // Gaps-and-islands twin of the flatMapGroupsWithState operator:
     // a session breaks where the gap to the previous event exceeds 30
     // minutes; island id = running count of breaks. st4 (the native

@@ -126,6 +126,31 @@ class IngestSpec extends SparkSpec {
     assert(rs.head.tags == Seq("sec", "financial", "filings", "xbrl"))
   }
 
+  test("SEC XBRL mapper: numeric facts extracted typed; structural " +
+      "and text-block elements skipped") {
+    val payload =
+      """<xbrl xmlns="http://www.xbrl.org/2003/instance"
+        |      xmlns:us-gaap="http://fasb.org/us-gaap/2023">
+        |  <context id="FY2023"><period>
+        |    <endDate>2023-12-31</endDate></period></context>
+        |  <unit id="usd"><measure>iso4217:USD</measure></unit>
+        |  <us-gaap:Assets contextRef="FY2023" unitRef="usd"
+        |      decimals="0">1000500</us-gaap:Assets>
+        |  <us-gaap:Liabilities contextRef="FY2023" unitRef="usd"
+        |      decimals="0">-250.75</us-gaap:Liabilities>
+        |  <us-gaap:SharesOutstanding contextRef="FY2023"
+        |      >42</us-gaap:SharesOutstanding>
+        |  <us-gaap:AccountingPolicy contextRef="FY2023">Not a
+        |    number, a text block.</us-gaap:AccountingPolicy>
+        |</xbrl>""".stripMargin
+    val facts = SecXbrl.parseFacts(payload)
+    assert(facts == Seq(
+      XbrlFact("Assets", "FY2023", Some("usd"), BigDecimal(1000500)),
+      XbrlFact("Liabilities", "FY2023", Some("usd"),
+        BigDecimal("-250.75")),
+      XbrlFact("SharesOutstanding", "FY2023", None, BigDecimal(42))))
+  }
+
   test("Comtrade discover: static catalog + metadata fetch, tags :549") {
     val f = new FixtureFetcher(Map(
       "https://comtradeapi.un.org/data/v1/goods/metadata" -> (200, "{}"),
