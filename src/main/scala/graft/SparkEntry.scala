@@ -238,6 +238,14 @@ object SparkEntry {
     // (key, time bucket), never a per-key cross product; rolled up
     // per initiating event type (self-pairs included — the window is
     // closed on the left).
+    // r4: the HOT-KEY TWO-LEVEL WINDOW — w2's running sum computed
+    // via order-monotone day slices (local prefix + exclusive slice
+    // offsets) instead of one window partition per key; held to the
+    // DIRECT-window oracle, so the decomposition is proven identical.
+    "r4_salted_window" -> ((s, dir) =>
+      SkewOps.twoLevelRunningSum(Tables.events(s, dir),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valueCol = "value", sliceMillis = 24L * 3600 * 1000)),
     "r2_range_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       SkewOps.rangeJoinBucketed(ev,
@@ -1955,6 +1963,17 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY cnt DESC, event_type ASC""".stripMargin,
     // r2: the oracle states the range semantics as the plain theta
     // join the bucketized equi-join must equal exactly.
+    // r4: the oracle is the DIRECT window — one partition per key,
+    // sequential accumulation — so the two-level slice decomposition
+    // is proven row-identical (round 6, w2's float convention).
+    "r4_salted_window" ->
+      """SELECT user_id, event_id, ts,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS running_value
+        |FROM events
+        |ORDER BY user_id ASC, ts ASC, event_id ASC""".stripMargin,
     "r2_range_join" ->
       """SELECT l.event_type, count(*) AS n_pairs
         |FROM events l JOIN events r

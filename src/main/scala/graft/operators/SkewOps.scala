@@ -162,6 +162,66 @@ object SkewOps {
         rightPayload.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** HOT-KEY TWO-LEVEL WINDOW — the running (cumulative) sum per key
+    * WITHOUT funneling any key's full timeline through one window
+    * partition. A direct `sum(v) OVER (PARTITION BY key ORDER BY
+    * ts)` puts each key's whole history in one task — the window
+    * analogue of the aggregation skew [[saltedCounts]] covers (r1),
+    * and the SCALE.md "genuinely hot key" case: one user with 10⁸
+    * events pins a single executor however many there are.
+    *
+    * Decomposition (the classic parallel prefix-sum, relationally):
+    *  1. slice each key's timeline into RANGE buckets on the order
+    *     column (fixed time slices — order-MONOTONE, so slice s is
+    *     wholly before slice s+1; a hash salt would interleave
+    *     orders and break prefix semantics);
+    *  2. a window inside each (key, slice) computes the local
+    *     prefix sum — partition size is slice-bounded, parallelism
+    *     is keys × slices;
+    *  3. per-(key, slice) totals (map-side-combined groupBy — a
+    *     relation of |keys|·|slices| rows, tiny next to the corpus)
+    *     get an EXCLUSIVE prefix over slices from a second window
+    *     whose partitions are |slices|-bounded;
+    *  4. offsets equi-join back on (key, slice) — same hash keys as
+    *     step 2's exchange — and add.
+    *
+    * Addition is reassociated (slice totals first), so for float
+    * measures the result can differ from the sequential window in
+    * the last ulps — the r4 gate rounds at 1e-6 against the DIRECT
+    * window oracle, and the 2-decimal fixture values keep true sums
+    * ≥5e-7 away from any rounding boundary (w2's convention). For
+    * integer/decimal measures the equality is exact.
+    */
+  def twoLevelRunningSum(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, sliceMillis: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sliced = df.select(col(keyCol), col(tieCol), col(tsCol),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__slice",
+        floor(unix_millis(col(tsCol)) / sliceMillis))
+    val wLocal = Window.partitionBy(col(keyCol), col("__slice"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSlices = Window.partitionBy(col(keyCol))
+      .orderBy(col("__slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col(keyCol), col("__slice"))
+      .agg(sum(col("__v")).as("__slice_total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__slice_total")).over(wSlices),
+          lit(0).cast("double")))
+      .select(col(keyCol), col("__slice"), col("__offset"))
+    sliced
+      .withColumn("__local", sum(col("__v")).over(wLocal))
+      .join(offsets, Seq(keyCol, "__slice"))
+      .select(col(keyCol), col(tieCol), col(tsCol),
+        round(col("__local") + col("__offset"), 6)
+          .as("running_value"))
+      // one row per input row — corpus-scaling, so the scalable
+      // range sort (Sorting.scala convention)
+      .orderBy(col(keyCol).asc, col(tsCol).asc, col(tieCol).asc)
+  }
+
   /** RELATIONAL COUNT-MIN SKETCH — [[heavyHitters]]' driver-side
     * `stat.countMinSketch` re-expressed as pure algebra with
     * exact-integer registers (the e9-for-HLL treatment applied to

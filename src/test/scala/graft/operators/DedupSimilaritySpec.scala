@@ -372,6 +372,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("collides"))
   }
 
+  test("twoLevelRunningSum: slice decomposition equals the direct " +
+      "window on a hot-key distribution") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.expressions.Window
+    // one scorching key (5000 rows) + two small ones, integer values
+    // so the equality is exact; timestamps span many slices and
+    // include intra-slice ties broken by the tie column
+    val rows = (0 until 5000).map(i =>
+        (42L, new Timestamp(1700000000000L + (i / 7) * 3600_000L),
+          i.toLong, (i % 13).toDouble)) ++
+      (0 until 20).map(i =>
+        (7L, new Timestamp(1700000000000L + i * 7200_000L),
+          (10000 + i).toLong, i.toDouble)) ++
+      Seq((9L, new Timestamp(1700000000000L), 20000L, 3.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val got = SkewOps.twoLevelRunningSum(df, "user_id", "ts",
+        "event_id", "value", sliceMillis = 24L * 3600 * 1000)
+      .as[(Long, Long, Timestamp, Double)].collect().toSeq
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val direct = df.select(col("user_id"), col("event_id"), col("ts"),
+        round(sum(col("value")).over(w), 6).as("running_value"))
+      .orderBy(col("user_id").asc, col("ts").asc, col("event_id").asc)
+      .as[(Long, Long, Timestamp, Double)].collect().toSeq
+    assert(got == direct && got.size == rows.size)
+    // and the hot key really is split: its rows land in many slices
+    val slices = df.filter(col("user_id") === 42L)
+      .select(floor(unix_millis(col("ts")) / (24L * 3600 * 1000)))
+      .distinct().count()
+    assert(slices > 10, s"fixture should span many slices: $slices")
+  }
+
   test("substringPairs: 8-token verbatim run found, 7-token run not") {
     val span8 = "q w e r t y u i" // 8 tokens
     val docs = Seq(
