@@ -395,6 +395,14 @@ object SparkEntry {
       TextOps.bpeApply(docs, "doc_id", "text",
         TextOps.learnedMerges(docs, "text", 4))
     }),
+    // t25: the ENCODED CORPUS itself — per-doc merged token sequence
+    // (the artifact a tokenization export writes); hash-gated
+    // byte-for-byte against the relational rewrite chain's output.
+    "t25_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.bpeApplyTokens(docs, "doc_id", "text",
+        TextOps.learnedMerges(docs, "text", 4))
+    }),
     // c11: overlapping token-window chunking — the pre-embedding
     // splitter (64-token chunks, stride 48); manifest rows carry an
     // md5 prefix for the chunk payload, hash-checkable without text.
@@ -2526,6 +2534,11 @@ object SparkEntry {
     // the t20 twin at the t24 rank count: zero convention drift.
     "t24_bpe_apply" ->
       graft.operators.TextOps.bpeEncodeSql(
+        "documents", "doc_id", "text", 4),
+    // t25: derived from the same rewrite chain, closing with the
+    // encoded string itself — the artifact, not just its counts.
+    "t25_bpe_tokens" ->
+      graft.operators.TextOps.bpeTokensSql(
         "documents", "doc_id", "text", 4),
     // c11: chunk manifest replayed with range + 1-based list slicing —
     // DuckDB's toks[a:b] clamps exactly like Spark's slice.

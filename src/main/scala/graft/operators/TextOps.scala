@@ -922,7 +922,32 @@ object TextOps {
     * carried through, closing with the per-doc token/merged counts.
     */
   def bpeEncodeSql(table: String, idCol: String, textCol: String,
-      iters: Int = 3): String = {
+      iters: Int = 3): String =
+    s"""${bpeRewriteCtes(table, idCol, textCol, iters)}
+       |SELECT $idCol,
+       |  len(string_split(trim(t), ' '))::BIGINT AS n_tok,
+       |  len(list_filter(string_split(trim(t), ' '),
+       |      x -> contains(x, '_')))::BIGINT AS n_merged
+       |FROM d${iters + 1}
+       |ORDER BY $idCol ASC""".stripMargin
+
+  /** Oracle twin of [[bpeApplyTokens]] — the SAME rewrite chain as
+    * [[bpeEncodeSql]] (derived, zero convention drift), closing with
+    * the encoded string itself instead of its counts.
+    */
+  def bpeTokensSql(table: String, idCol: String, textCol: String,
+      iters: Int): String =
+    s"""${bpeRewriteCtes(table, idCol, textCol, iters)}
+       |SELECT $idCol, trim(t) AS encoded
+       |FROM d${iters + 1}
+       |ORDER BY $idCol ASC""".stripMargin
+
+  /** Shared learn-and-rewrite CTE chain behind [[bpeEncodeSql]] /
+    * [[bpeTokensSql]]: d1 = space-wrapped corpus; pᵢ = iteration i's
+    * top pair; dᵢ₊₁ = the double-replace greedy rewrite.
+    */
+  private def bpeRewriteCtes(table: String, idCol: String,
+      textCol: String, iters: Int): String = {
     def countCte(src: String): String =
       s"""SELECT string_split(pair, ' ')[1] AS pa,
          |       string_split(pair, ' ')[2] AS pb
@@ -947,13 +972,7 @@ object TextOps {
            |      ' '||pa||' '||pb||' ', ' '||pa||'_'||pb||' ') AS t
            |  FROM d$i CROSS JOIN p$i)""".stripMargin
     }
-    s"""$ctes
-       |SELECT $idCol,
-       |  len(string_split(trim(t), ' '))::BIGINT AS n_tok,
-       |  len(list_filter(string_split(trim(t), ' '),
-       |      x -> contains(x, '_')))::BIGINT AS n_merged
-       |FROM d${iters + 1}
-       |ORDER BY $idCol ASC""".stripMargin
+    ctes.toString
   }
 
   /** Collect the merge list [[bpeMergeLoop]] learns, in rank order —
@@ -1003,60 +1022,95 @@ object TextOps {
     * for exactly this encode step and never calls it
     * (ethical_crawler.py:34) — this is that capability, Spark-first.
     */
+  /** One replace() pass in token space: greedy left-to-right,
+    * non-overlapping, separator-consuming (see [[bpeApply]]).
+    */
+  private def bpePass(toks: Array[String], a: String, b: String,
+      ab: String): Array[String] = {
+    val n = toks.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](n)
+    var i = 0
+    var any = false
+    while (i < n) {
+      if (i + 1 < n && toks(i) == a && toks(i + 1) == b) {
+        out += ab; any = true; i += 2
+        // replace() consumed the trailing separator: the next
+        // token is copied verbatim — it cannot open a match
+        if (i < n) { out += toks(i); i += 1 }
+      } else { out += toks(i); i += 1 }
+    }
+    if (any) out.toArray else toks
+  }
+
+  /** Greedy-encode one document against the ranked merge list —
+    * the per-row kernel [[bpeApply]]/[[bpeApplyTokens]] run inside
+    * their single corpus scan.
+    */
+  private def bpeEncodeDoc(text: String,
+      ms: Array[(String, String)]): Array[String] = {
+    var toks = text.trim.split(" ", -1)
+    // token-presence index: skips the (vast) inapplicable majority
+    // of a real vocab at 2 hash probes per merge
+    val present = new java.util.HashSet[String]()
+    toks.foreach(present.add)
+    var mi = 0
+    while (mi < ms.length) {
+      val (a, b) = ms(mi)
+      if (present.contains(a) && present.contains(b)) {
+        val ab = a + "_" + b
+        val t1 = bpePass(toks, a, b, ab)
+        if (t1 ne toks) {
+          toks = bpePass(t1, a, b, ab)
+          present.add(ab)
+        }
+      }
+      mi += 1
+    }
+    toks
+  }
+
   def bpeApply(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toArray)
-
-    // One replace() pass in token space: greedy left-to-right,
-    // non-overlapping, separator-consuming (see Scaladoc).
-    def onePass(toks: Array[String], a: String, b: String,
-        ab: String): Array[String] = {
-      val n = toks.length
-      val out = new scala.collection.mutable.ArrayBuffer[String](n)
-      var i = 0
-      var any = false
-      while (i < n) {
-        if (i + 1 < n && toks(i) == a && toks(i + 1) == b) {
-          out += ab; any = true; i += 2
-          // replace() consumed the trailing separator: the next
-          // token is copied verbatim — it cannot open a match
-          if (i < n) { out += toks(i); i += 1 }
-        } else { out += toks(i); i += 1 }
-      }
-      if (any) out.toArray else toks
-    }
-
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val ms = bc.value
         it.map { case (id, text) =>
-          var toks = text.trim.split(" ", -1)
-          // token-presence index: skips the (vast) inapplicable
-          // majority of a real vocab at 2 hash probes per merge
-          val present = new java.util.HashSet[String]()
-          toks.foreach(present.add)
-          var mi = 0
-          while (mi < ms.length) {
-            val (a, b) = ms(mi)
-            if (present.contains(a) && present.contains(b)) {
-              val ab = a + "_" + b
-              val t1 = onePass(toks, a, b, ab)
-              if (t1 ne toks) {
-                toks = onePass(t1, a, b, ab)
-                present.add(ab)
-              }
-            }
-            mi += 1
-          }
+          val toks = bpeEncodeDoc(text, ms)
           var merged = 0L
           toks.foreach(t => if (t.indexOf('_') >= 0) merged += 1)
           (id, toks.length.toLong, merged)
         }
       }
       .toDF(idCol, "n_tok", "n_merged")
+      .orderBy(col(idCol).asc)
+  }
+
+  /** The ENCODED-CORPUS artifact itself — what a tokenization export
+    * job actually writes: per document, the full merged token
+    * sequence under the learned vocab ([[bpeApply]] emits only the
+    * lengths). Same one-scan shape, same greedy semantics; the
+    * oracle replays the relational rewrite chain and compares the
+    * encoded strings byte-for-byte, so the artifact — not just its
+    * statistics — is hash-gated.
+    */
+  def bpeApplyTokens(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { case (id, text) =>
+          (id, bpeEncodeDoc(text, ms).mkString(" "))
+        }
+      }
+      .toDF(idCol, "encoded")
       .orderBy(col(idCol).asc)
   }
 

@@ -574,6 +574,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(reversed.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("bpeApplyTokens: the encoded artifact is consistent with " +
+      "bpeApply's counts, doc for doc") {
+    val corpus = Tables.documents(spark, sfSmoke)
+    val merges = TextOps.learnedMerges(corpus, "text", 4)
+    val seqs = TextOps.bpeApplyTokens(corpus, "doc_id", "text", merges)
+      .as[(Long, String)].collect().toMap
+    val counts = TextOps.bpeApply(corpus, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(counts.nonEmpty)
+    counts.foreach { case (id, nTok, nMerged) =>
+      val toks = seqs(id).split(" ", -1)
+      assert(toks.length.toLong == nTok, s"doc $id")
+      assert(toks.count(_.contains("_")).toLong == nMerged, s"doc $id")
+    }
+  }
+
   test("bpeApply: vocab size changes neither results nor scan count") {
     val corpus = Tables.documents(spark, sfSmoke)
     val learned = TextOps.learnedMerges(corpus, "text", 3)
