@@ -69,10 +69,14 @@ object Sessions {
       // cache to the workload (driver-side memory cost is bounded:
       // compiled classes, not data). Same reasoning applies to a
       // long-lived cluster driver serving a query mix. 4000 was sized
-      // for the 136-query round-6 suite; at 177 queries the bench
-      // suite crossed it again (round-7 close measured +7 s of
-      // re-thrash) — 10000 restores headroom.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // for the 136-query round-6 suite; 10000 for 177 queries
+      // (round-7 close measured +7 s of re-thrash at 4000). Raised
+      // to 25000 in round 8 PREEMPTIVELY — the suite grows ~10%/
+      // round and the step cost masquerades as uniform per-query
+      // regression every time it is crossed; an A/B at 181 queries
+      // showed 10000 was NOT yet crossed (host noise explained the
+      // observed drift), so this buys several rounds of headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "25000")
       // v2 file-output commit: task outputs rename straight into the
       // destination instead of a second driver-side directory rename
       // pass — halves the driver commit latency every write-path query
