@@ -134,6 +134,13 @@ object SparkEntry {
     "n28_ivf_recall" -> ((s, dir) =>
       SimilarityOps.ivfRecall(Tables.embeddings(s, dir),
         queryMod = 73, k = 5, stride = 50, nProbe = 3)),
+    // n29: scalar (int8-style) quantized ANN — fixed-point components
+    // (floor on exactly-widened doubles: bit-deterministic), integer
+    // dot-product ranking; the compression tier goes through the full
+    // hash gate, unlike LSH's ε-band.
+    "n29_quantized_topk" -> ((s, dir) =>
+      SimilarityOps.quantizedTopK(Tables.embeddings(s, dir),
+        queryMod = 73, k = 5)),
     // n12: the recall dial — near-dup pairs with every vector probing
     // its 2 best clusters, recovering cross-bucket pairs n7 misses.
     "n12_multiprobe_neardup" -> ((s, dir) =>
@@ -2265,6 +2272,9 @@ object SparkEntry {
     // the n10 chain, exact = the brute-force ranking, both derived
     // from the same CTEs so conventions can't drift.
     "n28_ivf_recall" -> IvfRecallOracleSql,
+    "n29_quantized_topk" ->
+      graft.operators.SimilarityOps.quantizedTopKSql(
+        "embeddings", queryMod = 73, k = 5),
     "n2_exact_dedup" ->
       """WITH dup AS (
         |  SELECT doc_id, text, source FROM documents

@@ -436,6 +436,77 @@ object SimilarityOps {
     * the exact side runs on a SAMPLE of queries — the metric needs
     * tens of queries, not the corpus.
     */
+  /** SCALAR-QUANTIZED ANN — the int8-style compression tier every
+    * vector-serving deployment runs beside PQ (n14/n15 compress via
+    * codebooks; scalar quantization is the simpler, re-rankable
+    * standard): each component is fixed-point-quantized to
+    * ⌊x·scale⌋ (scale 64 ≈ 6 magnitude bits + sign for unit-norm
+    * embeddings — int8 territory), and ranking runs entirely in
+    * INTEGER dot products — 4× smaller vectors, SIMD-friendly
+    * integer math, and, here, bit-exact reproducibility: float→
+    * double widening is exact and IEEE double multiply/floor are
+    * deterministic in both engines, so the whole quantize→score→
+    * top-k pipeline goes through the ORACLE HASH GATE — no ε-band,
+    * unlike n6's LSH tier.
+    *
+    * Shape: the ≤|V|/queryMod quantized query rows broadcast against
+    * one quantized corpus scan (the n23 pattern); per-query top-k via
+    * window rank; integer scores can't tie-break differently across
+    * engines. At 100 TB the quantized corpus is ¼ the scan bytes and
+    * the exact float re-rank (n1 tier) runs on the top-k only.
+    */
+  def quantizedTopK(embeddings: DataFrame, queryMod: Int, k: Int,
+      scale: Int = 64): DataFrame = {
+    val quant = (c: Column) =>
+      transform(toDoubleArray(c), x => floor(x * scale).cast("long"))
+    val qs = embeddings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        quant(col("embedding")).as("qq"))
+    val vecs = embeddings.select(col("vec_id"),
+      quant(col("embedding")).as("vq"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("vec_id").asc)
+    vecs.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("vq"), col("qq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("iscore"))
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("iscore"))
+      .orderBy(col("query_id").asc, col("iscore").desc,
+        col("vec_id").asc)
+  }
+
+  /** Oracle twin of [[quantizedTopK]]: the same fixed-point quantize
+    * (floor on exactly-widened doubles — bit-deterministic) and
+    * integer inner product, per-query rank in SQL.
+    */
+  def quantizedTopKSql(table: String, queryMod: Int, k: Int,
+      scale: Int = 64): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) AS qq
+       |  FROM $table WHERE vec_id % $queryMod = 0),
+       |v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) AS vq
+       |  FROM $table),
+       |s AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(list_inner_product(vq, qq) AS BIGINT) AS iscore
+       |  FROM v, q WHERE vec_id <> query_id),
+       |r AS (
+       |  SELECT query_id, vec_id, iscore,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY iscore DESC, vec_id ASC) AS rn
+       |  FROM s)
+       |SELECT query_id, vec_id, iscore FROM r WHERE rn <= $k
+       |ORDER BY query_id ASC, iscore DESC, vec_id ASC""".stripMargin
+
   def ivfRecall(embeddings: DataFrame, queryMod: Int, k: Int,
       stride: Int, nProbe: Int): DataFrame = {
     val approx = ivfTopKBatch(embeddings, queryMod, k, stride, nProbe)

@@ -418,6 +418,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("quantizedTopK: integer scores, deterministic, high agreement " +
+      "with exact cosine on unit-norm vectors") {
+    val emb = graft.Tables.embeddings(spark, sfSmoke)
+    val k = 5
+    val quant = SimilarityOps.quantizedTopK(emb, queryMod = 73, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(quant == SimilarityOps.quantizedTopK(emb, 73, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // exact float cosine top-k per the same query set
+    val queries = emb.filter(col("vec_id") % 73 === 0)
+      .select("vec_id").as[Long].collect()
+    assert(queries.nonEmpty)
+    val hits = queries.map { q =>
+      val exact = SimilarityOps.cosineTopK(emb, q, k)
+        .select("vec_id").as[Long].collect().toSet
+      val approx = quant.filter(_._1 == q).map(_._2).toSet
+      assert(approx.size == k)
+      (exact intersect approx).size
+    }
+    // scale 64 on unit vectors keeps ranking nearly intact: demand
+    // strong mean agreement, not perfection (quantization IS lossy)
+    val meanRecall = hits.sum.toDouble / (hits.length * k)
+    assert(meanRecall >= 0.8, s"mean recall@$k = $meanRecall")
+  }
+
   test("ivfRecall: monotone in nProbe; full probe = perfect recall") {
     val emb = graft.Tables.embeddings(spark, sfSmoke)
     def meanRecall(nProbe: Int): Double = {
