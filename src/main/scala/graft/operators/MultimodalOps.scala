@@ -7,18 +7,18 @@ import graft.Sorting.ResultSortOps
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, processed per-partition in batches.
   *
-  * IMAGE decode is REAL: payloads are genuine PNG files
-  * ([[encodePngGray]]) decoded through the JDK's own ImageIO codec
-  * ([[decodeImagePixels]]) — no external dependency, and the m2
-  * histogram runs over actually-decoded pixels. AUDIO/VIDEO decode
-  * remains a clearly-marked deterministic stub ([[decodeStub]]): the
-  * JDK ships no audio/video codecs (javax.sound covers PCM framing
-  * only), so those payloads keep the byte-domain fake; everything
-  * around them — schema, batch iteration, partition-parallel
-  * execution, feature schema — is real and is exactly what a codec
-  * drops into. (A PySpark deployment would use `mapInPandas` with
-  * the same batch shape; in Scala the idiom is typed
-  * `mapPartitions`.)
+  * IMAGE and AUDIO decode are REAL: payloads are genuine PNG files
+  * ([[encodePngGray]]) and WAV files ([[encodeWavPcm]]) decoded
+  * through the JDK's own codec chains (ImageIO, javax.sound) — no
+  * external dependency, and the m2 histogram runs over
+  * actually-decoded pixels/samples. VIDEO decode remains a
+  * clearly-marked deterministic stub ([[decodeStub]]): the JDK
+  * ships no video codec, so those payloads keep the byte-domain
+  * fake; everything around it — schema, batch iteration,
+  * partition-parallel execution, feature schema — is real and is
+  * exactly what a codec drops into. (A PySpark deployment would use
+  * `mapInPandas` with the same batch shape; in Scala the idiom is
+  * typed `mapPartitions`.)
   *
   * Scale notes: assets are processed with `mapPartitions` so decoder
   * init (model load, codec setup) happens once per PARTITION, not per
@@ -66,12 +66,13 @@ object MultimodalOps {
       .as[MediaAsset]
   }
 
-  /** [[assetsFromDocuments]] with image-kind payloads PNG-ENCODED —
-    * real image files (decode them with any viewer), built
-    * per-partition so the encoder never leaves the scan stage.
-    * Pixels are the document's text bytes (1×N grayscale), so the
-    * decoded content is known to the oracle while the stored payload
-    * is genuine codec output. Audio/video payloads stay raw.
+  /** [[assetsFromDocuments]] with image-kind payloads PNG-ENCODED
+    * and audio-kind payloads WAV-ENCODED — real media files (open
+    * them with any viewer/player), built per-partition so the
+    * encoders never leave the scan stage. Pixels/samples are the
+    * document's text bytes, so the decoded content is known to the
+    * oracle while the stored payload is genuine codec output.
+    * Video payloads stay raw (no JDK video codec).
     */
   def assetsWithPngImages(spark: SparkSession, docs: DataFrame)
       : Dataset[MediaAsset] = {
@@ -79,9 +80,13 @@ object MultimodalOps {
     assetsFromDocuments(spark, docs).mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition init
       it.map { a =>
-        if (a.kind == "image" && a.bytes.nonEmpty)
+        if (a.bytes.isEmpty) a
+        else if (a.kind == "image")
           a.copy(bytes = encodePngGray(a.bytes),
             width = Some(1), height = Some(a.bytes.length))
+        else if (a.kind == "audio")
+          a.copy(bytes = encodeWavPcm(a.bytes),
+            duration_ms = Some(a.bytes.length / 8L)) // 8 kHz mono
         else a
       }
     }
@@ -132,11 +137,40 @@ object MultimodalOps {
     out
   }
 
-  /** DECODE STUB — deterministic fake for the AUDIO/VIDEO codec step
-    * (the JDK ships no codecs for those kinds; image decode is real —
-    * [[decodeImagePixels]]). A real deployment replaces ONLY this
-    * function (e.g. PCM decode + spectral features); signature and
-    * batch shape stay.
+  /** Encode raw bytes as a REAL WAV file — 8-bit unsigned PCM mono
+    * whose sample bytes ARE the input bytes, written by the JDK's
+    * javax.sound WAVE writer (java.desktop ships PCM/WAV framing;
+    * it is lossy-codec-free but a genuine container + codec path).
+    */
+  def encodeWavPcm(data: Array[Byte]): Array[Byte] = {
+    if (data.isEmpty) return data
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 8, 1, false, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream(data.length + 64)
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode via the JDK javax.sound codec chain: container
+    * bytes → PCM sample bytes. For an [[encodeWavPcm]] payload this
+    * returns exactly the pre-encode bytes (PCM is lossless), which
+    * keeps the m2 histogram oracle-checkable through the audio codec
+    * the same way [[decodeImagePixels]] does for PNG.
+    */
+  def decodeAudioSamples(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.isEmpty) return bytes
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** DECODE STUB — deterministic fake for the VIDEO codec step (the
+    * JDK ships no video codecs; image and audio decode are real —
+    * [[decodeImagePixels]], [[decodeAudioSamples]]). A real
+    * deployment replaces ONLY this function (e.g. frame decode +
+    * visual features); signature and batch shape stay.
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -285,13 +319,13 @@ object MultimodalOps {
     }
   }
 
-  /** [[extractCounts]] with the REAL codec in the loop: image-kind
-    * payloads are DECODED through ImageIO and the histogram runs
-    * over the decoded pixel samples (n_bytes = pixel count — the
-    * content size, not the compressed container size); other kinds
-    * histogram their raw payload. Same batch shape: one codec init
-    * per partition, payload bytes never shuffle — only the 16-bin
-    * counts leave the scan.
+  /** [[extractCounts]] with the REAL codecs in the loop: image-kind
+    * payloads are DECODED through ImageIO, audio-kind through
+    * javax.sound, and the histogram runs over the decoded
+    * pixel/sample bytes (n_bytes = content size, not the container
+    * size); video histograms its raw payload (stub tier). Same
+    * batch shape: one codec init per partition, payload bytes never
+    * shuffle — only the 16-bin counts leave the scan.
     */
   def extractCountsDecoded(assets: Dataset[MediaAsset])
       : Dataset[MediaCounts] = {
@@ -301,6 +335,7 @@ object MultimodalOps {
       it.map { a =>
         val content =
           if (a.kind == "image") decodeImagePixels(a.bytes)
+          else if (a.kind == "audio") decodeAudioSamples(a.bytes)
           else a.bytes
         val hist = new Array[Long](16)
         var i = 0

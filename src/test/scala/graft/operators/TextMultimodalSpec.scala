@@ -96,6 +96,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(MultimodalOps.encodePngGray(Array.emptyByteArray).isEmpty)
   }
 
+  test("encodeWavPcm/decodeAudioSamples: real javax.sound codec " +
+      "round-trips bytes exactly; payload is a genuine WAV") {
+    val data = (0 until 3000).map(i => ((i * 53 + 5) % 256).toByte)
+      .toArray
+    val wav = MultimodalOps.encodeWavPcm(data)
+    // RIFF....WAVE container magic
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(MultimodalOps.decodeAudioSamples(wav).toSeq == data.toSeq)
+    assert(MultimodalOps.encodeWavPcm(Array.emptyByteArray).isEmpty)
+  }
+
   test("extractCountsDecoded over PNG assets equals extractCounts " +
       "over raw assets (codec is lossless)") {
     val docs = Tables.documents(spark, sfSmoke).limit(60)
