@@ -287,6 +287,14 @@ object SparkEntry {
     }),
 
     // ---- north-star: content dedup over documents ----
+    // n30: the SimHash DEDUP tier as a gated query (t4 gates the
+    // fingerprints; this gates the PAIRS): banded LSH candidates
+    // (4×15-bit bands — a pair within Hamming 3 shares ≥1 exact
+    // band), exact Hamming verify on candidates only — never
+    // all-pairs, the n4 shape in Hamming space.
+    "n30_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(Tables.documents(s, dir), "doc_id",
+        "text", maxDist = 3)),
     "n2_exact_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
       val dup = docs.unionByName(
@@ -2354,6 +2362,11 @@ object SparkEntry {
         |ORDER BY exact_cnt DESC, user_id ASC""".stripMargin,
     "t4_simhash" ->
       operators.DedupOps.simhashSql("documents", "doc_id", "text"),
+    // n30: derived from t4's fingerprint CTE chain — same bands,
+    // same Hamming filter.
+    "n30_simhash_pairs" ->
+      operators.DedupOps.simhashPairsSql("documents", "doc_id",
+        "text", maxDist = 3),
     "t10_rare_tokens" ->
       """WITH tok0 AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -1127,7 +1127,15 @@ object DedupOps {
   }
 
   /** [[simhash]] oracle query. */
-  def simhashSql(table: String, idCol: String, textCol: String): String = {
+  def simhashSql(table: String, idCol: String, textCol: String): String =
+    s"""${simhashCtes(table, idCol, textCol)}
+       |SELECT $idCol, simhash FROM fps ORDER BY $idCol ASC""".stripMargin
+
+  /** Shared fingerprint CTE chain behind [[simhashSql]] /
+    * [[simhashPairsSql]] — ends with `fps($idCol, simhash)`.
+    */
+  private def simhashCtes(table: String, idCol: String,
+      textCol: String): String = {
     val bitSums = (0 until 60).map { i =>
       s"sum(((x >> $i) & 1) * 2 - 1) AS s$i"
     }.mkString(",\n    ")
@@ -1144,8 +1152,30 @@ object DedupOps {
        |sums AS (
        |  SELECT $idCol,
        |    $bitSums
-       |  FROM hx GROUP BY $idCol)
-       |SELECT $idCol, $fp AS simhash
-       |FROM sums ORDER BY $idCol ASC""".stripMargin
+       |  FROM hx GROUP BY $idCol),
+       |fps AS (
+       |  SELECT $idCol, $fp AS simhash FROM sums)""".stripMargin
   }
+
+  /** Oracle twin of [[simhashPairs]] — DERIVED from the same
+    * fingerprint CTE chain as t4's oracle (zero convention drift):
+    * the identical 4×15-bit band explode, band-equality candidate
+    * self-join, and Hamming filter.
+    */
+  def simhashPairsSql(table: String, idCol: String, textCol: String,
+      maxDist: Int = 3): String =
+    s"""${simhashCtes(table, idCol, textCol)},
+       |b AS (
+       |  SELECT $idCol, simhash, k AS band,
+       |    (simhash >> (k::INT * 15)) & 32767 AS sig
+       |  FROM fps, range(4) t(k)),
+       |cand AS (
+       |  SELECT DISTINCT x.$idCol AS id_a, y.$idCol AS id_b,
+       |    x.simhash AS fa, y.simhash AS fb
+       |  FROM b x JOIN b y
+       |    ON x.band = y.band AND x.sig = y.sig
+       |    AND x.$idCol < y.$idCol)
+       |SELECT id_a, id_b, bit_count(xor(fa, fb))::INT AS dist
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxDist
+       |ORDER BY id_a ASC, id_b ASC""".stripMargin
 }
