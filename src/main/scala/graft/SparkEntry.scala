@@ -418,6 +418,20 @@ object SparkEntry {
       TextOps.bpeApplyTokens(docs, "doc_id", "text",
         TextOps.learnedMerges(docs, "text", 4))
     }),
+    // u1: URL canonicalization — two messy rendered variants per doc
+    // (mixed case, default port, utm_* params, fragment, shuffled
+    // param order) must collapse to ONE canonical form per doc; the
+    // oracle computes the expected canonical strings directly, so
+    // canonicalize(render(x)) is proven the identity (x1's pattern).
+    "u1_url_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val variants = docs.select(col("source"), explode(array(
+        concat(lit("HTTPS://ExAmple.COM:443/d/"), col("doc_id"),
+          lit("?utm_source=feed&b=2&a=1#frag")),
+        concat(lit("https://example.com/d/"), col("doc_id"),
+          lit("?a=1&b=2&utm_campaign=x")))).as("url"))
+      TextOps.urlDedupReport(variants, "source", "url")
+    }),
     // c11: overlapping token-window chunking — the pre-embedding
     // splitter (64-token chunks, stride 48); manifest rows carry an
     // md5 prefix for the chunk payload, hash-checkable without text.
@@ -2563,6 +2577,17 @@ object SparkEntry {
     "t25_bpe_tokens" ->
       graft.operators.TextOps.bpeTokensSql(
         "documents", "doc_id", "text", 4),
+    // u1: the oracle renders the EXPECTED canonical form directly —
+    // both messy variants must collapse onto it exactly.
+    "u1_url_canonical" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    'https://example.com/d/' || doc_id || '?a=1&b=2' AS cu
+        |  FROM documents)
+        |SELECT source, (count(*) * 2)::BIGINT AS n_variants,
+        |  count(DISTINCT cu) AS n_canonical,
+        |  min(cu) AS min_canonical
+        |FROM c GROUP BY source ORDER BY source ASC""".stripMargin,
     // c11: chunk manifest replayed with range + 1-based list slicing —
     // DuckDB's toks[a:b] clamps exactly like Spark's slice.
     "c11_chunk_split" ->

@@ -1201,4 +1201,46 @@ object TextOps {
         (col("n_docs") - col("n_flagged")).as("n_clean"))
       .resultSorted(col(srcCol).asc)
   }
+
+  /** URL CANONICALIZATION — the normalization every web-corpus dedup
+    * runs before keying on URL (the same page arrives as
+    * `HTTPS://Host:443/p?utm_source=x&b=2&a=1#frag` and
+    * `https://host/p?a=1&b=2`): lowercase scheme+host, drop default
+    * ports, drop the fragment, drop `utm_*` tracking params, sort
+    * the surviving query params. Pure builtin composition —
+    * regexp/split/filter/sort/join all codegen — so the
+    * canonicalization runs inside the scan stage as a projection:
+    * no UDF, no shuffle, 100 TB-safe by construction.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val parts = split(noFrag, "\\?", 2)
+    val base = element_at(parts, 1)
+    val query = when(size(parts) > 1, element_at(parts, 2))
+    val scheme = lower(substring_index(base, "://", 1))
+    val rest = substring_index(base, "://", -1)
+    val hostPort = lower(substring_index(rest, "/", 1))
+    val host = regexp_replace(hostPort, ":(443|80)$", "")
+    val path = regexp_replace(rest, "^[^/]*", "")
+    val params = array_sort(filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    val canonicalQuery = when(query.isNotNull && size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, canonicalQuery)
+  }
+
+  /** The u1 report: per group, raw variant count vs canonical-URL
+    * count + the smallest canonical string (which pins the canonical
+    * VALUES, not just their cardinality, under the oracle hash).
+    */
+  def urlDedupReport(urls: DataFrame, groupCol: String,
+      urlCol: String): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    urls.select(col(groupCol), canonicalizeUrl(col(urlCol)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_variants"),
+        count_distinct(col("c")).as("n_canonical"),
+        min(col("c")).as("min_canonical"))
+      .resultSorted(col(groupCol).asc)
+  }
 }

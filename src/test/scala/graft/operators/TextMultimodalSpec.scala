@@ -128,6 +128,23 @@ class TextMultimodalSpec extends SparkSpec {
       Seq(0x89.toByte, 0x50.toByte, 0x4E.toByte, 0x47.toByte))
   }
 
+  test("canonicalizeUrl: case, default ports, fragments, utm params, " +
+      "param order — all normalized; the rest preserved") {
+    val cases = Seq(
+      // messy variant -> canonical
+      ("HTTPS://ExAmple.COM:443/d/7?utm_source=f&b=2&a=1#x",
+        "https://example.com/d/7?a=1&b=2"),
+      ("http://Host:80/p", "http://host/p"),
+      ("http://host:8080/p", "http://host:8080/p"), // non-default kept
+      ("https://h/p?utm_a=1&utm_b=2", "https://h/p"), // all filtered
+      ("https://h/Path/Case?z=1", "https://h/Path/Case?z=1"), // path case kept
+      ("https://h/p#only-frag", "https://h/p"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"$got")
+  }
+
   test("decodeStub: deterministic, L1-normalized histogram") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
     val f1 = MultimodalOps.decodeStub(bytes)
