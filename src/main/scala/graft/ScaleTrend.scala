@@ -101,6 +101,39 @@ object ScaleTrend {
           s"all=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.conf.set("spark.graft.topkRewrite", "true")
+    // t24 (vocab-scale BPE APPLY) over the plain N× replicas: the
+    // vocab is learned ONCE on the 1× corpus (fixed input artifact —
+    // the probe measures the APPLY side), applied to every replica.
+    // One mapPartitions scan → time must track N linearly.
+    val merges = operators.TextOps.learnedMerges(docs, "text", 4)
+    val qt24 = () => operators.TextOps.bpeApply(big, "doc_id",
+      "text", merges)
+    val t24Times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qt24().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] t24 x$factor min=${t24Times.min}%.3f " +
+      s"all=${t24Times.map(t => f"$t%.3f").mkString(",")}")
+    // r4 (two-level window) over N×-replicated events with per-
+    // replica user offsets: two bounded windows + equi-join — time
+    // must track N with no per-key blowup (that's the point of the
+    // slice decomposition).
+    val events = Tables.events(spark, sfDir)
+    val bigEvents = (0 until factor)
+      .map(k => events
+        .withColumn("user_id", col("user_id") + lit(k * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(k * 100000000L)))
+      .reduce(_ unionByName _)
+    val qr4 = () => operators.SkewOps.twoLevelRunningSum(bigEvents,
+      "user_id", "ts", "event_id", "value", 24L * 3600 * 1000)
+    val r4Times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qr4().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] r4 x$factor min=${r4Times.min}%.3f " +
+      s"all=${r4Times.map(t => f"$t%.3f").mkString(",")}")
     spark.stop()
   }
 }
