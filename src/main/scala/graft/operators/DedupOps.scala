@@ -836,11 +836,19 @@ object DedupOps {
     * via [[graft.functions.SimHash64]] — no explode, no doc shuffle.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFingerprints(df, idCol, textCol).orderBy(col(idCol).asc)
+
+  /** [[simhash]] without the final presentation sort — the form
+    * intermediate consumers ([[simhashPairs]]) build on, so a report
+    * sort never rides into the middle of a pair pipeline (round-8
+    * plan audit: the pairs plan carried a wasted range exchange).
+    */
+  private def simhashFingerprints(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     graft.FanOut.byKey(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),
         call_function("graft_simhash", col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
-      .orderBy(col(idCol).asc)
 
   /** Explode + 60-sum-aggregate formulation of [[simhash]] (pure
     * built-ins) — the differential reference for the expression.
@@ -870,7 +878,7 @@ object DedupOps {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val fps = simhash(df, idCol, textCol)
+    val fps = simhashFingerprints(df, idCol, textCol)
     val bands = fps.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { k =>
         struct(lit(k).as("band"),
