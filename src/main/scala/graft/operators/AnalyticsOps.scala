@@ -438,11 +438,13 @@ object AnalyticsOps {
     val perGroup = hashes
       .withColumn("__rn", row_number().over(wg))
       .filter(col("__rn") <= k).select(col("h"))
-    val wAll = Window.partitionBy().orderBy(col("h").asc)
+    // global k smallest via ORDER BY + LIMIT: Spark plans
+    // TakeOrderedAndProject (per-partition heaps, no global sort) —
+    // the empty-partition row_number window it replaces funneled
+    // every distinct hash through ONE task (round-8 e5 floor work)
     def estOf(rel: DataFrame, alias: String): DataFrame =
       rel.select(col("h")).distinct()
-        .withColumn("__rn", row_number().over(wAll))
-        .filter(col("__rn") <= k)
+        .orderBy(col("h").asc).limit(k)
         .agg(count(lit(1)).as("n_used"), max(col("h")).as("hk"))
         .select(round(
           when(col("n_used") < k, col("n_used").cast("double"))
@@ -798,10 +800,11 @@ object AnalyticsOps {
     val perGroup = hv
       .withColumn("__rn", row_number().over(wg))
       .filter(col("__rn") <= k).select(col("h"), col("v"))
-    val wAll = Window.partitionBy().orderBy(col("h").asc, col("v").asc)
+    // global k smallest via ORDER BY + LIMIT → TakeOrderedAndProject
+    // (per-partition heaps), replacing the empty-partition window
+    // that funneled the full (h, v) stream through one task
     def qOf(rel: DataFrame, alias: String): DataFrame =
-      rel.withColumn("__rn", row_number().over(wAll))
-        .filter(col("__rn") <= k)
+      rel.orderBy(col("h").asc, col("v").asc).limit(k)
         .agg(round(percentile(col("v"), lit(p)), 6).as(alias))
     val exact = df.agg(
       round(percentile(col(valueCol).cast("double"), lit(p)), 6)
