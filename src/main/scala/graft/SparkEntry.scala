@@ -287,6 +287,21 @@ object SparkEntry {
     }),
 
     // ---- north-star: content dedup over documents ----
+    // n31: typo-tolerant fuzzy match (edit distance ≤ 1) — SymSpell
+    // deletion-neighborhood keys, equi-join candidates, levenshtein
+    // verify on candidates only. Fixture: each doc's 3-token title
+    // plus a first-char-dropped typo variant (the u1 render pattern);
+    // every (title, typo) pair must surface at distance 1 alongside
+    // the distance-0 pairs from duplicated docs.
+    "n31_fuzzy_match" -> ((s, dir) => {
+      val t0 = Tables.documents(s, dir).select(col("doc_id"),
+        substring_index(col("text"), " ", 3).as("title"))
+      val variants = t0.select((col("doc_id") * 2).as("id"),
+          col("title").as("s"))
+        .unionByName(t0.select((col("doc_id") * 2 + 1).as("id"),
+          col("title").substr(lit(2), length(col("title"))).as("s")))
+      DedupOps.fuzzyPairs(variants, "id", "s")
+    }),
     // n30: the SimHash DEDUP tier as a gated query (t4 gates the
     // fingerprints; this gates the PAIRS): banded LSH candidates
     // (4×15-bit bands — a pair within Hamming 3 shares ≥1 exact
@@ -2376,6 +2391,30 @@ object SparkEntry {
         |ORDER BY exact_cnt DESC, user_id ASC""".stripMargin,
     "t4_simhash" ->
       operators.DedupOps.simhashSql("documents", "doc_id", "text"),
+    // n31: the SymSpell pipeline replayed — same deletion keys, same
+    // candidate equi-join, same levenshtein verify.
+    "n31_fuzzy_match" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS title
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id*2 AS id, title AS s FROM t0
+        |  UNION ALL
+        |  SELECT doc_id*2+1, substring(title, 2, length(title))
+        |  FROM t0),
+        |k AS (
+        |  SELECT id, s, unnest(list_distinct(list_append(
+        |    [substring(s,1,i-1) || substring(s,i+1,length(s))
+        |     for i in range(1, length(s)+1)], s))) AS key
+        |  FROM t),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        |    x.s AS sa, y.s AS sb
+        |  FROM k x JOIN k y ON x.key = y.key AND x.id < y.id)
+        |SELECT id_a, id_b, levenshtein(sa, sb)::INT AS dist
+        |FROM cand WHERE levenshtein(sa, sb) <= 1
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin,
     // n30: derived from t4's fingerprint CTE chain — same bands,
     // same Hamming filter.
     "n30_simhash_pairs" ->

@@ -1135,6 +1135,38 @@ object DedupOps {
   }
 
   /** [[simhash]] oracle query. */
+  /** TYPO-TOLERANT FUZZY MATCH (edit distance ≤ 1) via the SymSpell
+    * deletion neighborhood: each string's candidate keys are itself
+    * plus every single-character deletion (L+1 keys for length L) —
+    * two strings within one edit ALWAYS share a key (equal → the
+    * string itself; substitution → delete the differing position
+    * from both; insert/delete → the shorter string is a deletion of
+    * the longer). Candidates come from an EQUI-join on the key —
+    * O(N·L) rows, never all-pairs — and exact `levenshtein` verifies
+    * only the candidate set. The fuzzy-title/entity matching every
+    * metadata-reconciliation pipeline runs, in the n4 candidates-
+    * then-verify shape.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String)
+      : DataFrame = {
+    val dels = (s: org.apache.spark.sql.Column) =>
+      array_union(array(s), transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1),
+          s.substr(i + 1, length(s)))))
+    val keyed = df.select(col(idCol), col(strCol))
+      .withColumn("__k", explode(dels(col(strCol))))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.__k") === col("y.__k") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        col(s"x.$strCol").as("sa"), col(s"y.$strCol").as("sb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   def simhashSql(table: String, idCol: String, textCol: String): String =
     s"""${simhashCtes(table, idCol, textCol)}
        |SELECT $idCol, simhash FROM fps ORDER BY $idCol ASC""".stripMargin

@@ -405,6 +405,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(slices > 10, s"fixture should span many slices: $slices")
   }
 
+  test("fuzzyPairs: finds equal/substitution/insertion/deletion " +
+      "pairs, rejects distance 2; never compares non-candidates") {
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"),  // substitution, dist 1
+      (3L, "kitte"),                   // deletion of 1, dist 1
+      (4L, "kittens"),                 // insertion on 1, dist 1
+      (5L, "kitten"),                  // equal to 1, dist 0
+      (6L, "sittes"),                  // dist 2 from kitten — excluded
+      (7L, "zzzzzz"))                  // unrelated
+      .toDF("id", "s")
+    val got = DedupOps.fuzzyPairs(rows, "id", "s")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 1)) &&
+      got.contains((1L, 4L, 1)) && got.contains((1L, 5L, 0)))
+    // dist-2 pair (1,6) absent; the unrelated string pairs with no one
+    assert(!got.exists(p => (p._1, p._2) == ((1L, 6L))))
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
   test("substringPairs: 8-token verbatim run found, 7-token run not") {
     val span8 = "q w e r t y u i" // 8 tokens
     val docs = Seq(
