@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default (the image has 128 GiB): at 185 queries × 3 reps in
+  // one JVM, an 8g heap GC-taxed EVERY query ~8% (round-8 A/B:
+  // 57.5 s → 53.1 s total, ratio 1.43 → 1.32, same host window) —
+  // the second suite-size step cost after the codegen cache.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
