@@ -224,4 +224,79 @@ class PropertySpec extends SparkSpec {
           s"left=$left right=$right got=$got want=$naive")
     }
   }
+
+  test("property: fuzzyPairs equals brute-force levenshtein ≤ 1 " +
+      "over all pairs") {
+    val strGen = Gen.listOfN(5,
+      Gen.chooseNum(0, 3).map(i => "abcd".charAt(i).toString))
+      .map(_.mkString) // small alphabet/length → collisions guaranteed
+    val setGen = Gen.listOfN(10, strGen)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    samples(setGen, n = 5).foreach { strs =>
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val want = (for {
+        (sa, a) <- strs.zipWithIndex; (sb, b) <- strs.zipWithIndex
+        if a < b && lev(sa, sb) <= 1
+      } yield (a.toLong, b.toLong, lev(sa, sb))).toSet
+      val got = DedupOps.fuzzyPairs(rows.toDF("id", "s"), "id", "s")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"strs=$strs got=$got want=$want")
+    }
+  }
+
+  test("property: twoLevelRunningSum equals the direct window for " +
+      "random keys/timestamps, slice width included") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{round => sqlRound, sum => sqlSum}
+    val rowGen = Gen.listOf(Gen.zip(keyGen,
+      Gen.chooseNum(0L, 500000L), Gen.chooseNum(0L, 50L)))
+    samples(rowGen, n = 5).foreach { rs =>
+      val rows = rs.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, new Timestamp(t), i.toLong, v.toDouble) }
+      if (rows.nonEmpty) {
+        val df = rows.toDF("user_id", "ts", "event_id", "value")
+        // 100 s slices → many slice boundaries inside 500 s of data
+        val got = SkewOps.twoLevelRunningSum(df, "user_id", "ts",
+            "event_id", "value", sliceMillis = 100000L)
+          .as[(Long, Long, Timestamp, Double)].collect().toSeq
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val direct = df.select(col("user_id"), col("event_id"),
+            col("ts"),
+            sqlRound(sqlSum(col("value")).over(w), 6)
+              .as("running_value"))
+          .orderBy(col("user_id").asc, col("ts").asc,
+            col("event_id").asc)
+          .as[(Long, Long, Timestamp, Double)].collect().toSeq
+        assert(got == direct)
+      }
+    }
+  }
+
+  test("property: bpeApply equals bpeEncode on random corpora for " +
+      "learned vocabs") {
+    val docGen = Gen.listOfN(8, Gen.chooseNum(0, 2)
+      .map(i => "xyz".charAt(i).toString)).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(12, docGen)
+    samples(corpusGen, n = 4).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val iters = 3
+      val merges = TextOps.learnedMerges(df, "text", iters)
+      val applied = TextOps.bpeApply(df, "doc_id", "text", merges)
+        .as[(Long, Long, Long)].collect().toSeq
+      val relational = TextOps.bpeEncode(df, "doc_id", "text", iters)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(applied == relational, s"docs=$docs")
+    }
+  }
 }
