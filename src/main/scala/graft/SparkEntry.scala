@@ -888,10 +888,17 @@ object SparkEntry {
     "k18_signature_store" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select("doc_id", "source", "text")
-      val root = tempTableRoot("graft_sigstore") + "/store"
-      DedupOps.initSignatureStore(
-        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
-        root, ShingleMaxDf)
+      // the store INIT is deterministic input state: built once per
+      // (session, sfDir), file-copied fresh per run (appendIfNovel
+      // MUTATES the store — the append is the measured operator)
+      val fix = cachedStreamInput(s, dir, "sigstore") { root =>
+        DedupOps.initSignatureStore(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          root + "/tmpl", ShingleMaxDf)
+        ()
+      }
+      val root = tempTableRoot("graft_sigstore_run") + "/store"
+      copyDir(fix + "/tmpl", root)
       DedupOps.appendIfNovel(
         docs.filter(col("doc_id") % 7 === 0), "doc_id", "source",
         "text", root, minShared = 3)
