@@ -634,6 +634,13 @@ object SparkEntry {
         .orderBy(col("event_id").asc)),
 
     // ---- dataset analytics: profiling / sampling / scrubbing ----
+    // d2: the dataset card — per-source totals + order-independent
+    // content/membership seals; the reproducibility manifest a
+    // released training set ships (re-run after any copy/migration:
+    // the seals must match bit-for-bit).
+    "d2_dataset_card" -> ((s, dir) =>
+      AnalyticsOps.datasetCard(Tables.documents(s, dir),
+        "doc_id", "text", "source")),
     "d1_profile" -> ((s, dir) =>
       AnalyticsOps.profile(Tables.orders(s, dir),
         distinctCols = Seq("o_orderstatus", "o_orderpriority"),
@@ -3055,6 +3062,16 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC""".stripMargin,
+    // d2: seal terms reduced mod p BEFORE summing so both engines
+    // stay in exact integer range (duck sums in HUGEINT regardless).
+    "d2_dataset_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |  sum(length(text))::BIGINT AS n_chars,
+        |  (sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+        |     % 1000000007) % 1000000007)::BIGINT AS content_seal,
+        |  (sum(doc_id % 1000000007) % 1000000007)::BIGINT AS id_seal
+        |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
     "d1_profile" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT o_orderstatus) AS n_o_orderstatus,

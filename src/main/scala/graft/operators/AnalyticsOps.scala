@@ -17,6 +17,36 @@ import graft.Sorting.ResultSortOps
   */
 object AnalyticsOps {
 
+  /** DATASET CARD — the reproducibility manifest a training dataset
+    * ships with: per source, doc/token/char totals plus two
+    * ORDER-INDEPENDENT seals (content seal = Σ md5₆₀(text) mod p,
+    * id seal = Σ id mod p; p = 1e9+7) that pin the exact corpus
+    * content and membership under any row order or partitioning —
+    * re-run the card after a copy/migration and the seals must
+    * match bit-for-bit. One scan, map-side-combined aggregate,
+    * |sources| rows. Seal arithmetic: each term is reduced mod p
+    * BEFORE summing, so the running sum stays exact in 64-bit up to
+    * ~9·10⁹ docs per group; beyond that fold the mod into the
+    * partial aggregate (same algebra, one more mod).
+    */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val P = 1000000007L
+    val h = conv(substring(md5(col(textCol)), 1, 15), 16, 10)
+      .cast("long") % P
+    df.select(col(srcCol), col(idCol), h.as("__h"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("__nt"),
+        length(col(textCol)).cast("long").as("__nc"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"),
+        (sum(col("__h")) % P).as("content_seal"),
+        (sum(col(idCol) % P) % P).as("id_seal"))
+      .resultSorted(col(srcCol).asc)
+  }
+
   /** One-row table profile: row count, per-column distinct counts,
     * null counts, min/max — the "describe" a pipeline stores next to
     * every snapshot. Exact aggregates only (approx_count_distinct is

@@ -656,4 +656,25 @@ class AnalyticsSpec extends SparkSpec {
     // cum=13, start offset 6 → floor(6/10)=0 → both in shard 0
     assert(out == Seq(("s", 0L, 2L, 13L)))
   }
+
+  test("datasetCard: seals are order/partitioning-independent and " +
+      "content/membership-sensitive") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    def card(df: org.apache.spark.sql.DataFrame) =
+      AnalyticsOps.datasetCard(df, "doc_id", "text", "source")
+        .collect().map(_.toString).toSeq
+    val base = card(docs)
+    // any re-partitioning / row order must produce the SAME card
+    assert(card(docs.repartition(7, col("n_chars"))) == base)
+    assert(card(docs.orderBy(col("text").desc)) == base)
+    // flipping one character changes that source's content seal only
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 1L, concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val diff = card(mutated).zip(base).filter(p => p._1 != p._2)
+    assert(diff.size == 1)
+    // dropping one doc changes that source's id seal
+    val dropped = card(docs.filter(col("doc_id") =!= 1L))
+    assert(dropped != base)
+  }
 }
