@@ -641,6 +641,18 @@ object SparkEntry {
     "d2_dataset_card" -> ((s, dir) =>
       AnalyticsOps.datasetCard(Tables.documents(s, dir),
         "doc_id", "text", "source")),
+    // d3: incremental maintenance of the card — merge(card(base),
+    // card(increment)) must hash-equal the full recompute (the
+    // oracle), proving the stored card updates without a base rescan.
+    "d3_card_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      AnalyticsOps.mergeCards(
+        AnalyticsOps.datasetCard(docs.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", "source"),
+        AnalyticsOps.datasetCard(docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", "source"),
+        "source")
+    }),
     "d1_profile" -> ((s, dir) =>
       AnalyticsOps.profile(Tables.orders(s, dir),
         distinctCols = Seq("o_orderstatus", "o_orderpriority"),
@@ -1343,6 +1355,18 @@ object SparkEntry {
     * session_window): both operators must reproduce the same
     * gaps-and-islands result.
     */
+  /** Shared by d2 (direct card) and d3 (merged slice cards): both
+    * must reproduce the full recompute bit-for-bit.
+    */
+  private val DatasetCardOracleSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+      |  sum(length(text))::BIGINT AS n_chars,
+      |  (sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+      |     % 1000000007) % 1000000007)::BIGINT AS content_seal,
+      |  (sum(doc_id % 1000000007) % 1000000007)::BIGINT AS id_seal
+      |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin
+
   private val SessionsOracleSql: String =
     """WITH flagged AS (
       |  SELECT user_id, ts, event_id, value,
@@ -3064,14 +3088,10 @@ object SparkEntry {
         |ORDER BY o_orderpriority ASC""".stripMargin,
     // d2: seal terms reduced mod p BEFORE summing so both engines
     // stay in exact integer range (duck sums in HUGEINT regardless).
-    "d2_dataset_card" ->
-      """SELECT source, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
-        |  sum(length(text))::BIGINT AS n_chars,
-        |  (sum(('0x' || substr(md5(text), 1, 15))::BIGINT
-        |     % 1000000007) % 1000000007)::BIGINT AS content_seal,
-        |  (sum(doc_id % 1000000007) % 1000000007)::BIGINT AS id_seal
-        |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
+    "d2_dataset_card" -> DatasetCardOracleSql,
+    // d3: held to the FULL-recompute oracle VERBATIM — the merged
+    // slice cards must reproduce it bit-for-bit (seal additivity).
+    "d3_card_merge" -> DatasetCardOracleSql,
     "d1_profile" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT o_orderstatus) AS n_o_orderstatus,

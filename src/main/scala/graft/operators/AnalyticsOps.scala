@@ -47,6 +47,29 @@ object AnalyticsOps {
       .resultSorted(col(srcCol).asc)
   }
 
+  /** INCREMENTAL card maintenance — why [[datasetCard]]'s seals are
+    * mod-p SUMS: the card of a grown corpus folds from the stored
+    * card plus the increment's card (totals add; seals add mod p)
+    * with NO rescan of the base — the k9 incremental-rollup algebra
+    * applied to the reproducibility manifest. d3 computes two slice
+    * cards and merges them relationally; the oracle is the FULL
+    * recompute, so merge(card(A), card(B)) ≡ card(A ∪ B) is
+    * hash-proven.
+    */
+  def mergeCards(a: DataFrame, b: DataFrame, srcCol: String)
+      : DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val P = 1000000007L
+    a.unionByName(b)
+      .groupBy(col(srcCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        (sum(col("content_seal")) % P).as("content_seal"),
+        (sum(col("id_seal")) % P).as("id_seal"))
+      .resultSorted(col(srcCol).asc)
+  }
+
   /** One-row table profile: row count, per-column distinct counts,
     * null counts, min/max — the "describe" a pipeline stores next to
     * every snapshot. Exact aggregates only (approx_count_distinct is
