@@ -3935,10 +3935,14 @@ object SparkEntry {
         |WHERE drank <= 5
         |ORDER BY o_orderpriority ASC, drank ASC, o_orderkey ASC""".stripMargin,
     // b1 runs over the bucketed-at-rest tables; results are layout-
-    // independent, so the oracle reads the plain parquet.
+    // independent, so the oracle reads the plain parquet. The sum is
+    // exact integer money units on both sides (inputs are cents-
+    // grain): association-independent, one deterministic division.
     "b1_bucketed_revenue" ->
       """SELECT o_orderstatus,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |    AS DOUBLE) / 10000 AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem, orders
         |WHERE l_orderkey = o_orderkey

@@ -63,13 +63,26 @@ object BucketedOps {
   /** Revenue per order status over the bucketed tables — the join
     * needs no exchange (both sides pre-hashed on the key at rest);
     * the only shuffle left is the 3-row status aggregate.
+    *
+    * The sum runs in exact INTEGER money units: b1's groups are the
+    * suite's largest (~⅓ of lineitem each), and at sf0.1 a double
+    * sum of ~10¹⁰ magnitude carries ~10⁻⁵ association noise —
+    * different partial-agg orders flip the 6th decimal (caught by
+    * the sf0.1 selfcheck sweep). Inputs are money-grain (within
+    * 10⁻⁹ of the cents grid — verified), so price·(1−disc) =
+    * cents·(100−pct)/10⁴ with an exact BIGINT numerator: integer
+    * addition is associative, any partial order yields the same
+    * bits, and the single final division is deterministic. This is
+    * also the 100 TB answer — a money sum should never ride on
+    * float association in the first place.
     */
   def bucketedRevenue(spark: SparkSession, sfDir: String): DataFrame =
     bucketedJoin(spark, sfDir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          4).as("revenue"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          .cast("double") / 10000.0).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderstatus").asc)
 
