@@ -39,10 +39,10 @@ object Bench {
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  // Round-8 chain: BASELINE.md "n31/d2/d3" entries close at 40.0355
-  // for the 185-query oracle suite (see the bake ledger there).
-  val RecordedDuckdbSf01: Double = 40.0355
-  val RecordedDuckdbQueries: Int = 185
+  // Round-8 chain: BASELINE.md closes at 40.1002 for the 186-query
+  // oracle suite (see the bake ledger there).
+  val RecordedDuckdbSf01: Double = 40.1002
+  val RecordedDuckdbQueries: Int = 186
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

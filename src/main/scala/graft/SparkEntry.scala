@@ -433,6 +433,12 @@ object SparkEntry {
       TextOps.bpeApplyTokens(docs, "doc_id", "text",
         TextOps.learnedMerges(docs, "text", 4))
     }),
+    // t26: the gate-threshold sweep — per score decile, doc count +
+    // cumulative at-or-above share: "if the threshold were d/10, how
+    // much survives" for every d in one bounded report.
+    "t26_threshold_sweep" -> ((s, dir) =>
+      TextOps.thresholdSweep(Tables.documents(s, dir),
+        "doc_id", "text", "n_chars")),
     // u1: URL canonicalization — two messy rendered variants per doc
     // (mixed case, default port, utm_* params, fragment, shuffled
     // param order) must collapse to ONE canonical form per doc; the
@@ -2402,6 +2408,32 @@ object SparkEntry {
         |  round(ttr * 0.5 + (1.0 - stop_ratio) * 0.3 +
         |        least(awl / 8.0, 1.0) * 0.2, 6) AS quality
         |FROM c ORDER BY quality DESC, doc_id ASC LIMIT 50""".stripMargin,
+    // t26: the t2 quality formula re-bucketed on integer micro-units
+    // (float floor(q*10) would split decile boundaries), window
+    // cumsum over the 11-row decile relation.
+    "t26_threshold_sweep" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w, n_chars
+        |  FROM documents),
+        |c AS (SELECT
+        |    len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+        |    len(list_filter(w,
+        |      x -> x IN ('the','a','of','and','is','in'))) * 1.0 / len(w)
+        |      AS stop_ratio,
+        |    (n_chars * 1.0 - (len(w) - 1)) / len(w) AS awl
+        |  FROM t),
+        |b AS (SELECT CAST(round((ttr * 0.5 + (1.0 - stop_ratio) * 0.3 +
+        |      least(awl / 8.0, 1.0) * 0.2) * 1000000) AS BIGINT)
+        |      // 100000 AS decile
+        |  FROM c),
+        |h AS (SELECT decile, count(*) AS n_docs FROM b GROUP BY decile)
+        |SELECT decile, n_docs,
+        |  sum(n_docs) OVER (ORDER BY decile DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_at_or_above,
+        |  round((sum(n_docs) OVER (ORDER BY decile DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    * 1.0 / (sum(n_docs) OVER ()), 6) AS share_at_or_above
+        |FROM h ORDER BY decile ASC""".stripMargin,
     "t3_langid" -> LangIdMatrixSql,
     // t23: metric layer derived from the same matrix CTEs.
     "t23_langid_eval" -> LangIdEvalSql,

@@ -63,6 +63,42 @@ object TextOps {
       .orderBy(col("quality").desc, col(idCol).asc)
       .limit(k)
 
+  /** GATE-THRESHOLD SWEEP — how a quality gate's cut line is
+    * actually tuned: per score decile, the doc count plus the
+    * cumulative at-or-above count and corpus share, i.e. "if the
+    * threshold were d/10, how much survives" for every d in one
+    * report. One scan (the same single-pass `graft_quality`
+    * expression as t2), one 11-row aggregate, one window over the
+    * 11-row relation — bounded at any corpus size. Bucketing rides
+    * integers: micro = round(q·10⁶) then integer-division — a
+    * float `floor(q*10)` would split decile boundaries between
+    * engines.
+    */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+      charsCol: String): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    import org.apache.spark.sql.expressions.Window
+    val buckets = df.select(
+        call_function("graft_quality", col(textCol), col(charsCol))
+          .getField("quality").as("__q"))
+      // floor-div (Column./ is double division); micro ≤ 10⁶ so the
+      // double quotient is exact before the floor
+      .select(floor(round(col("__q") * 1000000, 0) / 100000)
+        .cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("n_at_or_above", sum(col("n_docs")).over(w))
+      .withColumn("share_at_or_above",
+        round(col("n_at_or_above").cast("double") /
+          sum(col("n_docs")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)), 6))
+      .resultSorted(col("decile").asc)
+  }
+
   /** Composed built-in formulation of [[qualityScore]] — the
     * differential reference for the expression (four interpreted
     * HOF/array passes per row).
