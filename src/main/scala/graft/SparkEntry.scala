@@ -439,10 +439,12 @@ object SparkEntry {
     "t26_threshold_sweep" -> ((s, dir) =>
       TextOps.thresholdSweep(Tables.documents(s, dir),
         "doc_id", "text", "n_chars")),
-    // u1: URL canonicalization — two messy rendered variants per doc
+    // u1: URL canonicalization — four messy rendered variants per doc
     // (mixed case, default port, utm_* params, fragment, shuffled
-    // param order) must collapse to ONE canonical form per doc; the
-    // oracle computes the expected canonical strings directly, so
+    // param order) must collapse to THREE canonical forms per doc:
+    // port stripping is scheme-aware (round-8 ADVICE), so https:443
+    // and http:80 strip while http:443 (a distinct origin) survives;
+    // the oracle computes the expected canonical strings directly, so
     // canonicalize(render(x)) is proven the identity (x1's pattern).
     "u1_url_canonical" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -450,7 +452,11 @@ object SparkEntry {
         concat(lit("HTTPS://ExAmple.COM:443/d/"), col("doc_id"),
           lit("?utm_source=feed&b=2&a=1#frag")),
         concat(lit("https://example.com/d/"), col("doc_id"),
-          lit("?a=1&b=2&utm_campaign=x")))).as("url"))
+          lit("?a=1&b=2&utm_campaign=x")),
+        concat(lit("http://ExAmple.COM:80/d/"), col("doc_id"),
+          lit("#frag")),
+        concat(lit("http://example.com:443/d/"), col("doc_id"),
+          lit("?b=2&a=1")))).as("url"))
       TextOps.urlDedupReport(variants, "source", "url")
     }),
     // c11: overlapping token-window chunking — the pre-embedding
@@ -2686,14 +2692,18 @@ object SparkEntry {
     "t25_bpe_tokens" ->
       graft.operators.TextOps.bpeTokensSql(
         "documents", "doc_id", "text", 4),
-    // u1: the oracle renders the EXPECTED canonical form directly —
-    // both messy variants must collapse onto it exactly.
+    // u1: the oracle renders the EXPECTED canonical forms directly —
+    // the two https variants collapse onto one form, http:80 strips,
+    // http:443 (distinct origin, scheme-aware strip) survives as-is.
     "u1_url_canonical" ->
       """WITH c AS (
-        |  SELECT source,
-        |    'https://example.com/d/' || doc_id || '?a=1&b=2' AS cu
+        |  SELECT source, unnest([
+        |    'https://example.com/d/' || doc_id || '?a=1&b=2',
+        |    'https://example.com/d/' || doc_id || '?a=1&b=2',
+        |    'http://example.com/d/' || doc_id,
+        |    'http://example.com:443/d/' || doc_id || '?a=1&b=2']) AS cu
         |  FROM documents)
-        |SELECT source, (count(*) * 2)::BIGINT AS n_variants,
+        |SELECT source, count(*)::BIGINT AS n_variants,
         |  count(DISTINCT cu) AS n_canonical,
         |  min(cu) AS min_canonical
         |FROM c GROUP BY source ORDER BY source ASC""".stripMargin,

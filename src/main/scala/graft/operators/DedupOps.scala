@@ -1134,7 +1134,6 @@ object DedupOps {
        |ORDER BY id_a ASC, id_b ASC""".stripMargin
   }
 
-  /** [[simhash]] oracle query. */
   /** TYPO-TOLERANT FUZZY MATCH (edit distance ≤ 1) via the SymSpell
     * deletion neighborhood: each string's candidate keys are itself
     * plus every single-character deletion (L+1 keys for length L) —
@@ -1149,10 +1148,16 @@ object DedupOps {
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String)
       : DataFrame = {
+    // Empty inputs take an EXPLICIT no-deletions path (round-8
+    // ADVICE): Spark's sequence(1, 0) yields descending [1, 0] and
+    // only agreed with the oracle's empty range(1, 1) by leaning on
+    // substr's negative-length-returns-empty accident.
     val dels = (s: org.apache.spark.sql.Column) =>
-      array_union(array(s), transform(sequence(lit(1), length(s)),
-        i => concat(s.substr(lit(1), i - 1),
-          s.substr(i + 1, length(s)))))
+      array_union(array(s),
+        when(length(s) > 0, transform(sequence(lit(1), length(s)),
+          i => concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, length(s)))))
+        .otherwise(typedLit(Seq.empty[String])))
     val keyed = df.select(col(idCol), col(strCol))
       .withColumn("__k", explode(dels(col(strCol))))
     keyed.as("x").join(keyed.as("y"),
@@ -1167,6 +1172,7 @@ object DedupOps {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** [[simhash]] oracle query. */
   def simhashSql(table: String, idCol: String, textCol: String): String =
     s"""${simhashCtes(table, idCol, textCol)}
        |SELECT $idCol, simhash FROM fps ORDER BY $idCol ASC""".stripMargin

@@ -455,21 +455,23 @@ object TextOps {
     // sums over the raw token stream were measured worse — the sort
     // beats the waves it saves). The mean uses the identity
     // avg ln(c/N) = avg ln(c) − ln N  so the corpus total N folds in
-    // as a window sum over the per-DOC relation (|docs| rows) instead
-    // of a broadcast job wave; the per-doc aggregate plans no shuffle
-    // (the probe join preserves the FanOut's doc-id partitioning once
-    // AQE broadcasts the vocab side).
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // as a 1-ROW AGGREGATE broadcast into the plan ([[boilerplate]]'s
+    // df-threshold pattern) — a global window over the per-doc
+    // relation funnels |docs| rows through one partition at 10⁹ docs
+    // (round-8 verdict item 1). Summing over the vocab relation
+    // (Σc ≡ total tokens) keeps the total off the corpus-scaling
+    // token stream: |vocab| grows sub-linearly in corpus size.
     val tok = graft.FanOut
       .byKey(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
     val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("n"))
     tok.join(counts, Seq("tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         avg(log(col("c").cast("double"))).as("m"))
-      .withColumn("n", sum(col("n_tokens")).over(wAll).cast("double"))
+      .crossJoin(broadcast(total))
       .select(col(idCol), col("n_tokens"),
         round(col("m") - log(col("n")), 6).as("avg_logp"))
       .orderBy(col(idCol).asc)
@@ -1256,7 +1258,13 @@ object TextOps {
     val scheme = lower(substring_index(base, "://", 1))
     val rest = substring_index(base, "://", -1)
     val hostPort = lower(substring_index(rest, "/", 1))
-    val host = regexp_replace(hostPort, ":(443|80)$", "")
+    // Default-port stripping is SCHEME-AWARE (round-8 ADVICE):
+    // http://host:443 and http://host are distinct origins — only the
+    // scheme's own default port is a no-op to drop.
+    val host = when(scheme === "https",
+        regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
     val path = regexp_replace(rest, "^[^/]*", "")
     val params = array_sort(filter(split(query, "&"),
       p => !p.startsWith("utm_") && p =!= ""))

@@ -71,7 +71,13 @@ private class NycDiscoveryTable extends Table with SupportsRead {
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder with Scan with Batch {
-    private val pages = options.getInt("pages", 1)
+    // `pages` is REQUIRED (per the provider doc): a typo'd option
+    // name must fail loudly, not quietly fetch a single page.
+    private val pages = {
+      require(options.containsKey("pages"),
+        "NycDiscoverySource: required option 'pages' is missing")
+      options.getInt("pages", 1)
+    }
     private val pageSize = options.getInt("pageSize", 100)
     private val endpoint = options.getOrDefault("endpoint",
       "https://data.cityofnewyork.us/api/views/metadata/v1")

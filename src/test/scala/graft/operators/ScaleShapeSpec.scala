@@ -74,6 +74,22 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("t11 lmScore plans no global window (no single-partition funnel)") {
+    // Round-8 verdict item 1: the corpus token total must fold in as a
+    // 1-row aggregate broadcast, never a Window.partitionBy() over the
+    // corpus-scaling per-doc relation (|docs| rows through ONE task).
+    val df = graft.SparkEntry.queries("t11_lm_score")(spark, sfSmoke)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"t11 must not plan a window (global-window funnel):\n$plan")
+    // The 1-row corpus-total agg may plan ONE SinglePartition exchange
+    // (32 partial rows → 1); the corpus-scaling relations must not.
+    val singles = plan.split("SinglePartition").length - 1
+    assert(singles <= 1,
+      s"t11 planned $singles single-partition exchanges:\n$plan")
+  }
+
   test("q5 plan degrades to shuffled joins; only hinted dims broadcast") {
     val s2 = noBroadcastSession()
     val df = StarSchemaOps.regionRevenue(s2, sfSmoke)
