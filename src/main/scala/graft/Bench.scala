@@ -39,10 +39,11 @@ object Bench {
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  // Round-8 chain: BASELINE.md closes at 40.1002 for the 186-query
-  // oracle suite (see the bake ledger there).
-  val RecordedDuckdbSf01: Double = 40.1002
-  val RecordedDuckdbQueries: Int = 186
+  // Round-9 chain: round-8 close 40.1002 (186) + h1 0.2241 +
+  // h2 1.2484 = 41.5727 for the 188-query oracle suite (see the bake
+  // ledger in BASELINE.md).
+  val RecordedDuckdbSf01: Double = 41.5727
+  val RecordedDuckdbQueries: Int = 188
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

@@ -459,6 +459,30 @@ object SparkEntry {
           lit("?b=2&a=1")))).as("url"))
       TextOps.urlDedupReport(variants, "source", "url")
     }),
+    // h1: HTML→text extraction — each doc rendered as a deterministic
+    // page (entity-laden title, nav, heading, body, script with raw
+    // </> operators, style, footer), then tag-stripped / entity-
+    // decoded back out; title+heading extracted as blocks, body
+    // pinned by length/token-count/md5 (c11's manifest convention).
+    // All render+extract constants are shared with the oracle builder.
+    "h1_html_extract" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rendered = docs.select(col("doc_id"),
+        graft.operators.HtmlOps.renderHtml.as("html"))
+      graft.operators.HtmlOps.htmlExtract(rendered, "doc_id", "html")
+    }),
+    // h2: extraction COMPOSED with the t13 boilerplate pass — the
+    // rendered nav/footer/entity-paragraph boilerplate must surface
+    // as hot shingles in the extracted text, per source (proves the
+    // HTML tier feeds the existing pipeline unchanged).
+    "h2_html_boilerplate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ext = docs.select(col("doc_id"), col("source"),
+        graft.operators.HtmlOps.htmlToText(
+          graft.operators.HtmlOps.renderHtml).as("text"))
+      TextOps.boilerplate(ext, "doc_id", "source", "text",
+        relDf = 0.003, flagRatio = 0.2)
+    }),
     // c11: overlapping token-window chunking — the pre-embedding
     // splitter (64-token chunks, stride 48); manifest rows carry an
     // md5 prefix for the chunk payload, hash-checkable without text.
@@ -2707,6 +2731,13 @@ object SparkEntry {
         |  count(DISTINCT cu) AS n_canonical,
         |  min(cu) AS min_canonical
         |FROM c GROUP BY source ORDER BY source ASC""".stripMargin,
+    // h1/h2: both sides derive from HtmlOps' shared template/pattern
+    // constants — the oracle re-renders and re-extracts with the
+    // byte-identical regex chain ('g'-flagged for DuckDB).
+    "h1_html_extract" ->
+      graft.operators.HtmlOps.htmlExtractSql("documents", "doc_id"),
+    "h2_html_boilerplate" ->
+      graft.operators.HtmlOps.htmlBoilerplateSql("documents", "doc_id"),
     // c11: chunk manifest replayed with range + 1-based list slicing —
     // DuckDB's toks[a:b] clamps exactly like Spark's slice.
     "c11_chunk_split" ->

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the markup-stripping pass a web-corpus
+  * pipeline runs before any dedup / quality-gate / tokenize stage.
+  * The reference imports BeautifulSoup and never calls it
+  * (ethical_crawler.py:30, the last unrealized dead-import intent);
+  * this tier realizes it Spark-first: tag-strip, script/style
+  * removal, entity decode, and whitespace collapse are ALL native
+  * builtin compositions (`regexp_replace` / `replace` — codegen'd,
+  * no UDF), so extraction runs inside the scan stage as a projection
+  * and the raw markup never reaches a shuffle. 100 TB-safe by
+  * construction: per-row work, zero exchanges added.
+  *
+  * Ordering is load-bearing and proven by the h1 fixture:
+  *   1. strip `<script>`/`<style>` WITH their content (a stray `<`
+  *      inside a script would corrupt a naive tag-strip);
+  *   2. strip remaining tags to spaces;
+  *   3. decode entities LAST (`&lt;i&gt;` must survive as literal
+  *      `<i>` text, not get re-eaten by the tag pass), `&amp;`
+  *      decoded after the other entities so `&amp;lt;` cannot
+  *      double-decode;
+  *   4. collapse runs of spaces, trim.
+  *
+  * Every constant below feeds BOTH the Spark `Column` pipeline and
+  * the DuckDB oracle SQL builders (the simhashCtes convention), so
+  * the two sides cannot drift on a pattern or template byte.
+  */
+object HtmlOps {
+
+  /** The deterministic per-document page template (u1's rendered-
+    * variant pattern): fixed markup with the three document fields
+    * spliced in. Carries one of everything the extractor must
+    * handle — entity-laden title, nav boilerplate, heading, body
+    * paragraph, an entity-only paragraph, a script with raw `<`/`>`
+    * operators, a style block, and a footer.
+    */
+  private val Template: Seq[Either[String, String]] = Seq(
+    Left("<!DOCTYPE html><html><head><title>Doc "),
+    Right("doc_id"),
+    Left(" &amp; "),
+    Right("source"),
+    Left("</title><style>body { color: #222; }</style></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs &amp; " +
+      "Guides</a></nav><h1>Entry "),
+    Right("doc_id"),
+    Left("</h1><p>"),
+    Right("text"),
+    Left("</p><p>Fish &amp; chips &lt;i&gt; &quot;quoted&quot; " +
+      "it&#39;s</p><script>var x = 1 < 2 && y > 0;</script>" +
+      "<footer>Example Corp - all rights reserved</footer>" +
+      "</body></html>"))
+
+  /** Structure strips, in order: script+content, style+content, then
+    * every remaining tag. Patterns are shared Java-regex/RE2 syntax
+    * (non-greedy, no lookaround) so Spark and DuckDB agree exactly.
+    */
+  private val StripPatterns = Seq(
+    "<script[^>]*>.*?</script>" -> " ",
+    "<style[^>]*>.*?</style>" -> " ",
+    "<[^>]*>" -> " ")
+
+  /** Entity decode table; `&amp;` LAST (see ordering note above). */
+  private val Entities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Render the template over a row's (doc_id, source, text). */
+  def renderHtml: Column =
+    concat(Template.map {
+      case Left(s)  => lit(s)
+      case Right(f) => col(f)
+    }: _*)
+
+  /** The same template as a DuckDB `||` chain. */
+  def renderHtmlSqlExpr: String =
+    Template.map {
+      case Left(s)  => "'" + s.replace("'", "''") + "'"
+      case Right(f) => f
+    }.mkString(" || ")
+
+  private def decodeEntities(c: Column): Column =
+    Entities.foldLeft(c) { case (x, (ent, ch)) =>
+      replace(x, lit(ent), lit(ch))
+    }
+
+  private def decodeEntitiesSql(expr: String): String =
+    Entities.foldLeft(expr) { case (x, (ent, ch)) =>
+      s"replace($x, '$ent', '${ch.replace("'", "''")}')"
+    }
+
+  /** Markup → clean text (steps 1–4 above), as one codegen'd
+    * projection.
+    */
+  def htmlToText(html: Column): Column = {
+    val stripped = StripPatterns.foldLeft(html) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    trim(regexp_replace(decodeEntities(stripped), " +", " "))
+  }
+
+  /** [[htmlToText]] as a DuckDB expression over `expr` (DuckDB's
+    * regexp_replace needs the explicit 'g' flag Spark implies).
+    */
+  def htmlToTextSqlExpr(expr: String): String = {
+    val stripped = StripPatterns.foldLeft(expr) { case (x, (p, r)) =>
+      s"regexp_replace($x, '$p', '$r', 'g')"
+    }
+    s"trim(regexp_replace(${decodeEntitiesSql(stripped)}, ' +', ' ', 'g'))"
+  }
+
+  private val TitlePattern = "<title>([^<]*)</title>"
+  private val HeadingPattern = "<h1>([^<]*)</h1>"
+
+  /** Block segmentation + extraction report, one row per document:
+    * decoded `<title>`, decoded first `<h1>`, and the cleaned body
+    * text pinned by length, token count, and an md5 prefix (c11's
+    * manifest convention — full content is hash-checked without
+    * shipping it through the compare).
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val text = htmlToText(col(htmlCol))
+    df.select(col(idCol),
+        decodeEntities(regexp_extract(col(htmlCol), TitlePattern, 1))
+          .as("title"),
+        decodeEntities(regexp_extract(col(htmlCol), HeadingPattern, 1))
+          .as("heading"),
+        text.as("__t"))
+      .select(col(idCol), col("title"), col("heading"),
+        length(col("__t")).cast("long").as("n_chars"),
+        size(split(col("__t"), " ")).cast("long").as("n_tok"),
+        substring(md5(col("__t")), 1, 16).as("text_md5"))
+      .orderBy(col(idCol).asc)
+  }
+
+  /** Shared render+extract CTE chain — ends with
+    * `ext($idCol, source, text)`.
+    */
+  private def extractCtes(table: String, idCol: String): String =
+    s"""raw AS (
+       |  SELECT $idCol, source, $renderHtmlSqlExpr AS html
+       |  FROM $table),
+       |ext AS (
+       |  SELECT $idCol, source, html,
+       |    ${htmlToTextSqlExpr("html")} AS text
+       |  FROM raw)""".stripMargin
+
+  /** h1 oracle: the identical render → extract chain in DuckDB. */
+  def htmlExtractSql(table: String, idCol: String): String =
+    s"""WITH ${extractCtes(table, idCol)}
+       |SELECT $idCol,
+       |  ${decodeEntitiesSql(s"regexp_extract(html, '$TitlePattern', 1)")} AS title,
+       |  ${decodeEntitiesSql(s"regexp_extract(html, '$HeadingPattern', 1)")} AS heading,
+       |  length(text)::BIGINT AS n_chars,
+       |  len(string_split(text, ' '))::BIGINT AS n_tok,
+       |  substr(md5(text), 1, 16) AS text_md5
+       |FROM ext ORDER BY $idCol ASC""".stripMargin
+
+  /** h2 oracle: extraction COMPOSED with the t13 boilerplate pass —
+    * the t13 oracle chain verbatim (same [[DedupOps.shinglesSql]]
+    * builder, same 60-bit md5 keys, same 0.003/0.2 thresholds), fed
+    * from the `ext` relation instead of the raw table. Proves the
+    * extracted text drops into the existing pipeline unchanged.
+    */
+  def htmlBoilerplateSql(table: String, idCol: String): String =
+    s"""WITH ${extractCtes(table, idCol)},
+       |sh0 AS (
+       |${DedupOps.shinglesSql("ext", idCol, "text")}),
+       |sh AS (SELECT $idCol,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh0),
+       |dfx AS (SELECT x, count(*) AS dfc FROM sh GROUP BY 1),
+       |th AS (SELECT ceil(count(*) * 0.003)::BIGINT AS min_df
+       |       FROM ext),
+       |perdoc AS (
+       |  SELECT s.$idCol, count(*) AS n_sh,
+       |    sum(CASE WHEN d.dfc >= th.min_df THEN 1 ELSE 0 END) AS n_hot
+       |  FROM sh s JOIN dfx d USING (x), th GROUP BY 1),
+       |rt AS (SELECT $idCol, n_hot * 1.0 / n_sh AS ratio FROM perdoc)
+       |SELECT e.source, count(*) AS n_docs,
+       |  round(avg(rt.ratio), 6) AS avg_boilerplate,
+       |  sum(CASE WHEN rt.ratio >= 0.2 THEN 1 ELSE 0 END)::BIGINT
+       |    AS flagged_docs
+       |FROM rt JOIN ext e USING ($idCol)
+       |GROUP BY e.source ORDER BY e.source ASC""".stripMargin
+}

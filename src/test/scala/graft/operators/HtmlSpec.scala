@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the HTML→text tier: extraction semantics the
+  * DuckDB oracle twin can't articulate (it proves Spark≡DuckDB on the
+  * same chain; these prove the chain itself does the right thing).
+  */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extractOne(html: String): String =
+    Seq(html).toDF("h")
+      .select(HtmlOps.htmlToText(col("h")).as("t"))
+      .head().getString(0)
+
+  test("tag strip, entity decode, and whitespace collapse") {
+    assert(extractOne("<p>one</p> <p>two &amp; three</p>") ==
+      "one two & three")
+    assert(extractOne("<div  class=\"x\">a</div><br/>b") == "a b")
+    assert(extractOne("&lt;b&gt; &quot;q&quot; it&#39;s") ==
+      "<b> \"q\" it's")
+  }
+
+  test("script and style bodies are removed WITH their content") {
+    assert(extractOne(
+      "a<script>var x = 1 < 2 && y > 3;</script>b") == "a b")
+    assert(extractOne("a<style>body { color: #222; }</style>b") == "a b")
+    // a raw '<' inside a script must not desync the tag pass
+    assert(extractOne(
+      "<p>keep</p><script type=\"text/js\">if (a<b) {}</script><p>also</p>")
+      == "keep also")
+  }
+
+  test("decode runs AFTER tag strip: entity-encoded tags survive as text") {
+    assert(extractOne("<p>&lt;i&gt;literal&lt;/i&gt;</p>") ==
+      "<i>literal</i>")
+    // and &amp; decodes last, so &amp;lt; cannot double-decode
+    assert(extractOne("&amp;lt;") == "&lt;")
+  }
+
+  test("rendered fixture round-trips: body text survives extraction") {
+    val docs = graft.Tables.documents(spark, sfSmoke).limit(20)
+    val rows = docs.select(col("doc_id"), col("text"),
+        HtmlOps.htmlToText(HtmlOps.renderHtml).as("extracted"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (text, ex) = (r.getString(1), r.getString(2))
+      assert(ex.contains(text), s"doc ${r.get(0)}: body text lost")
+      assert(!ex.contains("var x"), "script content leaked")
+      assert(!ex.contains("color:"), "style content leaked")
+      assert(!ex.contains("&amp;"), "entity left undecoded")
+      assert(ex.contains("Fish & chips <i>"),
+        "entity paragraph not decoded in order")
+    }
+  }
+
+  test("title and heading blocks extract decoded") {
+    val docs = graft.Tables.documents(spark, sfSmoke).limit(5)
+    val rendered = docs.select(col("doc_id"), col("source"),
+      HtmlOps.renderHtml.as("html"))
+    val rows = HtmlOps.htmlExtract(rendered, "doc_id", "html").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1).startsWith(s"Doc $id & src"),
+        s"title wrong: ${r.getString(1)}")
+      assert(r.getString(2) == s"Entry $id",
+        s"heading wrong: ${r.getString(2)}")
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0)
+    }
+  }
+
+  test("extraction is a pure projection: no exchange before the sort") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val ext = docs.select(col("doc_id"),
+      HtmlOps.htmlToText(HtmlOps.renderHtml).as("text"))
+    ext.write.format("noop").mode("overwrite").save()
+    val plan = ext.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"extraction must stay in the scan stage:\n$plan")
+  }
+}
