@@ -119,6 +119,13 @@ object SparkEntry {
       SimilarityOps.labelTopPairs(Tables.embeddings(s, dir), 20)),
     "n6_ann_lsh_topk" -> ((s, dir) =>  // approximate → rows-only gate
       SimilarityOps.annTopK(Tables.embeddings(s, dir), 0L, 10)),
+    // n6x: n6's LSH derandomized through the FULL hash gate (the n29
+    // recipe): md5-seeded hyperplanes + fixed-point quantization make
+    // projections/buckets/candidates/d² exact integer arithmetic,
+    // bit-identical in Spark and the DuckDB twin; multiprobe ±1
+    // measured 10/10 recall@10 vs brute force at sf0.01 and sf0.1.
+    "n6x_lsh_seeded_topk" -> ((s, dir) =>
+      SimilarityOps.seededLshTopK(Tables.embeddings(s, dir), 0L, 10)),
     "n7_embedding_neardup" -> ((s, dir) =>
       SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
     "n8_ivf_topk" -> ((s, dir) =>
@@ -1968,7 +1975,9 @@ object SparkEntry {
     // n6_ann_lsh_topk and e3_sketch_profile intentionally omitted:
     // LSH / HLL / t-digest are approximate → driver records the weaker
     // rows-only check; ScalaTest bounds them against the exact answers
-    // (brute-force cosine / countDistinct / percentile) instead.
+    // (brute-force cosine / countDistinct / percentile) instead. Each
+    // now has an exact-gate WITNESS twin: n6x (seeded LSH) for n6,
+    // e9 (relational HLL) for e3.
     "st1_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round(sum(value), 6) AS total_value
@@ -2386,6 +2395,9 @@ object SparkEntry {
     "n29_quantized_topk" ->
       graft.operators.SimilarityOps.quantizedTopKSql(
         "embeddings", queryMod = 73, k = 5),
+    "n6x_lsh_seeded_topk" ->
+      graft.operators.SimilarityOps.seededLshTopKSql(
+        "embeddings", queryId = 0L, k = 10),
     "n2_exact_dedup" ->
       """WITH dup AS (
         |  SELECT doc_id, text, source FROM documents

@@ -256,6 +256,46 @@ class DedupSimilaritySpec extends SparkSpec {
       s"ann=$ann brute=$brute overlap too small")
   }
 
+  test("seededLshTopK: recall vs brute force on the quantized metric") {
+    val emb = Tables.embeddings(spark, sfSmoke).cache()
+    val got = SimilarityOps.seededLshTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect()
+    // brute-force top-10 on the SAME fixed-point integer d² metric
+    val quant = (c: org.apache.spark.sql.Column) =>
+      transform(VectorFunctions.toDoubleArray(c),
+        x => floor(x * 64).cast("long"))
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(quant(col("embedding")).as("qq"))
+    val brute = emb.filter(col("vec_id") =!= 0L).crossJoin(q)
+      .select(col("vec_id"),
+        aggregate(zip_with(quant(col("embedding")), col("qq"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+      .limit(10).select("vec_id").as[Long].collect()
+    // multiprobe ±1 at 6 tables measured 10/10 at sf0.01/sf0.1; allow
+    // slack at the 50-vector smoke scale
+    assert(got.toSet.intersect(brute.toSet).size >= 7,
+      s"got=${got.toSeq} brute=${brute.toSeq}")
+    // bit-deterministic: a second run is IDENTICAL (ordering included)
+    val again = SimilarityOps.seededLshTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("seededLshTopK: hyperplane coefficients match the oracle's md5 map") {
+    // spot-check the Scala twin of ('0x'||substr(md5(...),1,15))::BIGINT
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("h_0_0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = java.lang.Long.parseLong(hex.take(15), 16) % 2001L - 1000L
+    assert(SimilarityOps.lshCoef(0, 0, 1000) == expect)
+    // coefficients span the signed range (not degenerate)
+    val cs = for (t <- 0 until 6; j <- 0 until 64)
+      yield SimilarityOps.lshCoef(t, j, 1000)
+    assert(cs.min < -500 && cs.max > 500)
+  }
+
   test("pqTopK: ADC ranking overlaps brute-force inner-product top-k") {
     val emb = Tables.embeddings(spark, sfSmoke).cache()
     val pq = SimilarityOps.pqTopK(emb, 0L, 10, stride = 50, nSub = 4)
