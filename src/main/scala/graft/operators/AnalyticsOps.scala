@@ -30,12 +30,12 @@ object AnalyticsOps {
     * partial aggregate (same algebra, one more mod).
     */
   def datasetCard(df: DataFrame, idCol: String, textCol: String,
-      srcCol: String): DataFrame = {
+      srcCol: String, sorted: Boolean = true): DataFrame = {
     import graft.Sorting.ResultSortOps
     val P = 1000000007L
     val h = conv(substring(md5(col(textCol)), 1, 15), 16, 10)
       .cast("long") % P
-    df.select(col(srcCol), col(idCol), h.as("__h"),
+    val card = df.select(col(srcCol), col(idCol), h.as("__h"),
         size(TextOps.tokens(col(textCol))).cast("long").as("__nt"),
         length(col(textCol)).cast("long").as("__nc"))
       .groupBy(col(srcCol))
@@ -44,7 +44,10 @@ object AnalyticsOps {
         sum(col("__nc")).as("n_chars"),
         (sum(col("__h")) % P).as("content_seal"),
         (sum(col(idCol) % P) % P).as("id_seal"))
-      .resultSorted(col(srcCol).asc)
+    // `sorted = false` when the card feeds [[mergeCards]]: the merge
+    // re-sorts its own output, so an inner presentation sort would
+    // just add a single-partition exchange mid-plan.
+    if (sorted) card.resultSorted(col(srcCol).asc) else card
   }
 
   /** INCREMENTAL card maintenance — why [[datasetCard]]'s seals are
@@ -277,12 +280,20 @@ object AnalyticsOps {
         col("__r.quality").as("quality"))
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 15),
       16, 10).cast("long") % 1000
+    // avg_quality rides the INTEGER-MICRO grid (the b1/t26
+    // convention): per-doc 6-dp qualities snap to exact micro longs,
+    // the mean is a half-up integer division — no float summation
+    // order exists to flip a round-6 boundary at ANY group size
+    // (round-8's sf0.001 one-ulp flip, verdict item 5).
+    val microSum = sum(round(col("quality") * 1e6).cast("long"))
+    val n = count(lit(1))
     deduped.filter(col("quality") >= minQuality)
       .filter(bucket < samplePerMille)
       .groupBy(col(langCol))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(n.as("n_docs"),
         sum(col("n_tok")).cast("long").as("total_tokens"),
-        round(avg(col("quality")), 6).as("avg_quality"))
+        (floor((lit(2) * microSum + n) / (lit(2.0) * n)) / 1e6)
+          .as("avg_quality"))
       .resultSorted(col(langCol).asc)
   }
 

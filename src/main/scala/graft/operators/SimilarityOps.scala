@@ -225,7 +225,12 @@ object SimilarityOps {
       .filter(col("__rn") === 1)
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n_members"),
-        round(avg(col("cscore")), 6).as("mean_cos"))
+        // integer-micro mean (the b1/t26 convention — see corpusPrep):
+        // 6-dp cscores snap to micro longs, half-up integer division;
+        // kills the sf0.001 one-ulp round-6 boundary flip
+        (floor((lit(2) * sum(round(col("cscore") * 1e6).cast("long"))
+            + count(lit(1))) / (lit(2.0) * count(lit(1)))) / 1e6)
+          .as("mean_cos"))
       .orderBy(col("centroid_id").asc)
   }
 

@@ -2,14 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.ingest.{DataRecord, HttpFetcher, JdkHttpFetcher, NycOpenDataAdapter, RateLimiter}
+import graft.ingest.DataRecord
 
 /** EXECUTOR-SIDE catalog ingestion — the DataSourceV2 answer to the
   * round-7 verdict's "parallel pagination" item (SURVEY S4): the
@@ -48,9 +46,15 @@ class NycDiscoverySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap)
       : StructType = NycDiscoverySource.Schema
 
+  // Round-9: a preset face of the generalized paginated-catalog scan
+  // ([[PaginatedCatalogSource]]) — endpoint + mapper pinned to the
+  // NYC Socrata catalog, everything else (pages/pageSize/fetcher/
+  // rate) flows through unchanged.
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new NycDiscoveryTable
+    new CatalogTable("nyc_open_data_discovery", Map(
+      "endpoint" -> "https://data.cityofnewyork.us/api/views/metadata/v1",
+      "mapperClass" -> classOf[NycCatalogPageMapper].getName))
 }
 
 object NycDiscoverySource {
@@ -63,82 +67,3 @@ object NycDiscoverySource {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[DataRecord]()
 }
 
-private class NycDiscoveryTable extends Table with SupportsRead {
-  override def name(): String = "nyc_open_data_discovery"
-  override def schema(): StructType = NycDiscoverySource.Schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ScanBuilder with Scan with Batch {
-    // `pages` is REQUIRED (per the provider doc): a typo'd option
-    // name must fail loudly, not quietly fetch a single page.
-    private val pages = {
-      require(options.containsKey("pages"),
-        "NycDiscoverySource: required option 'pages' is missing")
-      options.getInt("pages", 1)
-    }
-    private val pageSize = options.getInt("pageSize", 100)
-    private val endpoint = options.getOrDefault("endpoint",
-      "https://data.cityofnewyork.us/api/views/metadata/v1")
-    private val fetcherClass = options.getOrDefault("fetcherClass",
-      classOf[JdkHttpFetcher].getName)
-    private val rate = options.getDouble("ratePerSecond", 1.0)
-
-    override def build(): Scan = this
-    override def readSchema(): StructType = NycDiscoverySource.Schema
-    override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] =
-      (0 until pages)
-        .map(p => NycPagePartition(p, pageSize): InputPartition)
-        .toArray
-    override def createReaderFactory(): PartitionReaderFactory =
-      new NycPageReaderFactory(endpoint, fetcherClass, rate)
-  }
-}
-
-private case class NycPagePartition(page: Int, pageSize: Int)
-    extends InputPartition
-
-private class NycPageReaderFactory(endpoint: String,
-    fetcherClass: String, rate: Double)
-    extends PartitionReaderFactory {
-
-  override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[NycPagePartition]
-    new PartitionReader[InternalRow] {
-      // per-PARTITION init: fetcher + limiter + adapter built once,
-      // on the executor, not serialized from the driver
-      private lazy val rows: Iterator[InternalRow] = {
-        val fetcher = Class.forName(fetcherClass)
-          .getDeclaredConstructor().newInstance()
-          .asInstanceOf[HttpFetcher]
-        val limiter = new RateLimiter(rate)
-        val adapter = new NycOpenDataAdapter(fetcher)
-        val serializer = NycDiscoverySource.encoder.createSerializer()
-        limiter.acquire()
-        val url = HttpFetcher.withParams(endpoint, Seq(
-          "limit" -> p.pageSize.toString,
-          "offset" -> (p.page.toLong * p.pageSize).toString))
-        fetcher.get(url) match {
-          case Right((200, body)) =>
-            graft.ingest.Js.parse(body).arr.iterator
-              .map(adapter.mapItem(_))
-              .map(r => serializer(r).copy())
-          case Right((status, _)) =>
-            throw new java.io.IOException(
-              s"NYC discovery page ${p.page}: HTTP $status")
-          case Left(err) =>
-            throw new java.io.IOException(
-              s"NYC discovery page ${p.page}: $err")
-        }
-      }
-      private var current: InternalRow = _
-      override def next(): Boolean =
-        if (rows.hasNext) { current = rows.next(); true } else false
-      override def get(): InternalRow = current
-      override def close(): Unit = ()
-    }
-  }
-}

@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ingest.{Adapters, DataRecord, HttpFetcher, JdkHttpFetcher, Js, NycOpenDataAdapter, RateLimiter}
+
+/** How one WORK ITEM of a paginated catalog becomes records: build
+  * the request URL, supply per-source headers, map the response body.
+  * An "item" is an opaque string key — a page ordinal for
+  * offset-paged catalogs (NYC Socrata), an entity key for
+  * per-entity endpoints (an SEC CIK). Implementations must be
+  * top-level classes with a no-arg constructor: the reader
+  * instantiates them BY NAME on the executor (the fetcherClass
+  * idiom), so nothing is serialized from the driver.
+  */
+trait PageMapper extends Serializable {
+  def pageUrl(endpoint: String, item: String, pageSize: Int): String
+  def headers: Map[String, String] = Map.empty
+  def map(item: String, body: String): Iterator[DataRecord]
+}
+
+/** GENERALIZED executor-side catalog ingestion (round-8 verdict item
+  * 4) — the [[NycDiscoverySource]] pagination shape factored so every
+  * reference adapter can ride it: ONE InputPartition PER WORK ITEM,
+  * the fetcher and mapper constructed by class name inside each
+  * partition reader, per-partition rate pacing, offline-testable end
+  * to end. The NYC provider now presets this machinery
+  * (offset-paged, [[NycCatalogPageMapper]]); SEC submissions — the
+  * real-scale case, one JSON document per registrant — rides the
+  * same scan with a CIK work-list and [[SecSubmissionsPageMapper]].
+  *
+  * Options: exactly one of `pages` (N → items "0".."N-1") or `items`
+  * (comma-separated keys) — REQUIRED; `endpoint` (required);
+  * `mapperClass` (required); `pageSize` (default 100, meaningful for
+  * offset pagers); `fetcherClass` (default [[JdkHttpFetcher]]);
+  * `ratePerSecond` (default 1.0). Politeness: global request rate is
+  * rate × concurrent-partitions — size the work-list/cores to the
+  * API budget and run the compliance gate (robots + ToS,
+  * ingest.Pipeline) before planning the scan.
+  */
+class PaginatedCatalogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap)
+      : StructType = NycDiscoverySource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CatalogTable("paginated_catalog")
+}
+
+private[sources] class CatalogTable(tableName: String,
+    presets: Map[String, String] = Map.empty)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = NycDiscoverySource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder with Scan with Batch {
+    private def opt(key: String): Option[String] =
+      Option(options.get(key)).orElse(presets.get(key))
+    private def required(key: String): String =
+      opt(key).getOrElse(throw new IllegalArgumentException(
+        s"$tableName: required option '$key' is missing"))
+    // Work-list: `items` wins; else `pages` expands to ordinals. One
+    // of the two is REQUIRED — a typo'd option name must fail loudly,
+    // not quietly fetch a single page.
+    private val items: Seq[String] = opt("items") match {
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None =>
+        (0 until required("pages").toInt).map(_.toString)
+    }
+    private val pageSize = opt("pageSize").map(_.toInt).getOrElse(100)
+    private val endpoint = required("endpoint")
+    private val mapperClass = required("mapperClass")
+    private val fetcherClass =
+      opt("fetcherClass").getOrElse(classOf[JdkHttpFetcher].getName)
+    private val rate = opt("ratePerSecond").map(_.toDouble).getOrElse(1.0)
+
+    override def build(): Scan = this
+    override def readSchema(): StructType = NycDiscoverySource.Schema
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      items.map(i => CatalogItemPartition(i, pageSize): InputPartition)
+        .toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CatalogItemReaderFactory(endpoint, mapperClass, fetcherClass,
+        rate)
+  }
+}
+
+private case class CatalogItemPartition(item: String, pageSize: Int)
+    extends InputPartition
+
+private class CatalogItemReaderFactory(endpoint: String,
+    mapperClass: String, fetcherClass: String, rate: Double)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CatalogItemPartition]
+    new PartitionReader[InternalRow] {
+      // per-PARTITION init: fetcher + limiter + mapper built once,
+      // on the executor, not serialized from the driver
+      private lazy val rows: Iterator[InternalRow] = {
+        val fetcher = Class.forName(fetcherClass)
+          .getDeclaredConstructor().newInstance()
+          .asInstanceOf[HttpFetcher]
+        val mapper = Class.forName(mapperClass)
+          .getDeclaredConstructor().newInstance()
+          .asInstanceOf[PageMapper]
+        val limiter = new RateLimiter(rate)
+        val serializer = NycDiscoverySource.encoder.createSerializer()
+        limiter.acquire()
+        val url = mapper.pageUrl(endpoint, p.item, p.pageSize)
+        fetcher.get(url, mapper.headers) match {
+          case Right((200, body)) =>
+            mapper.map(p.item, body).map(r => serializer(r).copy())
+          case Right((status, _)) =>
+            throw new java.io.IOException(
+              s"catalog item ${p.item}: HTTP $status")
+          case Left(err) =>
+            throw new java.io.IOException(
+              s"catalog item ${p.item}: $err")
+        }
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Offset-paged Socrata catalog page → records, through the SAME pure
+  * `NycOpenDataAdapter.mapItem` ladder as the driver-side adapter
+  * (one mapper, two transports). Item = page ordinal.
+  */
+class NycCatalogPageMapper extends PageMapper {
+  override def pageUrl(endpoint: String, item: String,
+      pageSize: Int): String =
+    HttpFetcher.withParams(endpoint, Seq(
+      "limit" -> pageSize.toString,
+      "offset" -> (item.toLong * pageSize).toString))
+
+  override def map(item: String, body: String): Iterator[DataRecord] = {
+    val adapter = new NycOpenDataAdapter(NoopFetcher)
+    Js.parse(body).arr.iterator.map(adapter.mapItem(_))
+  }
+}
+
+/** SEC EDGAR company-submissions document → one record per recent
+  * filing (the real-scale per-entity case: ~10⁶ registrants, one
+  * JSON document each — a work-list of CIKs fans out as partitions).
+  * Mirrors the reference's SEC feed mapping (ethical_crawler.py:
+  * 587–677: source identity, UA header, public-domain license);
+  * the submissions JSON layout is the public data.sec.gov contract
+  * (columnar `filings.recent` arrays).
+  */
+class SecSubmissionsPageMapper extends PageMapper {
+  override def pageUrl(endpoint: String, item: String,
+      pageSize: Int): String = {
+    val cik10 = ("0" * (10 - item.length)) + item
+    s"${endpoint.stripSuffix("/")}/CIK$cik10.json"
+  }
+
+  // The reference's polite-crawler headers (ethical_crawler.py:644)
+  override def headers: Map[String, String] = Map(
+    "User-Agent" -> "Research Institution compliance@university.edu",
+    "Accept-Encoding" -> "gzip, deflate")
+
+  override def map(item: String, body: String): Iterator[DataRecord] = {
+    val root = Js.parse(body)
+    val cik = root("cik").strOrNum.getOrElse(item)
+    val company = root("name").str.getOrElse("Unknown Registrant")
+    val recent = root("filings")("recent")
+    val accessions = recent("accessionNumber").strings
+    val forms = recent("form").strings
+    val dates = recent("filingDate").strings
+    val docs = recent("primaryDocument").strings
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
+    accessions.indices.iterator.map { i =>
+      val acc = accessions(i)
+      val form = forms.lift(i).getOrElse("")
+      val date = dates.lift(i).getOrElse("")
+      val doc = docs.lift(i).getOrElse("")
+      DataRecord(
+        source_name = "SEC EDGAR",
+        record_id = acc,
+        title = s"$company $form",
+        description = Some(s"$form filed $date by $company (CIK $cik)"),
+        data_type = "filing",
+        url = s"https://www.sec.gov/Archives/edgar/data/$cik/" +
+          s"${acc.replace("-", "")}/$doc",
+        metadata = Js.render(Map(
+          "cik" -> cik, "form" -> form, "filing_date" -> date,
+          "primary_document" -> doc)),
+        content_summary = Some(s"SEC filing: $company $form $date"),
+        tags = Seq("sec", "filing") ++
+          (if (form.nonEmpty) Seq(form.toLowerCase) else Nil),
+        last_updated =
+          Adapters.parseDate(Some(date).filter(_.nonEmpty)
+            .map(_ + "T00:00:00Z")),
+        ingested_at = now,
+        file_format = Some("HTML"),
+        size_bytes = None,
+        license_info = Some("Public Domain"))
+    }
+  }
+}
+
+/** Mapper-internal placeholder: [[NycOpenDataAdapter.mapItem]] is
+  * pure, but the adapter class carries a fetcher for its transport
+  * methods — the executor-side mapper never calls those.
+  */
+private[sources] object NoopFetcher extends HttpFetcher {
+  override def get(url: String, headers: Map[String, String])
+      : Either[String, (Int, String)] = Left("offline mapper")
+  override def head(url: String, headers: Map[String, String])
+      : Either[String, Int] = Left("offline mapper")
+}

@@ -91,6 +91,20 @@ class ScaleShapeSpec extends SparkSpec {
       s"t11 planned $singles single-partition exchanges:\n$plan")
   }
 
+  test("d3 card merge plans NO base rescan: increment + stored card only") {
+    // Round-8 verdict item 6: the merge must read the persisted base
+    // card (bounded, |sources| rows), never re-scan the base corpus.
+    val df = graft.SparkEntry.queries("d3_card_merge")(spark, sfSmoke)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 2, s"expected increment + card scans, got $scans:\n$plan")
+    assert(plan.contains("base_card"), "stored card missing from plan")
+    // the one corpus scan is filtered to the increment slice
+    assert(plan.contains("(doc_id#") && plan.contains("% 4) = 0"),
+      s"increment filter missing:\n$plan")
+  }
+
   test("q5 plan degrades to shuffled joins; only hinted dims broadcast") {
     val s2 = noBroadcastSession()
     val df = StarSchemaOps.regionRevenue(s2, sfSmoke)

@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ingest.HttpFetcher
+
+/** Offline SEC submissions fixture: one public-contract-shaped JSON
+  * document per CIK URL (columnar `filings.recent` arrays), 3 recent
+  * filings each. Constructed BY CLASS NAME inside each partition
+  * reader; records the last headers seen so the spec can assert the
+  * polite-crawler UA reached the transport.
+  */
+class SecSubmissionsFixtureFetcher extends HttpFetcher {
+  override def get(url: String, headers: Map[String, String])
+      : Either[String, (Int, String)] = {
+    SecSubmissionsFixtureFetcher.lastHeaders.set(headers)
+    val cik10 = url.split("CIK").last.stripSuffix(".json")
+    if (cik10.length != 10) return Right((404, "bad CIK"))
+    val cik = cik10.dropWhile(_ == '0')
+    val body =
+      s"""{"cik": $cik, "name": "Registrant $cik", "filings": {"recent": {
+         |"accessionNumber": ["$cik-24-000001", "$cik-24-000002", "$cik-23-000009"],
+         |"form": ["10-K", "8-K", "10-Q"],
+         |"filingDate": ["2024-11-01", "2024-08-05", "2023-05-02"],
+         |"primaryDocument": ["a.htm", "b.htm", "c.htm"]}}}"""
+        .stripMargin.replaceAll("\n", " ")
+    Right((200, body))
+  }
+  override def head(url: String, headers: Map[String, String])
+      : Either[String, Int] = Right(200)
+}
+
+object SecSubmissionsFixtureFetcher {
+  val lastHeaders = new java.util.concurrent.atomic.AtomicReference[
+    Map[String, String]](Map.empty)
+}
+
+class PaginatedCatalogSourceSpec extends SparkSpec {
+
+  private def readSec(items: String) =
+    spark.read.format(classOf[PaginatedCatalogSource].getName)
+      .option("items", items)
+      .option("endpoint", "http://fixture/submissions")
+      .option("mapperClass", classOf[SecSubmissionsPageMapper].getName)
+      .option("fetcherClass",
+        classOf[SecSubmissionsFixtureFetcher].getName)
+      .option("ratePerSecond", 1e6)
+      .load()
+
+  test("one InputPartition per CIK work item; filings map to records") {
+    val df = readSec("320193,789019")
+    assert(df.rdd.getNumPartitions == 2)
+    val rows = df.select("record_id", "title", "url", "data_type")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).sortBy(_._1).toSeq
+    assert(rows.length == 6) // 3 recent filings per registrant
+    assert(rows.map(_._4).distinct == Seq("filing"))
+    val tenK = rows.find(_._1 == "320193-24-000001").get
+    assert(tenK._2 == "Registrant 320193 10-K")
+    // Archives URL: CIK un-padded, accession de-dashed, primary doc
+    assert(tenK._3 ==
+      "https://www.sec.gov/Archives/edgar/data/320193/32019324000001/a.htm")
+    // the polite-crawler UA reached the transport
+    assert(SecSubmissionsFixtureFetcher.lastHeaders.get()
+      .get("User-Agent").exists(_.contains("compliance@university.edu")))
+  }
+
+  test("form tags and filing dates survive the mapper") {
+    val df = readSec("320193")
+    import org.apache.spark.sql.functions.col
+    val row = df.filter(col("record_id") === "320193-24-000002")
+      .select("tags", "last_updated", "metadata").head()
+    assert(row.getSeq[String](0) == Seq("sec", "filing", "8-k"))
+    assert(row.getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2024-08-05T00:00:00Z"))
+    assert(row.getString(2).contains("\"form\": \"8-K\""))
+  }
+
+  test("CIK pads to 10 digits in the submissions URL") {
+    val m = new SecSubmissionsPageMapper
+    assert(m.pageUrl("https://data.sec.gov/submissions", "320193", 100)
+      == "https://data.sec.gov/submissions/CIK0000320193.json")
+  }
+
+  test("missing work-list fails loudly (no silent single page)") {
+    val ex = intercept[Exception] {
+      spark.read.format(classOf[PaginatedCatalogSource].getName)
+        .option("endpoint", "http://fixture/x")
+        .option("mapperClass", classOf[SecSubmissionsPageMapper].getName)
+        .load().count()
+    }
+    assert(ex.getMessage.contains("pages"))
+  }
+}
