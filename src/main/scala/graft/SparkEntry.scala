@@ -1313,11 +1313,17 @@ object SparkEntry {
       MultimodalOps.histogramStats(
         MultimodalOps.extractCountsDecoded(assets))
     }),
+    // m3 runs the REAL video path (round-9): payloads are genuine
+    // RIFF/AVI containers with PNG frames, the sampler walks the
+    // container and ImageIO-decodes every kept frame — row-identical
+    // to the raw-byte slicer, so the oracle replays the pipeline
+    // through the container and codec.
     "m3_frame_sample" -> ((s, dir) => {
-      val assets = MultimodalOps.assetsFromDocuments(s,
+      val assets = MultimodalOps.assetsWithPngImages(s,
         Tables.documents(s, dir))
       MultimodalOps.frameStats(
-        MultimodalOps.sampleFrames(assets, stride = 100))
+        MultimodalOps.sampleFramesDecoded(assets,
+          stride = MultimodalOps.VideoStride))
     }),
     // m5: MULTIMODAL packing — combined text-token + ViT-patch cost
     // through the c5 pack window; payload bytes never leave the scan.

@@ -108,6 +108,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert(MultimodalOps.encodeWavPcm(Array.emptyByteArray).isEmpty)
   }
 
+  test("encodeAviPng/decodeAviFrames: real RIFF/AVI container " +
+      "round-trips; frames split on the stride; tail kept partial") {
+    val data = (0 until 250).map(i => ((i * 31 + 7) % 256).toByte)
+      .toArray
+    val avi = MultimodalOps.encodeAviPng(data, stride = 100)
+    // RIFF....AVI container magic + the movi frame list
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    assert(new String(avi, "ISO-8859-1").contains("movi"))
+    assert(new String(avi, "ISO-8859-1").contains("MPNG"))
+    val frames = MultimodalOps.decodeAviFrames(avi)
+    assert(frames.map(_.length) == Seq(100, 100, 50))
+    // lossless: concatenated frames reproduce the input exactly
+    assert(frames.toArray.flatten.toSeq == data.toSeq)
+    // each frame chunk is a genuine PNG (decoded via ImageIO)
+    assert(frames.head.toSeq == data.take(100).toSeq)
+    assert(MultimodalOps.encodeAviPng(Array.emptyByteArray, 100).isEmpty)
+    assert(MultimodalOps.decodeAviFrames(Array.emptyByteArray)
+      .map(_.length) == Seq(0))
+  }
+
+  test("sampleFramesDecoded == sampleFrames over raw bytes " +
+      "(container+codec are transparent to the sampler)") {
+    val docs = Tables.documents(spark, sfSmoke).limit(60)
+    val raw = MultimodalOps.frameStats(MultimodalOps.sampleFrames(
+        MultimodalOps.assetsFromDocuments(spark, docs),
+        stride = MultimodalOps.VideoStride)).collect().toSeq
+    val real = MultimodalOps.frameStats(
+      MultimodalOps.sampleFramesDecoded(
+        MultimodalOps.assetsWithPngImages(spark, docs),
+        stride = MultimodalOps.VideoStride)).collect().toSeq
+    assert(raw.map(_.toString) == real.map(_.toString))
+  }
+
+  test("short video (below one stride) keeps its single partial frame") {
+    val data = (0 until 48).map(_.toByte).toArray
+    val avi = MultimodalOps.encodeAviPng(data, stride = 100)
+    val frames = MultimodalOps.decodeAviFrames(avi)
+    assert(frames.map(_.length) == Seq(48))
+  }
+
   test("extractCountsDecoded over PNG assets equals extractCounts " +
       "over raw assets (codec is lossless)") {
     val docs = Tables.documents(spark, sfSmoke).limit(60)
