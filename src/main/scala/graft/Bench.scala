@@ -39,11 +39,12 @@ object Bench {
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  // Round-9 chain: round-8 close 40.1002 (186) + h1 0.2241 +
-  // h2 1.2484 + n6x 0.0540 = 41.6267 for the 189-query oracle suite
-  // (see the bake ledger in BASELINE.md).
-  val RecordedDuckdbSf01: Double = 41.6267
-  val RecordedDuckdbQueries: Int = 189
+  // Round-9 chain: round-8 close 40.1002 (186) + h1 0.2378 +
+  // h2 1.4445 (both re-baked after the h3 template extension) +
+  // n6x 0.0540 + h3 0.0516 + n6y 0.1344 + t27 0.0698 = 42.0923 for
+  // the 192-query oracle suite (see the bake ledger in BASELINE.md).
+  val RecordedDuckdbSf01: Double = 42.0923
+  val RecordedDuckdbQueries: Int = 192
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

@@ -126,6 +126,13 @@ object SparkEntry {
     // measured 10/10 recall@10 vs brute force at sf0.01 and sf0.1.
     "n6x_lsh_seeded_topk" -> ((s, dir) =>
       SimilarityOps.seededLshTopK(Tables.embeddings(s, dir), 0L, 10)),
+    // n6y: the BATCH serving shape — candidates via an equi-join on
+    // the tagged bucket key against the broadcast probe-key set (the
+    // 100 TB plan: never all-pairs, one shared plan for the whole
+    // query set), same bit-deterministic integer pipeline as n6x.
+    "n6y_lsh_batch_topk" -> ((s, dir) =>
+      SimilarityOps.seededLshTopKBatch(Tables.embeddings(s, dir),
+        queryMod = 73, k = 5)),
     "n7_embedding_neardup" -> ((s, dir) =>
       SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
     "n8_ivf_topk" -> ((s, dir) =>
@@ -489,6 +496,31 @@ object SparkEntry {
           graft.operators.HtmlOps.renderHtml).as("text"))
       TextOps.boilerplate(ext, "doc_id", "source", "text",
         relDf = 0.003, flagRatio = 0.2)
+    }),
+    // t27: PII scrubbing — emails/phones/IPv4 redacted to typed
+    // tokens (C4-style release pass); deterministic PII rendered
+    // into the fixture (u1's convention), counts + order-independent
+    // scrub seal prove the redacted corpus bit-for-bit.
+    "t27_pii_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withPii = docs.select(col("source"), concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        when(col("doc_id") % 2 === 0, lit(" call 555-123-4567"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 200, lit(".7")))
+          .otherwise(lit(""))).as("text"))
+      TextOps.piiScrub(withPii, "text", "source")
+    }),
+    // h3: link harvest — every href extracted in-scan, per-source
+    // totals/distinct-targets/min; the crawl-frontier feed (the
+    // per-doc self link grows distinct targets with the corpus, the
+    // nav targets stay shared).
+    "h3_link_harvest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rendered = docs.select(col("source"),
+        graft.operators.HtmlOps.renderHtml.as("html"))
+      graft.operators.HtmlOps.linkReport(rendered, "html", "source")
     }),
     // c11: overlapping token-window chunking — the pre-embedding
     // splitter (64-token chunks, stride 48); manifest rows carry an
@@ -2415,6 +2447,9 @@ object SparkEntry {
     "n6x_lsh_seeded_topk" ->
       graft.operators.SimilarityOps.seededLshTopKSql(
         "embeddings", queryId = 0L, k = 10),
+    "n6y_lsh_batch_topk" ->
+      graft.operators.SimilarityOps.seededLshTopKBatchSql(
+        "embeddings", queryMod = 73, k = 5),
     "n2_exact_dedup" ->
       """WITH dup AS (
         |  SELECT doc_id, text, source FROM documents
@@ -2767,6 +2802,17 @@ object SparkEntry {
       graft.operators.HtmlOps.htmlExtractSql("documents", "doc_id"),
     "h2_html_boilerplate" ->
       graft.operators.HtmlOps.htmlBoilerplateSql("documents", "doc_id"),
+    "h3_link_harvest" ->
+      graft.operators.HtmlOps.linkReportSql("documents", "doc_id"),
+    "t27_pii_scrub" -> TextOps.piiScrubSql(
+      """SELECT source, text || ' contact user' || doc_id ||
+        |  '@example.com' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' call 555-123-4567'
+        |       ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN ' from 10.0.' || (doc_id % 200) || '.7'
+        |       ELSE '' END AS text
+        |FROM documents""".stripMargin),
     // c11: chunk manifest replayed with range + 1-based list slicing —
     // DuckDB's toks[a:b] clamps exactly like Spark's slice.
     "c11_chunk_split" ->

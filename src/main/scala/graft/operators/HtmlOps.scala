@@ -44,7 +44,9 @@ object HtmlOps {
     Right("source"),
     Left("</title><style>body { color: #222; }</style></head><body>" +
       "<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs &amp; " +
-      "Guides</a></nav><h1>Entry "),
+      "Guides</a> <a href=\"/d/"),
+    Right("doc_id"),
+    Left("?b=2&a=1\">Self</a></nav><h1>Entry "),
     Right("doc_id"),
     Left("</h1><p>"),
     Right("text"),
@@ -158,6 +160,45 @@ object HtmlOps {
        |  len(string_split(text, ' '))::BIGINT AS n_tok,
        |  substr(md5(text), 1, 16) AS text_md5
        |FROM ext ORDER BY $idCol ASC""".stripMargin
+
+  private val HrefPattern = "href=\"([^\"]*)\""
+
+  /** LINK EXTRACTION (h3) — the crawl-frontier feed: every `href`
+    * harvested from the markup (`regexp_extract_all`, codegen,
+    * in-scan), exploded, and rolled up per source: total links,
+    * distinct targets, and the lexical-min target (pins the VALUES
+    * under the oracle hash, u1's convention). The per-doc self link
+    * in the template makes the distinct-target count grow with the
+    * corpus while the nav targets stay shared — both behaviors in
+    * one report. Scale shape: extract+explode in the scan stage
+    * (only (source, href) pairs continue), one hash aggregate on the
+    * bounded source domain.
+    */
+  def linkReport(df: DataFrame, htmlCol: String, srcCol: String)
+      : DataFrame = {
+    import graft.Sorting.ResultSortOps
+    df.select(col(srcCol),
+        explode(regexp_extract_all(col(htmlCol), lit(HrefPattern),
+          lit(1))).as("href"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("href")).as("n_targets"),
+        min(col("href")).as("min_href"))
+      .resultSorted(col(srcCol).asc)
+  }
+
+  /** h3 oracle: the identical harvest in DuckDB. */
+  def linkReportSql(table: String, idCol: String): String =
+    s"""WITH ${extractCtes(table, idCol)},
+       |links AS (
+       |  SELECT source,
+       |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+       |      AS href
+       |  FROM ext)
+       |SELECT source, count(*) AS n_links,
+       |  count(DISTINCT href) AS n_targets,
+       |  min(href) AS min_href
+       |FROM links GROUP BY source ORDER BY source ASC""".stripMargin
 
   /** h2 oracle: extraction COMPOSED with the t13 boilerplate pass —
     * the t13 oracle chain verbatim (same [[DedupOps.shinglesSql]]

@@ -889,6 +889,103 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** BATCH serving shape of [[seededLshTopK]] — the 100 TB plan: the
+    * whole query set (vec_id % queryMod) answers in ONE shared plan.
+    * Candidate generation is an EQUI-JOIN on the tagged bucket key
+    * (t·2³² + bk) between the corpus key relation and the broadcast
+    * probe-key set (|Q|·nTables·(2·probe+1) rows — constant-size per
+    * batch), never all-pairs; exact integer d² verifies candidates
+    * only; per-query top-k via a window over the candidate relation.
+    * The n10/n29 batch convention, with n6x's bit-deterministic
+    * integer pipeline — full hash gate.
+    */
+  def seededLshTopKBatch(embeddings: DataFrame, queryMod: Int, k: Int,
+      nTables: Int = 6, bucketLen: Long = 16384L, probe: Int = 1,
+      scale: Int = 64, dim: Int = 64, coefRange: Int = 1000)
+      : DataFrame = {
+    val planes: IndexedSeq[IndexedSeq[Long]] =
+      IndexedSeq.tabulate(nTables, dim)((t, j) => lshCoef(t, j, coefRange))
+    val quant = (c: Column) =>
+      transform(toDoubleArray(c), x => floor(x * scale).cast("long"))
+    val v = embeddings.select(col("vec_id"),
+      quant(col("embedding")).as("vq"))
+    val withKeys = v.withColumn("ks", array((0 until nTables).map { t =>
+      val proj = aggregate(
+        zip_with(col("vq"), lit(planes(t).toArray), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      lit(t.toLong << 32) +
+        floor(proj.cast("double") / lit(bucketLen.toDouble)).cast("long")
+    }: _*))
+    val keys = withKeys.select(col("vec_id"),
+      explode(col("ks")).as("key"))
+    val qSide = withKeys.filter(col("vec_id") % queryMod === 0)
+    val qKeys = qSide.select(col("vec_id").as("query_id"),
+      explode(flatten(transform(col("ks"),
+        k0 => sequence(k0 - probe, k0 + probe)))).as("key"))
+    val cand = keys.join(broadcast(qKeys), Seq("key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val qVecs = qSide.select(col("vec_id").as("query_id"),
+      col("vq").as("qq"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    cand.join(v, Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("vq"), col("qq"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("d2"))
+      .orderBy(col("query_id").asc, col("d2").asc, col("vec_id").asc)
+  }
+
+  /** [[seededLshTopKBatch]] oracle — the identical integer pipeline
+    * (shared conventions with [[seededLshTopKSql]]).
+    */
+  def seededLshTopKBatchSql(table: String, queryMod: Int, k: Int,
+      nTables: Int = 6, bucketLen: Long = 16384L, probe: Int = 1,
+      scale: Int = 64, dim: Int = 64, coefRange: Int = 1000): String =
+    s"""WITH h AS (
+       |  SELECT t, j,
+       |    (('0x' || substr(md5('h_' || t || '_' || j), 1, 15))::BIGINT
+       |      % ${2 * coefRange + 1}) - $coefRange AS w
+       |  FROM range($nTables) r1(t), range($dim) r2(j)),
+       |v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) AS vq
+       |  FROM $table),
+       |e AS (SELECT vec_id, i AS j, vq[i+1] AS q
+       |      FROM v, range($dim) r(i)),
+       |p AS (SELECT e.vec_id, h.t, sum(e.q * h.w) AS proj
+       |      FROM e JOIN h ON h.j = e.j GROUP BY 1, 2),
+       |b AS (SELECT vec_id, t,
+       |        CAST(floor(proj / $bucketLen.0) AS BIGINT) AS bk
+       |      FROM p),
+       |qb AS (SELECT vec_id AS query_id, t, bk + o AS bk
+       |       FROM b, range(-$probe, $probe + 1) r(o)
+       |       WHERE vec_id % $queryMod = 0),
+       |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
+       |         FROM b JOIN qb USING (t, bk)
+       |         WHERE b.vec_id <> qb.query_id),
+       |qv AS (SELECT vec_id AS query_id, vq AS qq FROM v
+       |       WHERE vec_id % $queryMod = 0),
+       |s AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(list_inner_product(vq, vq) - 2*list_inner_product(vq, qq)
+       |         + list_inner_product(qq, qq) AS BIGINT) AS d2
+       |  FROM cand c JOIN v USING (vec_id) JOIN qv USING (query_id)),
+       |r AS (
+       |  SELECT query_id, vec_id, d2,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2 ASC, vec_id ASC) AS rn
+       |  FROM s)
+       |SELECT query_id, vec_id, d2 FROM r WHERE rn <= $k
+       |ORDER BY query_id ASC, d2 ASC, vec_id ASC""".stripMargin
+
   /** The deterministic hyperplane coefficient — Scala twin of the
     * oracle's `('0x' || substr(md5('h_t_j'), 1, 15))::BIGINT`
     * (same md5, same 60-bit hex prefix, same range map).

@@ -1287,4 +1287,66 @@ object TextOps {
         min(col("c")).as("min_canonical"))
       .resultSorted(col(groupCol).asc)
   }
+
+  /** PII patterns, shared by [[piiScrub]] and its oracle builder —
+    * RE2/Java common syntax (no lookaround, ASCII `\b`), applied in
+    * list order (email before the numeric patterns). Each entry:
+    * (label, pattern, replacement token).
+    */
+  private val PiiPatterns = Seq(
+    ("emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("phones", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII SCRUBBING (t27) — the redaction pass every released text
+    * corpus runs (C4/RefinedWeb-style): emails, phone numbers and
+    * IPv4 literals replaced by typed tokens, all native
+    * `regexp_replace`/`regexp_extract_all` (codegen, in-scan — the
+    * payload is scrubbed in the same projection that counts the
+    * hits, nothing scans twice). Report per source: docs, per-kind
+    * hit counts, and an ORDER-INDEPENDENT mod-p seal of the
+    * scrubbed text (the d2 convention) — the redacted corpus is
+    * hash-pinned without shipping it through the compare.
+    */
+  def piiScrub(df: DataFrame, textCol: String, srcCol: String)
+      : DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val P = 1000000007L
+    val counts = PiiPatterns.map { case (label, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"__$label")
+    }
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, tok)) => regexp_replace(c, pat, tok)
+    }
+    val seal = conv(substring(md5(scrubbed), 1, 15), 16, 10)
+      .cast("long") % P
+    df.select(col(srcCol) +: (counts :+ seal.as("__seal")): _*)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__emails")).as("n_emails"),
+        sum(col("__phones")).as("n_phones"),
+        sum(col("__ips")).as("n_ips"),
+        (sum(col("__seal")) % P).as("scrub_seal"))
+      .resultSorted(col(srcCol).asc)
+  }
+
+  /** [[piiScrub]] oracle over a rendered-PII CTE: `pii(source,
+    * text)`. Patterns/replacements derive from the same table.
+    */
+  def piiScrubSql(piiCte: String): String = {
+    val scrubbed = PiiPatterns.foldLeft("text") {
+      case (e, (_, pat, tok)) =>
+        s"regexp_replace($e, '$pat', '$tok', 'g')"
+    }
+    val counts = PiiPatterns.map { case (label, pat, _) =>
+      s"sum(len(regexp_extract_all(text, '$pat')))::BIGINT AS n_$label"
+    }.mkString(",\n  ")
+    s"""WITH pii AS ($piiCte)
+       |SELECT source, count(*) AS n_docs,
+       |  $counts,
+       |  (sum(('0x' || substr(md5($scrubbed), 1, 15))::BIGINT
+       |       % 1000000007) % 1000000007)::BIGINT AS scrub_seal
+       |FROM pii GROUP BY source ORDER BY source ASC""".stripMargin
+  }
 }

@@ -283,6 +283,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("seededLshTopKBatch agrees with the single-query plan per query") {
+    val emb = Tables.embeddings(spark, sfSmoke).cache()
+    // query 0 is in the %73 batch set at every scale
+    val batch = SimilarityOps.seededLshTopKBatch(emb, 73, 5)
+      .filter(col("query_id") === 0L)
+      .select("vec_id").as[Long].collect().toSeq
+    val single = SimilarityOps.seededLshTopK(emb, 0L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(batch == single,
+      s"batch=$batch single=$single")
+  }
+
   test("seededLshTopK: hyperplane coefficients match the oracle's md5 map") {
     // spot-check the Scala twin of ('0x'||substr(md5(...),1,15))::BIGINT
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -72,6 +72,19 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("linkReport: harvests every href; self links grow distinct targets") {
+    val df = Seq(
+      ("s1", """<a href="/">x</a><a href="/d/1?b=2">y</a>"""),
+      ("s1", """<a href="/">x</a><a href="/d/2?b=2">y</a>"""),
+      ("s2", """<p>no links</p>""")).toDF("source", "html")
+    val rows = HtmlOps.linkReport(df, "html", "source").collect()
+    val s1 = rows.find(_.getString(0) == "s1").get
+    assert(s1.getLong(1) == 4)       // 2 links per doc
+    assert(s1.getLong(2) == 3)       // "/" shared, self links distinct
+    assert(s1.getString(3) == "/")
+    assert(!rows.exists(_.getString(0) == "s2")) // no links → no row
+  }
+
   test("extraction is a pure projection: no exchange before the sort") {
     val docs = graft.Tables.documents(spark, sfSmoke)
     val ext = docs.select(col("doc_id"),

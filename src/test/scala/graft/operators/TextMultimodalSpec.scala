@@ -108,6 +108,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(MultimodalOps.encodeWavPcm(Array.emptyByteArray).isEmpty)
   }
 
+  test("piiScrub: typed redaction counts; seal is order-independent") {
+    val rows = Seq(
+      ("s1", "mail me at john.doe+x@site.org today"),
+      ("s1", "call 555-123-4567 or 555.987.6543 now"),
+      ("s2", "host 10.0.0.1 and no pii here"))
+    val a = TextOps.piiScrub(rows.toDF("source", "text"),
+      "text", "source").collect()
+    val s1 = a.find(_.getString(0) == "s1").get
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3),
+      s1.getLong(4)) == ((2L, 1L, 2L, 0L)))
+    val s2 = a.find(_.getString(0) == "s2").get
+    assert((s2.getLong(1), s2.getLong(2), s2.getLong(3),
+      s2.getLong(4)) == ((1L, 0L, 0L, 1L)))
+    // the mod-p seal must not depend on row arrival order
+    val b = TextOps.piiScrub(rows.reverse.toDF("source", "text"),
+      "text", "source").collect()
+    assert(a.map(_.toString).sorted.toSeq ==
+      b.map(_.toString).sorted.toSeq)
+    // a scrubbed corpus seals differently from the raw one
+    val raw = TextOps.piiScrub(Seq(("s2", "host REDACTED and no pii " +
+      "here")).toDF("source", "text"), "text", "source").collect()
+    assert(raw.head.getLong(5) != s2.getLong(5))
+  }
+
   test("encodeAviPng/decodeAviFrames: real RIFF/AVI container " +
       "round-trips; frames split on the stride; tail kept partial") {
     val data = (0 until 250).map(i => ((i * 31 + 7) % 256).toByte)
