@@ -134,6 +134,43 @@ object ScaleTrend {
     }
     println(f"[scale] r4 x$factor min=${r4Times.min}%.3f " +
       s"all=${r4Times.map(t => f"$t%.3f").mkString(",")}")
+    // h2 (render→extract→boilerplate) over N×-replicated docs: the
+    // whole HTML chain is a scan-stage projection, so time must
+    // track the t13 shapes underneath it — no markup-size term
+    // beyond the linear scan.
+    val qh2 = () => {
+      val ext = big.select(col("doc_id"), col("source"),
+        operators.HtmlOps.htmlToText(
+          operators.HtmlOps.renderHtml).as("text"))
+      operators.TextOps.boilerplate(ext, "doc_id", "source", "text",
+        relDf = 0.003, flagRatio = 0.2)
+    }
+    val h2Times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qh2().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] h2 x$factor min=${h2Times.min}%.3f " +
+      s"all=${h2Times.map(t => f"$t%.3f").mkString(",")}")
+    // n6y (batch seeded LSH) over N×-replicated embeddings with
+    // offset vec_ids: candidate generation is an equi-join on the
+    // tagged bucket key — time must track N·(candidates/query), with
+    // no all-pairs term (replicas share buckets, so candidate counts
+    // grow linearly with N too: the probe-key set is fixed).
+    val emb = Tables.embeddings(spark, sfDir)
+    val bigEmb = (0 until factor)
+      .map(k => emb.withColumn("vec_id",
+        col("vec_id") + lit(k * 10000000L)))
+      .reduce(_ unionByName _)
+    val qn6y = () => operators.SimilarityOps.seededLshTopKBatch(
+      bigEmb, queryMod = 73 * factor, k = 5)
+    val n6yTimes = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qn6y().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] n6y x$factor min=${n6yTimes.min}%.3f " +
+      s"all=${n6yTimes.map(t => f"$t%.3f").mkString(",")}")
     spark.stop()
   }
 }

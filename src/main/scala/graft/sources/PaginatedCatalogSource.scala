@@ -217,6 +217,74 @@ class SecSubmissionsPageMapper extends PageMapper {
   }
 }
 
+/** UN Comtrade catalog endpoints — item ∈ {goods, services}: one
+  * metadata GET per catalog entry, mapped through the SAME pure
+  * `UnComtradeAdapter.mapEndpoint` the driver-side adapter uses
+  * (one mapper, two transports — the NYC convention). Keyed
+  * requests (Ocp-Apim-Subscription-Key) stay on the driver-side
+  * adapter; the metadata endpoint is the unauthenticated surface.
+  */
+class ComtradeCatalogPageMapper extends PageMapper {
+  private val entries = Map(
+    "goods" -> ("International Trade in Goods",
+      "Trade flows of goods between countries"),
+    "services" -> ("International Trade in Services",
+      "Trade flows of services between countries"))
+
+  override def pageUrl(endpoint: String, item: String,
+      pageSize: Int): String =
+    s"${endpoint.stripSuffix("/")}/$item/metadata"
+
+  override def map(item: String, body: String): Iterator[DataRecord] = {
+    val (name, desc) = entries(item)
+    val adapter = new graft.ingest.UnComtradeAdapter(NoopFetcher)
+    Iterator.single(
+      adapter.mapEndpoint(item, name, desc, s"/$item", Js.parse(body)))
+  }
+}
+
+/** College Scorecard schools — offset pages (`page`/`per_page`), one
+  * record PER SCHOOL: the per-row scale case the driver-side adapter
+  * only probes the count of (~6k schools → a page work-list). The
+  * api_key rides the `endpoint` option's query string (withParams
+  * appends with '&' when a '?' is present).
+  */
+class ScorecardPageMapper extends PageMapper {
+  override def pageUrl(endpoint: String, item: String,
+      pageSize: Int): String =
+    HttpFetcher.withParams(endpoint, Seq(
+      "page" -> item, "per_page" -> pageSize.toString,
+      "_fields" -> "id,school.name,school.city,school.state,school.school_url"))
+
+  override def map(item: String, body: String): Iterator[DataRecord] = {
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
+    Js.parse(body)("results").arr.iterator.map { r =>
+      val id = r("id").strOrNum.getOrElse("")
+      val name = r("school.name").str.getOrElse("Unknown School")
+      DataRecord(
+        source_name = "College Scorecard",
+        record_id = id,
+        title = name,
+        description = Some(Seq(
+          r("school.city").str, r("school.state").str)
+          .flatten.mkString(", ")).filter(_.nonEmpty),
+        data_type = "school",
+        url = r("school.school_url").str.getOrElse(
+          s"https://api.data.gov/ed/collegescorecard/v1/schools?id=$id"),
+        metadata = Js.render(Map(
+          "city" -> r("school.city").str,
+          "state" -> r("school.state").str)),
+        content_summary = Some(s"School: $name"),
+        tags = Seq("education", "college", "scorecard"),
+        last_updated = None,
+        ingested_at = now,
+        file_format = Some("JSON"),
+        size_bytes = None,
+        license_info = Some("Public Domain"))
+    }
+  }
+}
+
 /** Mapper-internal placeholder: [[NycOpenDataAdapter.mapItem]] is
   * pure, but the adapter class carries a fetcher for its transport
   * methods — the executor-side mapper never calls those.

@@ -34,6 +34,45 @@ object SecSubmissionsFixtureFetcher {
     Map[String, String]](Map.empty)
 }
 
+/** Offline Comtrade metadata fixture (the unauthenticated surface). */
+class ComtradeFixtureFetcher extends HttpFetcher {
+  override def get(url: String, headers: Map[String, String])
+      : Either[String, (Int, String)] =
+    Right((200, """{"lastUpdated": "2024-01-01"}"""))
+  override def head(url: String, headers: Map[String, String])
+      : Either[String, Int] = Right(200)
+}
+
+/** Offline Scorecard pages: 5 schools at 2/page; records the last
+  * URL so the spec can assert the api_key/per_page params reached
+  * the transport.
+  */
+class ScorecardFixtureFetcher extends HttpFetcher {
+  override def get(url: String, headers: Map[String, String])
+      : Either[String, (Int, String)] = {
+    ScorecardFixtureFetcher.lastUrl.set(url)
+    val q = url.dropWhile(_ != '?').drop(1).split("&")
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    val page = q("page").toInt
+    val per = q("per_page").toInt
+    val total = 5
+    val items = (page * per until math.min(page * per + per, total))
+      .map { i =>
+        s"""{"id": "sc-$i", "school.name": "School $i",
+           |"school.city": "City$i", "school.state": "NY",
+           |"school.school_url": "https://school$i.edu"}"""
+          .stripMargin.replaceAll("\n", " ")
+      }
+    Right((200, items.mkString("""{"results": [""", ",", "]}")))
+  }
+  override def head(url: String, headers: Map[String, String])
+      : Either[String, Int] = Right(200)
+}
+
+object ScorecardFixtureFetcher {
+  val lastUrl = new java.util.concurrent.atomic.AtomicReference[String]("")
+}
+
 class PaginatedCatalogSourceSpec extends SparkSpec {
 
   private def readSec(items: String) =
@@ -79,6 +118,45 @@ class PaginatedCatalogSourceSpec extends SparkSpec {
     val m = new SecSubmissionsPageMapper
     assert(m.pageUrl("https://data.sec.gov/submissions", "320193", 100)
       == "https://data.sec.gov/submissions/CIK0000320193.json")
+  }
+
+  test("Comtrade: one partition per catalog entry through the shared " +
+      "adapter mapper") {
+    val df = spark.read.format(classOf[PaginatedCatalogSource].getName)
+      .option("items", "goods,services")
+      .option("endpoint", "http://fixture/data/v1")
+      .option("mapperClass", classOf[ComtradeCatalogPageMapper].getName)
+      .option("fetcherClass", classOf[ComtradeFixtureFetcher].getName)
+      .option("ratePerSecond", 1e6)
+      .load()
+    assert(df.rdd.getNumPartitions == 2)
+    val rows = df.select("record_id", "title", "url", "data_type")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq("goods", "services"))
+    assert(rows.head._2 == "International Trade in Goods")
+    assert(rows.head._3 == "https://comtradeapi.un.org/data/v1/goods")
+  }
+
+  test("Scorecard: offset pages fan out; one record per school") {
+    val df = spark.read.format(classOf[PaginatedCatalogSource].getName)
+      .option("pages", 3)
+      .option("pageSize", 2)
+      .option("endpoint", "http://fixture/v1/schools?api_key=TESTKEY")
+      .option("mapperClass", classOf[ScorecardPageMapper].getName)
+      .option("fetcherClass", classOf[ScorecardFixtureFetcher].getName)
+      .option("ratePerSecond", 1e6)
+      .load()
+    assert(df.rdd.getNumPartitions == 3)
+    val rows = df.select("record_id", "title", "metadata")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).sortBy(_._1).toSeq
+    assert(rows.length == 5) // 2 + 2 + 1 schools
+    assert(rows.head._2 == "School 0")
+    assert(rows.head._3.contains("\"state\": \"NY\""))
+    // the api_key query param survived into the page URL
+    assert(ScorecardFixtureFetcher.lastUrl.get().contains("api_key=TESTKEY"))
+    assert(ScorecardFixtureFetcher.lastUrl.get().contains("per_page=2"))
   }
 
   test("missing work-list fails loudly (no silent single page)") {
