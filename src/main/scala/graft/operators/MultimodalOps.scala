@@ -224,8 +224,10 @@ object MultimodalOps {
       le32(40) ++ le32(1) ++ le32(stride) ++ le16(1) ++ le16(8) ++
       cc("MPNG") ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val movi = list("movi",
-      frames.map(f => chunk("00dc", f)).foldLeft(Array.empty[Byte])(_ ++ _))
+    // single-pass frame assembly (a foldLeft concat is O(frames²))
+    val moviBuf = new java.io.ByteArrayOutputStream(data.length + 64)
+    frames.foreach(f => moviBuf.write(chunk("00dc", f)))
+    val movi = list("movi", moviBuf.toByteArray)
     val body = cc("AVI ") ++ hdrl ++ movi
     cc("RIFF") ++ le32(body.length) ++ body
   }
