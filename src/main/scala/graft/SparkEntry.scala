@@ -133,6 +133,12 @@ object SparkEntry {
     "n6y_lsh_batch_topk" -> ((s, dir) =>
       SimilarityOps.seededLshTopKBatch(Tables.embeddings(s, dir),
         queryMod = 73, k = 5)),
+    // n6z: recall@k of the LSH tier vs exact brute force — the
+    // index-quality metric oracle-gated (n28's pattern for IVF);
+    // integer-micro mean recall, flip-proof at any query count.
+    "n6z_lsh_recall" -> ((s, dir) =>
+      SimilarityOps.seededLshRecall(Tables.embeddings(s, dir),
+        queryMod = 73, k = 5)),
     "n7_embedding_neardup" -> ((s, dir) =>
       SimilarityOps.embeddingNearDups(Tables.embeddings(s, dir), 0.4)),
     "n8_ivf_topk" -> ((s, dir) =>
@@ -2449,6 +2455,9 @@ object SparkEntry {
         "embeddings", queryId = 0L, k = 10),
     "n6y_lsh_batch_topk" ->
       graft.operators.SimilarityOps.seededLshTopKBatchSql(
+        "embeddings", queryMod = 73, k = 5),
+    "n6z_lsh_recall" ->
+      graft.operators.SimilarityOps.seededLshRecallSql(
         "embeddings", queryMod = 73, k = 5),
     "n2_exact_dedup" ->
       """WITH dup AS (

@@ -948,24 +948,17 @@ object SimilarityOps {
   def seededLshTopKBatchSql(table: String, queryMod: Int, k: Int,
       nTables: Int = 6, bucketLen: Long = 16384L, probe: Int = 1,
       scale: Int = 64, dim: Int = 64, coefRange: Int = 1000): String =
-    s"""WITH h AS (
-       |  SELECT t, j,
-       |    (('0x' || substr(md5('h_' || t || '_' || j), 1, 15))::BIGINT
-       |      % ${2 * coefRange + 1}) - $coefRange AS w
-       |  FROM range($nTables) r1(t), range($dim) r2(j)),
-       |v AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) AS vq
-       |  FROM $table),
-       |e AS (SELECT vec_id, i AS j, vq[i+1] AS q
-       |      FROM v, range($dim) r(i)),
-       |p AS (SELECT e.vec_id, h.t, sum(e.q * h.w) AS proj
-       |      FROM e JOIN h ON h.j = e.j GROUP BY 1, 2),
-       |b AS (SELECT vec_id, t,
-       |        CAST(floor(proj / $bucketLen.0) AS BIGINT) AS bk
-       |      FROM p),
-       |qb AS (SELECT vec_id AS query_id, t, bk + o AS bk
+    s"""WITH ${seededLshCtes(table, nTables, bucketLen, scale, dim, coefRange)},
+       |${seededLshBatchCtes(queryMod, probe, k)}
+       |SELECT query_id, vec_id, d2 FROM r WHERE rn <= $k
+       |ORDER BY query_id ASC, d2 ASC, vec_id ASC""".stripMargin
+
+  /** Batch candidate/score/rank CTEs over the shared prefix — ends
+    * with `r(query_id, vec_id, d2, rn)`.
+    */
+  private def seededLshBatchCtes(queryMod: Int, probe: Int,
+      k: Int): String =
+    s"""qb AS (SELECT vec_id AS query_id, t, bk + o AS bk
        |       FROM b, range(-$probe, $probe + 1) r(o)
        |       WHERE vec_id % $queryMod = 0),
        |cand AS (SELECT DISTINCT qb.query_id, b.vec_id
@@ -975,16 +968,99 @@ object SimilarityOps {
        |       WHERE vec_id % $queryMod = 0),
        |s AS (
        |  SELECT c.query_id, c.vec_id,
-       |    CAST(list_inner_product(vq, vq) - 2*list_inner_product(vq, qq)
-       |         + list_inner_product(qq, qq) AS BIGINT) AS d2
+       |    $LshD2Sql AS d2
        |  FROM cand c JOIN v USING (vec_id) JOIN qv USING (query_id)),
        |r AS (
        |  SELECT query_id, vec_id, d2,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY d2 ASC, vec_id ASC) AS rn
-       |  FROM s)
-       |SELECT query_id, vec_id, d2 FROM r WHERE rn <= $k
-       |ORDER BY query_id ASC, d2 ASC, vec_id ASC""".stripMargin
+       |  FROM s)""".stripMargin
+
+  /** recall@k EVALUATION of the seeded-LSH tier vs exact brute force
+    * (n28's pattern for IVF, applied to LSH — the index-quality
+    * metric itself oracle-gated): every batch query's approximate
+    * top-k is intersected with the exact integer-d² top-k; report
+    * queries, total hits, min per-query hits, and the integer-micro
+    * mean recall (the c1/n13 convention — flip-proof at any query
+    * count). The exact side is the eval harness's one deliberate
+    * crossJoin (|Q| broadcast × corpus — the same cost n28 pays).
+    */
+  def seededLshRecall(embeddings: DataFrame, queryMod: Int, k: Int,
+      nTables: Int = 6, bucketLen: Long = 16384L, probe: Int = 1,
+      scale: Int = 64, dim: Int = 64, coefRange: Int = 1000)
+      : DataFrame = {
+    val approx = seededLshTopKBatch(embeddings, queryMod, k, nTables,
+      bucketLen, probe, scale, dim, coefRange)
+    val quant = (c: Column) =>
+      transform(toDoubleArray(c), x => floor(x * scale).cast("long"))
+    val v = embeddings.select(col("vec_id"),
+      quant(col("embedding")).as("vq"))
+    val qVecs = v.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("vq").as("qq"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    val exact = v.crossJoin(broadcast(qVecs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("vq"), col("qq"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id")
+    // LEFT join from the query set: a zero-hit query must count as
+    // recall 0, not silently drop from the report
+    val hit = approx.join(exact, Seq("query_id", "vec_id"),
+        "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__h"))
+    val perQuery = qVecs.select(col("query_id"))
+      .join(hit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__h"), lit(0L)).as("hits"))
+    val n = count(lit(1))
+    // per-query recall micro = floor(hits·1e6 / k) — IEEE-identical
+    // on both sides (exact double operands, one division, one floor)
+    val microSum =
+      sum(floor(col("hits") * lit(1000000.0) / k).cast("long"))
+    perQuery
+      .agg(n.as("n_queries"),
+        sum(col("hits")).cast("long").as("total_hits"),
+        min(col("hits")).cast("long").as("min_hits"),
+        (floor((lit(2) * microSum + n) / (lit(2.0) * n)) / 1e6)
+          .as("mean_recall"))
+  }
+
+  /** [[seededLshRecall]] oracle — shared CTE chain; the exact side
+    * ranks the same integer d² over all (query, vector) pairs.
+    */
+  def seededLshRecallSql(table: String, queryMod: Int, k: Int,
+      nTables: Int = 6, bucketLen: Long = 16384L, probe: Int = 1,
+      scale: Int = 64, dim: Int = 64, coefRange: Int = 1000): String =
+    s"""WITH ${seededLshCtes(table, nTables, bucketLen, scale, dim, coefRange)},
+       |${seededLshBatchCtes(queryMod, probe, k)},
+       |ex AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, v.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY $LshD2Sql ASC, v.vec_id ASC) AS rn
+       |    FROM v CROSS JOIN qv q
+       |    WHERE v.vec_id <> q.query_id) WHERE rn <= $k),
+       |hit AS (
+       |  SELECT r.query_id, count(*) AS h
+       |  FROM r JOIN ex USING (query_id, vec_id)
+       |  WHERE r.rn <= $k GROUP BY 1),
+       |pq AS (
+       |  SELECT q.query_id, coalesce(hit.h, 0) AS hits
+       |  FROM qv q LEFT JOIN hit USING (query_id))
+       |SELECT count(*) AS n_queries,
+       |  sum(hits)::BIGINT AS total_hits,
+       |  min(hits)::BIGINT AS min_hits,
+       |  floor((2 * sum(CAST(floor(hits * 1000000.0 / $k) AS BIGINT))
+       |         + count(*))
+       |        / (2.0 * count(*))) / 1000000.0 AS mean_recall
+       |FROM pq""".stripMargin
 
   /** The deterministic hyperplane coefficient — Scala twin of the
     * oracle's `('0x' || substr(md5('h_t_j'), 1, 15))::BIGINT`
@@ -998,14 +1074,13 @@ object SimilarityOps {
       (2L * coefRange + 1) - coefRange
   }
 
-  /** [[seededLshTopK]] oracle — the identical integer pipeline in
-    * DuckDB (hyperplanes re-derived from the same md5 keys; d² via
-    * three inner products, exact in doubles below 2^53).
+  /** Shared seeded-LSH CTE prefix (one builder, every LSH oracle —
+    * the simhashCtes convention): ends with `v(vec_id, label, vq)`
+    * and `b(vec_id, t, bk)`.
     */
-  def seededLshTopKSql(table: String, queryId: Long, k: Int,
-      nTables: Int = 6, bucketLen: Long = 16384L, probe: Int = 1,
-      scale: Int = 64, dim: Int = 64, coefRange: Int = 1000): String =
-    s"""WITH h AS (
+  private def seededLshCtes(table: String, nTables: Int,
+      bucketLen: Long, scale: Int, dim: Int, coefRange: Int): String =
+    s"""h AS (
        |  SELECT t, j,
        |    (('0x' || substr(md5('h_' || t || '_' || j), 1, 15))::BIGINT
        |      % ${2 * coefRange + 1}) - $coefRange AS w
@@ -1021,7 +1096,21 @@ object SimilarityOps {
        |      FROM e JOIN h ON h.j = e.j GROUP BY 1, 2),
        |b AS (SELECT vec_id, t,
        |        CAST(floor(proj / $bucketLen.0) AS BIGINT) AS bk
-       |      FROM p),
+       |      FROM p)""".stripMargin
+
+  /** The exact integer d² expression both oracles rank by. */
+  private val LshD2Sql: String =
+    "CAST(list_inner_product(vq, vq) - 2*list_inner_product(vq, qq)" +
+      " + list_inner_product(qq, qq) AS BIGINT)"
+
+  /** [[seededLshTopK]] oracle — the identical integer pipeline in
+    * DuckDB (hyperplanes re-derived from the same md5 keys; d² via
+    * three inner products, exact in doubles below 2^53).
+    */
+  def seededLshTopKSql(table: String, queryId: Long, k: Int,
+      nTables: Int = 6, bucketLen: Long = 16384L, probe: Int = 1,
+      scale: Int = 64, dim: Int = 64, coefRange: Int = 1000): String =
+    s"""WITH ${seededLshCtes(table, nTables, bucketLen, scale, dim, coefRange)},
        |qb AS (SELECT t, bk + o AS bk
        |       FROM b, range(-$probe, $probe + 1) r(o)
        |       WHERE vec_id = $queryId),
@@ -1030,8 +1119,7 @@ object SimilarityOps {
        |         WHERE b.vec_id <> $queryId),
        |qv AS (SELECT vq AS qq FROM v WHERE vec_id = $queryId)
        |SELECT v.vec_id, v.label,
-       |  CAST(list_inner_product(vq, vq) - 2*list_inner_product(vq, qq)
-       |       + list_inner_product(qq, qq) AS BIGINT) AS d2
+       |  $LshD2Sql AS d2
        |FROM v JOIN cand USING (vec_id), qv
        |ORDER BY d2 ASC, vec_id ASC LIMIT $k""".stripMargin
 

@@ -1308,6 +1308,24 @@ object TextOps {
     * scrubbed text (the d2 convention) — the redacted corpus is
     * hash-pinned without shipping it through the compare.
     */
+  /** The scrubbed-text projection itself — public because the
+    * redacted corpus IS the product (the report is its audit):
+    * `df.withColumn("text", scrubPii(col("text")))` is the release
+    * write path. Idempotent: replacement tokens match no pattern.
+    */
+  def scrubPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) {
+      case (x, (_, pat, tok)) => regexp_replace(x, pat, tok)
+    }
+
+  /** Total PII matches in a string — 0 after [[scrubPii]] (the
+    * property a release gate asserts before shipping a corpus).
+    */
+  def piiMatchCount(c: Column): Column =
+    PiiPatterns.map { case (_, pat, _) =>
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    }.reduce(_ + _)
+
   def piiScrub(df: DataFrame, textCol: String, srcCol: String)
       : DataFrame = {
     import graft.Sorting.ResultSortOps
@@ -1316,9 +1334,7 @@ object TextOps {
       size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
         .cast("long").as(s"__$label")
     }
-    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
-      case (c, (_, pat, tok)) => regexp_replace(c, pat, tok)
-    }
+    val scrubbed = scrubPii(col(textCol))
     val seal = conv(substring(md5(scrubbed), 1, 15), 16, 10)
       .cast("long") % P
     df.select(col(srcCol) +: (counts :+ seal.as("__seal")): _*)

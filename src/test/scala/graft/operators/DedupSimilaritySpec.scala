@@ -295,6 +295,19 @@ class DedupSimilaritySpec extends SparkSpec {
       s"batch=$batch single=$single")
   }
 
+  test("seededLshRecall: reports EVERY query (zero-hit queries count " +
+      "as recall 0), bounds hold") {
+    val emb = Tables.embeddings(spark, sfSmoke).cache()
+    val nQueries = emb.filter(col("vec_id") % 73 === 0).count()
+    val r = SimilarityOps.seededLshRecall(emb, 73, 5).head()
+    assert(r.getLong(0) == nQueries, "a query dropped from the report")
+    assert(r.getLong(1) <= nQueries * 5 && r.getLong(2) <= 5)
+    val mean = r.getDouble(3)
+    assert(mean >= 0.0 && mean <= 1.0)
+    // at smoke scale the measured tier is near-exact
+    assert(mean >= 0.6, s"recall collapsed: $mean")
+  }
+
   test("seededLshTopK: hyperplane coefficients match the oracle's md5 map") {
     // spot-check the Scala twin of ('0x'||substr(md5(...),1,15))::BIGINT
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -299,4 +299,81 @@ class PropertySpec extends SparkSpec {
       assert(applied == relational, s"docs=$docs")
     }
   }
+
+  test("property: fuzzyPairs handles EMPTY strings via the explicit " +
+      "deletion path (round-8 advice guard)") {
+    // lengths 0–3 over a 2-char alphabet: empty strings and 1-char
+    // neighbours of "" are guaranteed in most samples
+    val strGen = Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "b")).map(_.mkString))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    samples(Gen.listOfN(8, strGen), n = 5).foreach { strs =>
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val want = (for {
+        (sa, a) <- strs.zipWithIndex; (sb, b) <- strs.zipWithIndex
+        if a < b && lev(sa, sb) <= 1
+      } yield (a.toLong, b.toLong, lev(sa, sb))).toSet
+      val got = DedupOps.fuzzyPairs(rows.toDF("id", "s"), "id", "s")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"strs=$strs got=$got want=$want")
+    }
+  }
+
+  test("property: canonicalizeUrl is idempotent; scheme-aware ports") {
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+      host <- Gen.oneOf("Example.COM", "a.b.io")
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/p", "/d/9")
+      params <- Gen.someOf(
+        Seq("b=2", "a=1", "utm_source=x", "utm_c=1")).map(_.toList)
+      frag <- Gen.oneOf("", "#frag")
+    } yield scheme + "://" + host + port + path +
+      (if (params.nonEmpty) "?" + params.mkString("&") else "") + frag
+    samples(Gen.listOfN(25, urlGen), n = 4).foreach { urls =>
+      val once = urls.toDF("u")
+        .select(TextOps.canonicalizeUrl(col("u")).as("c"))
+        .as[String].collect().toSeq
+      val twice = once.toDF("c")
+        .select(TextOps.canonicalizeUrl(col("c")).as("c"))
+        .as[String].collect().toSeq
+      assert(once == twice, s"not idempotent: $urls")
+      urls.zip(once).foreach { case (u, c) =>
+        // only the scheme's own default port may be stripped
+        if (u.toLowerCase.startsWith("http://") && u.contains(":443"))
+          assert(c.contains(":443"), s"$u -> $c dropped a real port")
+        if (u.toLowerCase.startsWith("https://") && u.contains(":8080"))
+          assert(c.contains(":8080"), s"$u -> $c dropped a real port")
+        assert(!c.contains("#") && !c.contains("utm_"), s"$u -> $c")
+      }
+    }
+  }
+
+  test("property: scrubPii leaves zero matches and is idempotent") {
+    val word = Gen.oneOf("data", "spark", "rows", "scan")
+    val pii = Gen.oneOf("bob@mail.com", "x.y-9@a.io", "555-123-4567",
+      "10.0.0.1", "192.168.3.44", "me@sub.domain.org")
+    val textGen = Gen.listOfN(8, Gen.frequency(3 -> word, 2 -> pii))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(12, textGen), n = 4).foreach { texts =>
+      val df = texts.toDF("t")
+      val out = df.select(
+          TextOps.scrubPii(col("t")).as("s"))
+        .select(col("s"),
+          TextOps.piiMatchCount(col("s")).as("left"),
+          TextOps.scrubPii(col("s")).as("s2"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getLong(1) == 0L, s"PII left in: ${r.getString(0)}")
+        assert(r.getString(0) == r.getString(2), "scrub not idempotent")
+      }
+    }
+  }
 }
