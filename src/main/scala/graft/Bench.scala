@@ -42,11 +42,11 @@ object Bench {
   // Round-9 chain: round-8 close 40.1002 (186) + h1 0.2378 +
   // h2 1.4445 (both re-baked after the h3 template extension) +
   // n6x 0.0540 + h3 0.0516 + n6y 0.1344 + t27 0.0698 + n6z 0.1639
-  // = 42.2562 for the 193-query oracle suite (see the bake ledger in
-  // BASELINE.md; cross-checked by a one-shot fresh 192-query bake at
-  // +1.4%).
-  val RecordedDuckdbSf01: Double = 42.2562
-  val RecordedDuckdbQueries: Int = 193
+  // + h4 1.7995 = 44.0557 for the 194-query oracle suite (see the
+  // bake ledger in BASELINE.md; cross-checked by a one-shot fresh
+  // 192-query bake at +1.4%).
+  val RecordedDuckdbSf01: Double = 44.0557
+  val RecordedDuckdbQueries: Int = 194
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

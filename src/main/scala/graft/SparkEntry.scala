@@ -528,6 +528,20 @@ object SparkEntry {
         graft.operators.HtmlOps.renderHtml.as("html"))
       graft.operators.HtmlOps.linkReport(rendered, "html", "source")
     }),
+    // h4: the web-corpus FRONT DOOR as one plan (c12's composition
+    // pattern): PII-laden pages → extract → scrub → boilerplate-drop
+    // → per-source release report. Composing the stages adds zero
+    // exchanges over t13 alone (extract+scrub fuse into the scan).
+    "h4_web_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val piiDocs = docs.select(col("doc_id"), col("source"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          when(col("doc_id") % 2 === 0, lit(" call 555-123-4567"))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.HtmlOps.webPipeline(piiDocs, "doc_id", "source",
+        relDf = 0.003, flagRatio = 0.45)
+    }),
     // c11: overlapping token-window chunking — the pre-embedding
     // splitter (64-token chunks, stride 48); manifest rows carry an
     // md5 prefix for the chunk payload, hash-checkable without text.
@@ -2813,6 +2827,13 @@ object SparkEntry {
       graft.operators.HtmlOps.htmlBoilerplateSql("documents", "doc_id"),
     "h3_link_harvest" ->
       graft.operators.HtmlOps.linkReportSql("documents", "doc_id"),
+    "h4_web_pipeline" -> graft.operators.HtmlOps.webPipelineSql(
+      """SELECT doc_id, source, text || ' contact user' || doc_id ||
+        |  '@example.com' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' call 555-123-4567'
+        |       ELSE '' END AS text
+        |FROM documents""".stripMargin,
+      "doc_id", relDf = 0.003, flagRatio = 0.45),
     "t27_pii_scrub" -> TextOps.piiScrubSql(
       """SELECT source, text || ' contact user' || doc_id ||
         |  '@example.com' ||

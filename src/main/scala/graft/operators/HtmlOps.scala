@@ -200,6 +200,74 @@ object HtmlOps {
        |  min(href) AS min_href
        |FROM links GROUP BY source ORDER BY source ASC""".stripMargin
 
+  /** THE WEB-CORPUS FRONT DOOR as ONE Catalyst plan (h4, the c12
+    * composition pattern applied to ingestion): raw PII-laden pages
+    * → markup strip ([[htmlToText]]) → PII scrub
+    * ([[TextOps.scrubPii]]) → cross-doc boilerplate ratio
+    * ([[TextOps.boilerplateRatios]]) → drop flagged docs → per-source
+    * release report (docs in, docs kept, kept tokens, PII hits).
+    * Render/extract/scrub fuse into one scan-stage projection; the
+    * only shuffles are the shingle-df window and the per-doc fold
+    * the boilerplate pass always pays, plus the bounded final agg —
+    * composing the stages adds ZERO exchanges over t13 alone.
+    */
+  def webPipeline(docs: DataFrame, idCol: String, srcCol: String,
+      relDf: Double, flagRatio: Double): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val scrubbed = docs.select(col(idCol), col(srcCol),
+        htmlToText(renderHtml).as("__raw"))
+      .select(col(idCol), col(srcCol),
+        TextOps.piiMatchCount(col("__raw")).as("__npii"),
+        TextOps.scrubPii(col("__raw")).as("text"))
+    val ratios =
+      TextOps.boilerplateRatios(scrubbed, idCol, "text", relDf)
+    scrubbed.join(ratios.select(col(idCol), col("ratio")), Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ratio") < flagRatio, 1).otherwise(0))
+          .cast("long").as("n_kept"),
+        sum(when(col("ratio") < flagRatio,
+            size(split(col("text"), " "))).otherwise(0))
+          .cast("long").as("kept_tokens"),
+        sum(col("__npii")).cast("long").as("n_pii"))
+      .resultSorted(col(srcCol).asc)
+  }
+
+  /** h4 oracle: the identical chain in DuckDB, every stage derived
+    * from the shared builders (template, strip/decode chain, PII
+    * patterns, shingle SQL, t13 thresholds).
+    */
+  def webPipelineSql(docsCte: String, idCol: String, relDf: Double,
+      flagRatio: Double): String =
+    s"""WITH piidocs AS ($docsCte),
+       |${extractCtes("piidocs", idCol)},
+       |scr AS (
+       |  SELECT $idCol, source,
+       |    ${TextOps.piiMatchCountSqlExpr("text")} AS npii,
+       |    ${TextOps.scrubPiiSqlExpr("text")} AS text
+       |  FROM ext),
+       |sh0 AS (
+       |${DedupOps.shinglesSql("scr", idCol, "text")}),
+       |sh AS (SELECT $idCol,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x FROM sh0),
+       |dfx AS (SELECT x, count(*) AS dfc FROM sh GROUP BY 1),
+       |th AS (SELECT ceil(count(*) * $relDf)::BIGINT AS min_df
+       |       FROM scr),
+       |perdoc AS (
+       |  SELECT s.$idCol, count(*) AS n_sh,
+       |    sum(CASE WHEN d.dfc >= th.min_df THEN 1 ELSE 0 END) AS n_hot
+       |  FROM sh s JOIN dfx d USING (x), th GROUP BY 1),
+       |rt AS (SELECT $idCol, n_hot * 1.0 / n_sh AS ratio FROM perdoc)
+       |SELECT c.source, count(*) AS n_docs,
+       |  sum(CASE WHEN rt.ratio < $flagRatio THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_kept,
+       |  sum(CASE WHEN rt.ratio < $flagRatio
+       |      THEN len(string_split(c.text, ' ')) ELSE 0 END)::BIGINT
+       |    AS kept_tokens,
+       |  sum(c.npii)::BIGINT AS n_pii
+       |FROM rt JOIN scr c USING ($idCol)
+       |GROUP BY c.source ORDER BY c.source ASC""".stripMargin
+
   /** h2 oracle: extraction COMPOSED with the t13 boilerplate pass —
     * the t13 oracle chain verbatim (same [[DedupOps.shinglesSql]]
     * builder, same 60-bit md5 keys, same 0.003/0.2 thresholds), fed

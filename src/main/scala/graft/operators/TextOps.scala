@@ -496,19 +496,28 @@ object TextOps {
     * corpus makes the hot-x window skewed exactly like the capped
     * shingle join; the df-cap blacklist-form note applies unchanged.
     */
-  def boilerplate(df: DataFrame, idCol: String, groupCol: String,
-      textCol: String, relDf: Double, flagRatio: Double): DataFrame = {
+  /** Per-document hot-shingle ratio — the reusable half of
+    * [[boilerplate]] (also feeds the h4 composed pipeline, which
+    * FILTERS on the ratio instead of reporting it).
+    */
+  def boilerplateRatios(df: DataFrame, idCol: String,
+      textCol: String, relDf: Double): DataFrame = {
     val sh = DedupOps.hashedShingles(df, idCol, textCol)
     val withDf = sh.withColumn("dfc", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("x"))))
     val thresh = df.agg(
       ceil(count(lit(1)) * lit(relDf)).cast("long").as("min_df"))
-    val perDoc = withDf.crossJoin(broadcast(thresh))
+    withDf.crossJoin(broadcast(thresh))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("dfc") >= col("min_df"), 1).otherwise(0))
           .cast("long").as("n_hot"))
       .withColumn("ratio", col("n_hot") * lit(1.0) / col("n_sh"))
+  }
+
+  def boilerplate(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, relDf: Double, flagRatio: Double): DataFrame = {
+    val perDoc = boilerplateRatios(df, idCol, textCol, relDf)
     perDoc.join(df.select(col(idCol), col(groupCol)), Seq(idCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
@@ -1347,14 +1356,23 @@ object TextOps {
       .resultSorted(col(srcCol).asc)
   }
 
+  /** [[scrubPii]] as a DuckDB expression over `expr`. */
+  def scrubPiiSqlExpr(expr: String): String =
+    PiiPatterns.foldLeft(expr) { case (x, (_, pat, tok)) =>
+      s"regexp_replace($x, '$pat', '$tok', 'g')"
+    }
+
+  /** [[piiMatchCount]] as a DuckDB expression over `expr`. */
+  def piiMatchCountSqlExpr(expr: String): String =
+    PiiPatterns.map { case (_, pat, _) =>
+      s"len(regexp_extract_all($expr, '$pat'))"
+    }.mkString("(", " + ", ")")
+
   /** [[piiScrub]] oracle over a rendered-PII CTE: `pii(source,
     * text)`. Patterns/replacements derive from the same table.
     */
   def piiScrubSql(piiCte: String): String = {
-    val scrubbed = PiiPatterns.foldLeft("text") {
-      case (e, (_, pat, tok)) =>
-        s"regexp_replace($e, '$pat', '$tok', 'g')"
-    }
+    val scrubbed = scrubPiiSqlExpr("text")
     val counts = PiiPatterns.map { case (label, pat, _) =>
       s"sum(len(regexp_extract_all(text, '$pat')))::BIGINT AS n_$label"
     }.mkString(",\n  ")
