@@ -192,7 +192,7 @@ object HtmlOps {
     s"""WITH ${extractCtes(table, idCol)},
        |links AS (
        |  SELECT source,
-       |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1))
+       |    unnest(regexp_extract_all(html, '$HrefPattern', 1))
        |      AS href
        |  FROM ext)
        |SELECT source, count(*) AS n_links,
