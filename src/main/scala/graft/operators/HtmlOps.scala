@@ -221,14 +221,20 @@ object HtmlOps {
         TextOps.scrubPii(col("__raw")).as("text"))
     val ratios =
       TextOps.boilerplateRatios(scrubbed, idCol, "text", relDf)
-    scrubbed.join(ratios.select(col(idCol), col("ratio")), Seq(idCol))
+    // token counts fold into the projection BEFORE the ratio join —
+    // the join shuffles only (id, source, npii, ntok), never the
+    // text payload (t13's narrow-join rule; the payload's last
+    // appearance is the shingle scan)
+    val docStats = scrubbed.select(col(idCol), col(srcCol),
+      col("__npii"),
+      size(split(col("text"), " ")).cast("long").as("__ntok"))
+    docStats.join(ratios.select(col(idCol), col("ratio")), Seq(idCol))
       .groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("ratio") < flagRatio, 1).otherwise(0))
           .cast("long").as("n_kept"),
-        sum(when(col("ratio") < flagRatio,
-            size(split(col("text"), " "))).otherwise(0))
-          .cast("long").as("kept_tokens"),
+        sum(when(col("ratio") < flagRatio, col("__ntok"))
+          .otherwise(0L)).cast("long").as("kept_tokens"),
         sum(col("__npii")).cast("long").as("n_pii"))
       .resultSorted(col(srcCol).asc)
   }
