@@ -36,7 +36,7 @@ import graft.ingest.DataRecord
   * (`fetcherClass` option, no-arg constructor) so the whole source
   * plans and reads OFFLINE in tests against fixture payloads.
   *
-  * Options: `pages` (partition count, required), `pageSize` (rows
+  * Options: `pages` (partition count, default 1), `pageSize` (rows
   * per page, default 100), `endpoint` (default: the adapter's
   * api_endpoint), `fetcherClass` (default [[JdkHttpFetcher]]),
   * `ratePerSecond` (default: the adapter's 1.0).
@@ -49,12 +49,15 @@ class NycDiscoverySource extends TableProvider {
   // Round-9: a preset face of the generalized paginated-catalog scan
   // ([[PaginatedCatalogSource]]) — endpoint + mapper pinned to the
   // NYC Socrata catalog, everything else (pages/pageSize/fetcher/
-  // rate) flows through unchanged.
+  // rate) flows through unchanged. `pages` presets to 1 so callers
+  // written against this source's original single-page default keep
+  // working; the GENERIC source stays strict (no work-list → fail).
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new CatalogTable("nyc_open_data_discovery", Map(
       "endpoint" -> "https://data.cityofnewyork.us/api/views/metadata/v1",
-      "mapperClass" -> classOf[NycCatalogPageMapper].getName))
+      "mapperClass" -> classOf[NycCatalogPageMapper].getName,
+      "pages" -> "1"))
 }
 
 object NycDiscoverySource {

@@ -64,4 +64,15 @@ class NycDiscoverySourceSpec extends SparkSpec {
     assert(df.count() == 5) // pages 3 and 4 are past the catalog end
     assert(df.select("record_id").distinct().count() == 5)
   }
+
+  test("no pages option defaults to one page (original caller shape)") {
+    val df = spark.read.format(classOf[NycDiscoverySource].getName)
+      .option("pageSize", 2)
+      .option("endpoint", "http://fixture/api/views/metadata/v1")
+      .option("fetcherClass", classOf[PagedFixtureFetcher].getName)
+      .option("ratePerSecond", 1e6)
+      .load()
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 2) // exactly the first page
+  }
 }

@@ -159,6 +159,28 @@ class PaginatedCatalogSourceSpec extends SparkSpec {
     assert(ScorecardFixtureFetcher.lastUrl.get().contains("per_page=2"))
   }
 
+  test("globalRatePerSecond divides the budget by planned concurrency") {
+    import PaginatedCatalogSource.perPartitionRate
+    // 10^6-CIK work-list on 16 cores at SEC's 10 req/s budget:
+    // 16 concurrent readers share the budget, not multiply it.
+    assert(perPartitionRate(10.0, 1000000, 16) == 10.0 / 16)
+    // fewer items than cores: concurrency is the work-list size
+    assert(perPartitionRate(10.0, 3, 16) == 10.0 / 3)
+    assert(perPartitionRate(1.0, 0, 16) == 1.0) // degenerate floor
+    intercept[IllegalArgumentException](perPartitionRate(0.0, 5, 16))
+    // end-to-end: the option plans and reads (budget generous enough
+    // that the fixture read stays instant)
+    val df = spark.read.format(classOf[PaginatedCatalogSource].getName)
+      .option("items", "320193,789019")
+      .option("endpoint", "http://fixture/submissions")
+      .option("mapperClass", classOf[SecSubmissionsPageMapper].getName)
+      .option("fetcherClass",
+        classOf[SecSubmissionsFixtureFetcher].getName)
+      .option("globalRatePerSecond", 1e6)
+      .load()
+    assert(df.count() == 6)
+  }
+
   test("missing work-list fails loudly (no silent single page)") {
     val ex = intercept[Exception] {
       spark.read.format(classOf[PaginatedCatalogSource].getName)
