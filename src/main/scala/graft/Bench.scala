@@ -45,8 +45,20 @@ object Bench {
   // + h4 1.7995 = 44.0557 for the 194-query oracle suite (see the
   // bake ledger in BASELINE.md; cross-checked by a one-shot fresh
   // 192-query bake at +1.4%).
-  val RecordedDuckdbSf01: Double = 44.0557
-  val RecordedDuckdbQueries: Int = 194
+  // Round-10 chain: 44.0557, re-bake h1 0.2378→0.2134 / h2
+  // 1.4445→1.3183 / h3 0.0516→0.0619 / h4 1.7995→1.7214 (template
+  // grew the per-doc mirror link for h5), + c16 0.7058 + h5 0.0577
+  // + st9 0.0157 = 44.6165 at 197 (min-of-3×3, load avg 1.2).
+  // Then the recursive-CTE oracles gained `AS MATERIALIZED` (DuckDB
+  // was re-inlining the whole minhash pipeline into both sym branches
+  // and every reach iteration — an artifact, not work the semantics
+  // ask for): same-session paired re-measurement n9 5.8606→1.0794,
+  // n11 5.3620→1.0657, n24 5.6553→1.0560, + c18 1.0794 + c19 0.0757
+  // = 44.6165 − 13.6768 + 1.1551 = 32.0948 at 199, + l13 0.1149
+  // = 32.2097 for the 200-query oracle suite (2026-08-14; see
+  // BASELINE.md round-10 ledger).
+  val RecordedDuckdbSf01: Double = 32.2097
+  val RecordedDuckdbQueries: Int = 200
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

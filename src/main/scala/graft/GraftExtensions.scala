@@ -96,5 +96,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_rolling_hash takes exactly 1 argument")
         RollingTokenHash(children.head)
       }))
+    // Spark's OWN runtime-filter expressions, surfaced as callable
+    // functions (they are public classes the optimizer normally
+    // injects itself — InjectRuntimeFilter — but never registers):
+    // graft_bloom_agg(longCol[, estItems]) builds a BloomFilter binary
+    // over a key column; graft_might_contain(bloom, longKey) probes it.
+    // Together they give queries an EXPLICIT scan-stage pre-filter —
+    // the 100 TB decontamination shape where a ~1 MB bloom of the
+    // benchmark keys prunes the corpus before any join shuffle.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, Literal(v, _)) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, v.toString.toLong)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg takes (key[, estimatedItems literal])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_might_contain takes (bloom, key) arguments")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(children.head, children(1))
+      }))
   }
 }

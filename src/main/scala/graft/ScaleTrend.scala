@@ -171,6 +171,30 @@ object ScaleTrend {
     }
     println(f"[scale] n6y x$factor min=${n6yTimes.min}%.3f " +
       s"all=${n6yTimes.map(t => f"$t%.3f").mkString(",")}")
+    // c16 (bloom decontamination) over the N×-replicated corpus with
+    // offset doc_ids: the bench side stays FIXED (replica 0's %11
+    // slice), the corpus side grows N× — the asymmetric-decontam
+    // shape. Time must track the corpus scan + the (fixed-rate)
+    // candidate join, with the bloom prune keeping the join input
+    // proportional to true matches, not corpus size.
+    val qc16 = () => {
+      val hx = operators.DedupOps.hashedShingles(
+        big.select(col("doc_id"), col("text")), "doc_id", "text")
+      operators.DedupOps.crossCorpusOverlapBloomHashed(spark,
+        hx.filter(col("doc_id") % 11 === 0 &&
+            col("doc_id") < 10000000L)
+          .select(col("doc_id").as("bench_id"), col("x")),
+        hx.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id").as("corpus_id"), col("x")),
+        minShared = 3, maxDf = SparkEntry.ShingleMaxDf * factor)
+    }
+    val c16Times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qc16().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] c16 x$factor min=${c16Times.min}%.3f " +
+      s"all=${c16Times.map(t => f"$t%.3f").mkString(",")}")
     spark.stop()
   }
 }

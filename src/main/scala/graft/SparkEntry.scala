@@ -365,6 +365,23 @@ object SparkEntry {
           .select(col("doc_id").as("corpus_id"), col("x")),
         minShared = 3, maxDf = ShingleMaxDf)
     }),
+    // c16: the BLOOM-prefiltered exact tier — c2's shape at modulus
+    // 11, but the corpus side is pruned in its own scan stage by a
+    // BloomFilter of the bench shingle keys referenced as a scalar
+    // subquery (Spark's InjectRuntimeFilter machinery, surfaced as
+    // graft_bloom_agg/graft_might_contain). No false negatives +
+    // inner-join-drops-false-positives ⇒ row-identical to the exact
+    // tier, so the full hash gate holds against the plain-join oracle.
+    "c16_bloom_decontaminate" -> ((s, dir) => {
+      val hx = DedupOps.hashedShingles(Tables.documents(s, dir),
+        "doc_id", "text").cache()
+      DedupOps.crossCorpusOverlapBloomHashed(s,
+        hx.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id").as("bench_id"), col("x")),
+        hx.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id").as("corpus_id"), col("x")),
+        minShared = 3, maxDf = ShingleMaxDf)
+    }),
     // c3 splits on %7 (not c2's %97) so planted near-dup pairs
     // straddle the bench/corpus boundary at every SF — the banded tier
     // exists to catch exactly those.
@@ -379,6 +396,20 @@ object SparkEntry {
         minShared = 3, maxDf = ShingleMaxDf)
     }),
 
+    // c18: SPLIT-LEAKAGE AUDIT — near-dup pairs vs two split
+    // policies; the cluster-keyed policy must audit to ZERO leaks
+    // (the c7 safety claim, proven), the doc-hash policy's count is
+    // the contamination a naive split invites.
+    "c18_leakage_audit" -> ((s, dir) =>
+      DedupOps.splitLeakageAudit(Tables.documents(s, dir), "doc_id",
+        "text", minJaccard = 0.8, maxDf = ShingleMaxDf,
+        trainPerMille = 800)),
+    // c19: DOMAIN-CAP sampling — best-k-per-source quota, planned
+    // through the custom partial top-k operator (TopKRewrite fires
+    // on the rank-filter shape; spec-asserted).
+    "c19_domain_cap" -> ((s, dir) =>
+      TextOps.domainCap(Tables.documents(s, dir), "doc_id", "source",
+        "text", "n_chars", k = 20)),
     // ---- north-star: text analysis ----
     "t1_token_stats" -> ((s, dir) =>
       TextOps.tokenStats(Tables.documents(s, dir),
@@ -542,6 +573,17 @@ object SparkEntry {
       graft.operators.HtmlOps.webPipeline(piiDocs, "doc_id", "source",
         relDf = 0.003, flagRatio = 0.45)
     }),
+    // h5: crawl frontier — harvested targets (query/fragment
+    // stripped to page identity) anti-joined against the crawled
+    // catalog, per-host politeness rollup; closes the crawler loop
+    // h3 feeds (the mirror host's frontier grows with the corpus,
+    // the nav targets stay the bounded shared set).
+    "h5_frontier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rendered = docs.select(col("doc_id"),
+        graft.operators.HtmlOps.renderHtml.as("html"))
+      graft.operators.HtmlOps.frontier(rendered, "doc_id", "html")
+    }),
     // c11: overlapping token-window chunking — the pre-embedding
     // splitter (64-token chunks, stride 48); manifest rows carry an
     // md5 prefix for the chunk payload, hash-checkable without text.
@@ -637,6 +679,15 @@ object SparkEntry {
       FtsOps.searchBm25Docs(Tables.documents(s, dir), "doc_id",
         "text", terms = Seq("batch", "dup"), k = 50)),
 
+    // l13: QUERY EXPANSION (pseudo-relevance feedback, RM3-lite) —
+    // seed tf·idf search → top-10 feedback docs → 3 strongest
+    // non-seed/non-stop terms join the query → expanded OR search.
+    // A doc with zero seed terms can rank via the expansion — the
+    // recall lever ranking alone can't pull.
+    "l13_query_expansion" -> ((s, dir) =>
+      FtsOps.queryExpansion(Tables.documents(s, dir), "doc_id",
+        "text", seedTerms = Seq("merge", "dup"), kFb = 10, nExp = 3,
+        k = 50)),
     // l11: TWO-STAGE RERANK — BM25 recall set exactly re-scored by
     // dense cosine, restricted to the candidates (dense cost O(n·dim)
     // at any corpus size); the serving path l9's rank fusion doesn't
@@ -971,6 +1022,38 @@ object SparkEntry {
         .join(est, Seq("t"))
         .select(col("t").as("event_type"), col("exact_distinct"),
           col("hll_distinct"))
+        .resultSorted(col("event_type").asc)
+    }),
+    // st9: STREAMING exact dedup — three micro-batches with %7-slice
+    // REDELIVERIES of the previous batch (the at-least-once shape);
+    // dropDuplicatesWithinWatermark drops them, so the appended
+    // output aggregates to the exactly-once oracle over the original
+    // events. Sums ride exact integer cents (b1's convention: a
+    // 20k-row double fold can flip the 6th decimal between engines).
+    "st9_stream_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val fix = cachedStreamInput(s, dir, "stream_dedup") { root =>
+        val b0 = ev.filter(col("event_id") % 3 === 0)
+        val b1 = ev.filter(col("event_id") % 3 === 1)
+        val b2 = ev.filter(col("event_id") % 3 === 2)
+        writeInputBatches(Seq(
+          b0,
+          b1.unionByName(b0.filter(col("event_id") % 7 === 0)),
+          b2.unionByName(b1.filter(col("event_id") % 7 === 1))), root)
+        ()
+      }
+      val run = tempTableRoot("graft_stream_dedup_run")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
+      graft.streaming.StreamingOps.dedupSink(stream, "ts",
+        Seq("event_id"), "60 days", run + "/out", run + "/ckpt")
+      s.read.parquet(run + "/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0)
+            .as("total_value"))
         .resultSorted(col("event_type").asc)
     }),
     // st7: STREAMING as-of — purchases arrive in 3 micro-batches and
@@ -2504,6 +2587,42 @@ object SparkEntry {
       operators.DedupOps.crossCorpusOverlapBandedSql("documents",
         "doc_id", "text", modulus = 7, minShared = 3,
         maxDf = ShingleMaxDf),
+    // c16: the oracle is the PLAIN exact join — the bloom is
+    // pruning-only, so the Spark side must hash-match it verbatim.
+    "c16_bloom_decontaminate" ->
+      operators.DedupOps.crossCorpusOverlapSql("documents", "doc_id",
+        "text", modulus = 11, minShared = 3, maxDf = ShingleMaxDf),
+    // c18: the n9 recursive-CTE cluster relation + the c7 md5 gate
+    // on both policies; the oracle itself must report
+    // cluster_hash → 0 leaks.
+    "c18_leakage_audit" ->
+      operators.DedupOps.splitLeakageAuditSql("documents", "doc_id",
+        "text", minJaccard = 0.8, maxDf = ShingleMaxDf,
+        trainPerMille = 800),
+    // c19: t2's quality formula CTEs + a per-source rank window;
+    // scores compare on the integer-micro grid.
+    "c19_domain_cap" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split(text, ' ') AS w, n_chars FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+        |    len(list_filter(w,
+        |      x -> x IN ('the','a','of','and','is','in'))) * 1.0
+        |      / len(w) AS stop_ratio,
+        |    (n_chars * 1.0 - (len(w) - 1)) / len(w) AS awl
+        |  FROM t),
+        |q AS (SELECT doc_id, source,
+        |    ttr * 0.5 + (1.0 - stop_ratio) * 0.3 +
+        |    least(awl / 8.0, 1.0) * 0.2 AS quality
+        |  FROM c),
+        |r AS (SELECT source, doc_id, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id ASC) AS rnk
+        |  FROM q)
+        |SELECT source, rnk, doc_id,
+        |  CAST(round(quality * 1000000) AS BIGINT) AS q_micro
+        |FROM r WHERE rnk <= 20
+        |ORDER BY source ASC, rnk ASC""".stripMargin,
     "t1_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
@@ -2827,6 +2946,8 @@ object SparkEntry {
       graft.operators.HtmlOps.htmlBoilerplateSql("documents", "doc_id"),
     "h3_link_harvest" ->
       graft.operators.HtmlOps.linkReportSql("documents", "doc_id"),
+    "h5_frontier" ->
+      graft.operators.HtmlOps.frontierSql("documents", "doc_id"),
     "h4_web_pipeline" -> graft.operators.HtmlOps.webPipelineSql(
       """SELECT doc_id, source, text || ' contact user' || doc_id ||
         |  '@example.com' ||
@@ -3080,6 +3201,10 @@ object SparkEntry {
     "l7_fts_bm25" ->
       operators.FtsOps.searchBm25DocsSql("documents", "doc_id",
         "text", Seq("batch", "dup"), 50),
+    "l13_query_expansion" ->
+      operators.FtsOps.queryExpansionSql("documents", "doc_id",
+        "text", seedTerms = Seq("merge", "dup"), kFb = 10, nExp = 3,
+        k = 50),
     "l8_fts_batch" ->
       operators.FtsOps.searchBm25BatchSql("documents", "doc_id",
         "text", BatchFtsQueries, 10),
@@ -3368,6 +3493,15 @@ object SparkEntry {
         |FROM ex, dq, mq""".stripMargin,
     // st8: the streamed register store must equal batch e9 exactly.
     "st8_stream_hll" -> HllOracleSql,
+    // st9: exactly-once totals over the ORIGINAL events — redelivered
+    // slices must vanish in the streaming dedup.
+    "st9_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+        |    AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
     // e9: the identical estimator in SQL — integer registers, one
     // division, one deterministic ln in the linear-counting branch.
     "e9_hll_exact" -> HllOracleSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Sorting.ResultSortOps
@@ -358,6 +358,45 @@ object DedupOps {
     // join is inner on x.
     val sb = capShingleDf(sb0, maxDf)
     sa.join(sb, Seq("x"))
+      .groupBy(col("bench_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("bench_id").asc, col("corpus_id").asc)
+  }
+
+  /** BLOOM-PREFILTERED decontamination — [[crossCorpusOverlapHashed]]
+    * with Spark's own runtime-filter machinery made explicit: a
+    * BloomFilter over the BENCHMARK shingle keys (the small side,
+    * ~1.2 MB at a million keys) is built as a 1-row aggregate and
+    * referenced as a SCALAR SUBQUERY, so `might_contain` applies in
+    * the CORPUS SCAN STAGE — non-matching corpus shingles die before
+    * the join shuffle ever sees them. Exactness is free: a bloom has
+    * no false negatives, so every truly-shared shingle survives the
+    * prune, and false positives are dropped by the inner join that
+    * follows — the result is row-identical to the exact tier (same
+    * oracle). This is the InjectRuntimeFilter shape
+    * (spark/sql/catalyst/optimizer/InjectRuntimeFilter.scala) under
+    * user control: at 100 TB the alternative — shuffling every corpus
+    * shingle to meet the benchmark side — moves ~10⁴× more bytes than
+    * the bloom prunes for.
+    */
+  def crossCorpusOverlapBloomHashed(spark: SparkSession,
+      sa: DataFrame, sb0: DataFrame, minShared: Int,
+      maxDf: Int = Int.MaxValue, estItems: Long = 1000000L)
+      : DataFrame = {
+    val sb = capShingleDf(sb0, maxDf)
+    sa.createOrReplaceTempView("graft_bloom_bench")
+    sb.createOrReplaceTempView("graft_bloom_corpus")
+    // The scalar subquery is the only SQL-surface-only piece:
+    // BloomFilterMightContain type-checks its bloom side as a
+    // constant or subquery, exactly how the optimizer's own injected
+    // filters are shaped.
+    val pruned = spark.sql(
+      s"""SELECT corpus_id, x FROM graft_bloom_corpus
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(x, ${estItems}L)
+         |   FROM graft_bloom_bench), x)""".stripMargin)
+    sa.join(pruned, Seq("x"))
       .groupBy(col("bench_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
@@ -812,13 +851,18 @@ object DedupOps {
     * each doc; the cluster id is the minimum — the fixpoint label
     * propagation converges to.
     */
+  // `AS MATERIALIZED` on the non-recursive CTEs: without it DuckDB
+  // re-inlines the whole minhash pipeline into BOTH sym branches and
+  // every reach iteration (measured 24 s vs 1.2 s at sf0.1 on the
+  // c18 shape) — the hint states the obvious evaluate-once
+  // semantics the oracle means.
   def dupClustersSql(table: String, idCol: String, textCol: String,
       minJaccard: Double, n: Int = 3, maxDf: Int = Int.MaxValue)
       : String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |${minhashPairsSql(table, idCol, textCol, minJaccard, n, maxDf)
           .replace("ORDER BY id_a ASC, id_b ASC", "")}),
-       |sym AS (
+       |sym AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION
        |  SELECT id_b, id_a FROM pairs),
@@ -828,6 +872,109 @@ object DedupOps {
        |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id)
        |SELECT id AS doc_id, min(r) AS cluster_id
        |FROM reach GROUP BY id ORDER BY doc_id ASC""".stripMargin
+
+  /** SPLIT-LEAKAGE AUDIT (c18) — proves the safety claim the
+    * group-keyed split (c7) makes: near-dup pairs (the minhash-LSH
+    * tier) joined against TWO split policies — a naive per-doc hash
+    * split, and the cluster-keyed split whose group is the connected
+    * near-dup cluster ([[dupClusters]]) — counting pairs whose
+    * endpoints land in different splits. The cluster policy must
+    * audit to ZERO leaks by construction (a pair's endpoints share a
+    * cluster, hence a bucket, hence a split); the doc policy's count
+    * is the eval contamination a doc-level random split invites.
+    * Scale shape: pairs and clusters are the LSH tier's own bucketed
+    * outputs; the audit adds two equi-joins on doc id and one 1-row
+    * aggregate unpivoted to the 2-row report.
+    */
+  def splitLeakageAudit(docs: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double, maxDf: Int,
+      trainPerMille: Int): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, minJaccard,
+        maxDf = maxDf)
+      .select(col("id_a"), col("id_b")).cache()
+    val clusters = dupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val grp = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("grp"))
+    // same md5-permille gate as the c7/s1/c4 samplers
+    def bucket(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000
+    def split(c: Column): Column =
+      when(bucket(c) < trainPerMille, "train").otherwise("test")
+    val asg = grp.select(col(idCol),
+      split(col(idCol)).as("doc_split"),
+      split(col("grp")).as("grp_split"))
+    val j = pairs
+      .join(asg.select(col(idCol).as("id_a"),
+        col("doc_split").as("da"), col("grp_split").as("ga")),
+        Seq("id_a"))
+      .join(asg.select(col(idCol).as("id_b"),
+        col("doc_split").as("db"), col("grp_split").as("gb")),
+        Seq("id_b"))
+    j.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("da") =!= col("db"), 1L).otherwise(0L)),
+          lit(0L)).as("doc_leaks"),
+        coalesce(sum(when(col("ga") =!= col("gb"), 1L).otherwise(0L)),
+          lit(0L)).as("grp_leaks"))
+      .select(expr("stack(2, 'cluster_hash', n_pairs, grp_leaks, " +
+        "'doc_hash', n_pairs, doc_leaks) AS (policy, n_pairs, " +
+        "n_leaking)"))
+      .orderBy(col("policy").asc)
+  }
+
+  /** Oracle twin of [[splitLeakageAudit]]: the [[dupClustersSql]]
+    * recursive-CTE cluster relation, the c7 md5-permille gate on both
+    * policies, one aggregate unpivoted by UNION ALL.
+    */
+  def splitLeakageAuditSql(table: String, idCol: String,
+      textCol: String, minJaccard: Double, n: Int = 3,
+      maxDf: Int = Int.MaxValue, trainPerMille: Int = 800): String = {
+    def gate(x: String): String =
+      s"""CASE WHEN ('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 15))
+         |::BIGINT % 1000 < $trainPerMille
+         |THEN 'train' ELSE 'test' END""".stripMargin
+        .replaceAll("\n", " ")
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |${minhashPairsSql(table, idCol, textCol, minJaccard, n, maxDf)
+          .replace("ORDER BY id_a ASC, id_b ASC", "")}),
+       |sym AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.r FROM sym s JOIN reach r ON s.dst = r.id),
+       |clusters AS (SELECT id, min(r) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |grp AS (SELECT d.$idCol AS id,
+       |    coalesce(c.cluster_id, d.$idCol) AS grp
+       |  FROM $table d LEFT JOIN clusters c ON d.$idCol = c.id),
+       |asg AS (SELECT id,
+       |    ${gate("id")} AS doc_split,
+       |    ${gate("grp")} AS grp_split
+       |  FROM grp),
+       |j AS (SELECT a.doc_split AS da, b.doc_split AS db,
+       |    a.grp_split AS ga, b.grp_split AS gb
+       |  FROM pairs p
+       |  JOIN asg a ON p.id_a = a.id
+       |  JOIN asg b ON p.id_b = b.id),
+       |t AS (SELECT count(*) AS n_pairs,
+       |    coalesce(sum(CASE WHEN da <> db THEN 1 ELSE 0 END), 0)
+       |      ::BIGINT AS doc_leaks,
+       |    coalesce(sum(CASE WHEN ga <> gb THEN 1 ELSE 0 END), 0)
+       |      ::BIGINT AS grp_leaks
+       |  FROM j)
+       |SELECT 'cluster_hash' AS policy, n_pairs, grp_leaks AS n_leaking
+       |FROM t
+       |UNION ALL
+       |SELECT 'doc_hash', n_pairs, doc_leaks FROM t
+       |ORDER BY policy ASC""".stripMargin
+  }
 
   /** 60-bit SimHash fingerprint per document (tier 4). Token hash =
     * md5-hex 60 bits; bit i of the fingerprint is set iff

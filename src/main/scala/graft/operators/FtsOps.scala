@@ -319,6 +319,100 @@ object FtsOps {
       idCol: String, terms: Seq[String], k: Int): DataFrame =
     search(spark.table(tableName), idCol, terms, k)
 
+  /** QUERY EXPANSION via pseudo-relevance feedback (l13, RM3-lite) —
+    * the retrieval-quality lever after ranking itself: seed tf·idf
+    * search → top-`kFb` feedback docs → the `nExp` strongest
+    * non-seed, non-stopword terms in the feedback set (summed tf,
+    * token-asc tiebreak) join the query → one expanded OR search.
+    * The expansion-term set is DATA, so the second pass prunes its
+    * postings with a broadcast semi-join on the term relation
+    * instead of a literal IN-list — the same bucket-prunable key
+    * either way at rest. The index builds once and is cached across
+    * the three passes (feedback, candidates, final); every pass
+    * moves only term-bounded posting rows. The chosen expansion
+    * terms ride along as a witness column (alphabetical join — the
+    * ranked order is already pinned by the result itself).
+    */
+  def queryExpansion(docs: DataFrame, idCol: String, textCol: String,
+      seedTerms: Seq[String], kFb: Int, nExp: Int, k: Int)
+      : DataFrame = {
+    require(seedTerms.nonEmpty, "at least one seed term")
+    val norm = seedTerms.map(_.toLowerCase).distinct
+    val index = buildIndex(docs, idCol, textCol).cache()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val fbDocs = searchRanked(index, nDocs, idCol, norm, kFb)
+      .select(col(idCol))
+    val stop = Seq("the", "a", "of", "and", "is", "in") ++ norm
+    val cand = index.join(fbDocs, Seq(idCol), "left_semi")
+      .filter(!col("token").isInCollection(stop))
+      .groupBy(col("token")).agg(sum(col("tf")).as("fb_tf"))
+      .orderBy(col("fb_tf").desc, col("token").asc)
+      .limit(nExp)
+      .cache()
+    val seedDf = docs.sparkSession
+      .createDataset(norm)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("token")
+    val terms = cand.select(col("token")).unionByName(seedDf).distinct()
+    val postings = index.join(broadcast(terms), Seq("token"))
+    val dfs = postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val expandedWith = cand
+      .agg(array_join(sort_array(collect_list(col("token"))), " ")
+        .as("expanded_with"))
+    postings.join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(col("tf") * log(col("n_docs").cast("double") / col("df"))),
+        6).as("score"))
+      .crossJoin(broadcast(expandedWith))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Oracle twin of [[queryExpansion]] — the identical three passes
+    * as CTEs (shared tokenize/df/ln-idf conventions with
+    * [[searchRankedDocsSql]]; feedback cut orders by the same
+    * 6-dp-rounded score).
+    */
+  def queryExpansionSql(table: String, idCol: String, textCol: String,
+      seedTerms: Seq[String], kFb: Int, nExp: Int, k: Int): String = {
+    val norm = seedTerms.map(_.toLowerCase).distinct
+    val inList = norm.map(t => s"'$t'").mkString(", ")
+    val stopList = (Seq("the", "a", "of", "and", "is", "in") ++ norm)
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH idx AS (
+       |  SELECT token, $idCol, count(*) AS tf FROM (
+       |    SELECT $idCol, unnest(string_split(lower($textCol), ' '))
+       |      AS token
+       |    FROM $table)
+       |  WHERE token <> '' GROUP BY token, $idCol),
+       |nd AS (SELECT count(*) AS n_docs FROM $table),
+       |p1 AS (SELECT * FROM idx WHERE token IN ($inList)),
+       |df1 AS (SELECT token, count(*) AS df FROM p1 GROUP BY token),
+       |s1 AS (SELECT $idCol,
+       |    round(sum(tf * ln(n_docs * 1.0 / df)), 6) AS score
+       |  FROM p1 JOIN df1 USING (token), nd GROUP BY $idCol),
+       |fb AS (SELECT $idCol FROM s1
+       |  ORDER BY score DESC, $idCol ASC LIMIT $kFb),
+       |cand AS (SELECT token, sum(tf) AS fb_tf FROM idx
+       |  WHERE $idCol IN (SELECT $idCol FROM fb)
+       |    AND token NOT IN ($stopList)
+       |  GROUP BY token ORDER BY fb_tf DESC, token ASC LIMIT $nExp),
+       |terms AS (SELECT token FROM cand
+       |  UNION SELECT unnest([$inList])),
+       |p2 AS (SELECT idx.* FROM idx JOIN terms USING (token)),
+       |df2 AS (SELECT token, count(*) AS df FROM p2 GROUP BY token),
+       |ew AS (SELECT string_agg(token, ' ' ORDER BY token ASC)
+       |  AS expanded_with FROM cand)
+       |SELECT p.$idCol,
+       |  round(sum(p.tf * ln(nd.n_docs * 1.0 / d.df)), 6) AS score,
+       |  ew.expanded_with
+       |FROM p2 p JOIN df2 d USING (token), nd, ew
+       |GROUP BY p.$idCol, ew.expanded_with
+       |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
+  }
+
   /** Oracle SQL twin of [[searchDocs]]. */
   def searchDocsSql(table: String, idCol: String, textCol: String,
       terms: Seq[String], k: Int): String = {

@@ -52,8 +52,10 @@ object HtmlOps {
     Right("text"),
     Left("</p><p>Fish &amp; chips &lt;i&gt; &quot;quoted&quot; " +
       "it&#39;s</p><script>var x = 1 < 2 && y > 0;</script>" +
-      "<footer>Example Corp - all rights reserved</footer>" +
-      "</body></html>"))
+      "<footer>Example Corp - all rights reserved " +
+      "<a href=\"https://mirror.example/d/"),
+    Right("doc_id"),
+    Left("\">M</a></footer></body></html>"))
 
   /** Structure strips, in order: script+content, style+content, then
     * every remaining tag. Patterns are shared Java-regex/RE2 syntax
@@ -199,6 +201,67 @@ object HtmlOps {
        |  count(DISTINCT href) AS n_targets,
        |  min(href) AS min_href
        |FROM links GROUP BY source ORDER BY source ASC""".stripMargin
+
+  /** Query/fragment strip → page identity (the crawl-frontier dedup
+    * key; u1's full canonicalizer handles the messier host/port/param
+    * cases — here the template emits one self-link variant, so
+    * identity = the bare path).
+    */
+  private val PageIdPattern = "[?#].*$"
+  private val HostPattern = "^https?://([^/]+)"
+
+  /** CRAWL FRONTIER (h5) — the step that closes the crawler loop the
+    * reference runs by hand (discover → fetch → extract → discover):
+    * every harvested link target, reduced to page identity
+    * (query/fragment stripped), LEFT-ANTI-joined against the crawled
+    * catalog (this corpus's own pages), rolled up per target host —
+    * the politeness-budget view a scheduler consumes (one rate
+    * limiter per host, [[graft.ingest.RateLimiter]]).
+    *
+    * Scale shape: extract + strip run in the scan stage (only URL
+    * strings continue); `distinct` is one shuffle on the url key; the
+    * anti-join is an equi-join on the same key (sort-merge at 100 TB —
+    * BOTH sides are corpus-scale, the crawled catalog is every page
+    * ever fetched, so no broadcast is assumed); the final aggregate
+    * runs on the bounded host domain.
+    */
+  def frontier(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val targets = df.select(
+        explode(regexp_extract_all(col(htmlCol), lit(HrefPattern),
+          lit(1))).as("href"))
+      .select(regexp_replace(col("href"), PageIdPattern, "").as("url"))
+      .distinct()
+    val crawled = df.select(concat(lit("/d/"), col(idCol)).as("url"))
+    targets.join(crawled, Seq("url"), "left_anti")
+      .select(regexp_extract(col("url"), HostPattern, 1).as("host"),
+        col("url"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        min(col("url")).as("min_url"),
+        max(col("url")).as("max_url"))
+      .resultSorted(col("host").asc)
+  }
+
+  /** h5 oracle: the identical frontier in DuckDB (shared href/strip
+    * patterns; NOT IN stands in for the anti-join).
+    */
+  def frontierSql(table: String, idCol: String): String =
+    s"""WITH ${extractCtes(table, idCol)},
+       |links AS (
+       |  SELECT regexp_replace(
+       |    unnest(regexp_extract_all(html, '$HrefPattern', 1)),
+       |    '$PageIdPattern', '') AS url
+       |  FROM raw),
+       |targets AS (SELECT DISTINCT url FROM links),
+       |crawled AS (SELECT '/d/' || $idCol AS url FROM raw),
+       |fresh AS (
+       |  SELECT url FROM targets
+       |  WHERE url NOT IN (SELECT url FROM crawled))
+       |SELECT regexp_extract(url, '$HostPattern', 1) AS host,
+       |  count(*) AS n_urls, min(url) AS min_url, max(url) AS max_url
+       |FROM fresh GROUP BY host ORDER BY host ASC""".stripMargin
 
   /** THE WEB-CORPUS FRONT DOOR as ONE Catalyst plan (h4, the c12
     * composition pattern applied to ingestion): raw PII-laden pages

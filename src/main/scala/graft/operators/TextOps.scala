@@ -63,6 +63,34 @@ object TextOps {
       .orderBy(col("quality").desc, col(idCol).asc)
       .limit(k)
 
+  /** DOMAIN-CAP sampling (c19) — keep at most k docs per source,
+    * preferring the highest quality score: the per-domain quota every
+    * web corpus applies so no single host dominates the mixture
+    * (quality is the single-pass `graft_quality` expression, t2's
+    * formula). The declarative rank-filter shape below is REWRITTEN
+    * by the session's TopKRewrite rule into the partial top-k
+    * operator ([[graft.plans.TopKPerKeyExec]]): map-side bounded
+    * heaps per source, so the exchange moves ≤ k·|sources| rows —
+    * at 100 TB a quota op must never ride a full per-key window sort.
+    * Scores surface on the integer-micro grid (t26's convention),
+    * doc-id-ascending tiebreak.
+    */
+  def domainCap(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, charsCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol), col(srcCol),
+      call_function("graft_quality", col(textCol), col(charsCol))
+        .getField("quality").as("__q"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("__q").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(srcCol), col("rnk").cast("long").as("rnk"),
+        col(idCol),
+        round(col("__q") * 1000000).cast("long").as("q_micro"))
+      .orderBy(col(srcCol).asc, col("rnk").asc)
+  }
+
   /** GATE-THRESHOLD SWEEP — how a quality gate's cut line is
     * actually tuned: per score decile, the doc count plus the
     * cumulative at-or-above count and corpus share, i.e. "if the

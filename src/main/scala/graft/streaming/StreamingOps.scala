@@ -478,6 +478,41 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** STREAMING EXACT-DEDUP sink — the at-least-once → exactly-once
+    * boundary every production ingestion crosses: redelivered events
+    * (same key, any later micro-batch) are dropped by
+    * `dropDuplicatesWithinWatermark`, whose key state is EVICTED once
+    * the watermark passes the key's event time + delay — bounded
+    * state, unlike plain streaming `dropDuplicates` ([[dedupStream]]),
+    * which must hold every key ever seen. The per-batchId overwrite
+    * keeps the appended output replay-safe (asofSink's convention):
+    * a restarted batch REPLACES its own partial output.
+    *
+    * Scale shape: dedup state is hash-partitioned by key across
+    * executors (one shuffle per batch on the key), sized by
+    * |keys in the watermark window|, not |keys ever| — the knob a
+    * 100 TB/day stream actually has.
+    */
+  def dedupSink(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermarkDelay: String, outPath: String, checkpointDir: String)
+      : Unit = {
+    val deduped = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+    val q = deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("overwrite")
+            .parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAMING DISTINCT-COUNT via mergeable HLL registers: each
     * micro-batch's (key, bucket, ρ) registers are MAX-merged into a
     * persisted register table (256 rows per key — fixed state at ANY

@@ -109,6 +109,69 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.toSeq == Seq((100L, 101L, 1.0)))
   }
 
+  test("bloom-prefiltered decontamination equals the exact tier and " +
+      "prunes in the corpus scan stage") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val hx = DedupOps.hashedShingles(docs, "doc_id", "text").cache()
+    val bench = hx.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("bench_id"), col("x"))
+    val corpus = hx.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("x"))
+    val exact = DedupOps.crossCorpusOverlapHashed(bench, corpus,
+      minShared = 3, maxDf = graft.SparkEntry.ShingleMaxDf)
+    val bloom = DedupOps.crossCorpusOverlapBloomHashed(spark, bench,
+      corpus, minShared = 3, maxDf = graft.SparkEntry.ShingleMaxDf)
+    val e = exact.collect().toSeq
+    val b = bloom.collect().toSeq
+    assert(e.nonEmpty, "fixture must produce cross-corpus overlaps")
+    assert(b == e, "a bloom has no false negatives and the inner " +
+      "join drops its false positives — results must be identical")
+    // plan shape: the might_contain filter sits in the plan (scan
+    // stage of the corpus side), with the bloom as a subquery
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "the bloom probe must appear in the physical plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      "the bloom must be built once as a scalar subquery")
+  }
+
+  test("splitLeakageAudit: cluster policy never leaks; doc policy " +
+      "leaks a planted straddling pair") {
+    // find two ids whose md5-permille buckets straddle the 800 line,
+    // then plant a near-dup pair across them: the doc policy MUST
+    // count it, the cluster policy must not.
+    def bucket(i: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 1000
+    }
+    val train = (0L until 100L).find(bucket(_) < 800).get
+    val test0 = (0L until 100L).find(bucket(_) >= 800).get
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (Seq((train, dupText), (test0, dupText)) ++
+      (200L until 230L).map(i => (i, s"unique u$i v$i w$i y$i z$i")))
+      .toDF("doc_id", "text")
+    val rows = DedupOps.splitLeakageAudit(docs, "doc_id", "text",
+      minJaccard = 0.8, maxDf = 10, trainPerMille = 800)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows == Seq(
+      ("cluster_hash", 1L, 0L),
+      ("doc_hash", 1L, 1L)))
+  }
+
+  test("splitLeakageAudit with no pairs reports zero rows-safe") {
+    val docs = (0L until 20L)
+      .map(i => (i, s"only one of these q$i r$i s$i t$i"))
+      .toDF("doc_id", "text")
+    val rows = DedupOps.splitLeakageAudit(docs, "doc_id", "text",
+      minJaccard = 0.8, maxDf = 10, trainPerMille = 800)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows == Seq(("cluster_hash", 0L, 0L), ("doc_hash", 0L, 0L)))
+  }
+
   test("dupClusters: chain and clique collapse to min-id components") {
     // chain 1-2-3 (diameter 2: needs >1 propagation round),
     // clique 10-11-12, isolated pair 20-21

@@ -64,6 +64,27 @@ class FtsRenderSpec extends SparkSpec {
       Seq("needle", "the"), 10).count() == 1)
   }
 
+  test("query expansion: a zero-seed-term doc ranks via the feedback " +
+      "terms") {
+    // seed 'zebra' co-occurs with 'quagga' in the feedback docs; doc
+    // 9 never mentions the seed but is dense in the expansion term —
+    // classic PRF recall the un-expanded search can't reach.
+    val df = Seq(
+      (1L, "zebra quagga stripes plains"),
+      (2L, "zebra quagga herd"),
+      (3L, "zebra quagga fossil record"),
+      (9L, "quagga quagga quagga revival project"),
+      (10L, "unrelated text entirely here")).toDF("doc_id", "text")
+    val out = FtsOps.queryExpansion(df, "doc_id", "text",
+      seedTerms = Seq("zebra"), kFb = 3, nExp = 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.forall(_._2 == "quagga"),
+      s"expansion must pick the co-occurring term, got ${out.toSeq}")
+    assert(out.map(_._1).contains(9L),
+      s"expansion must recall the seedless doc, got ${out.toSeq}")
+    assert(!out.map(_._1).contains(10L))
+  }
+
   test("bm25: term-frequency saturates; short docs outrank long ones") {
     // doc 1 repeats the term 20×: under tf·idf it would score 20× doc
     // 2's single hit; under BM25 the saturated contribution is capped

@@ -85,6 +85,37 @@ class HtmlSpec extends SparkSpec {
     assert(!rows.exists(_.getString(0) == "s2")) // no links → no row
   }
 
+  test("frontier: crawled pages drop, nav + off-site targets remain") {
+    val df = Seq(
+      (1L, """<a href="/">n</a><a href="/d/1?b=2&a=1">self</a>""" +
+        """<a href="/d/2#frag">peer</a>""" +
+        """<a href="https://mirror.example/d/1">m</a>"""),
+      (2L, """<a href="/">n</a><a href="/d/9">gone</a>"""))
+      .toDF("doc_id", "html")
+    val rows = HtmlOps.frontier(df, "doc_id", "html")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSeq
+    // crawled = {/d/1, /d/2}: the self link (query stripped) and the
+    // peer link (fragment stripped) both die; /d/9 is frontier
+    assert(rows == Seq(
+      ("", 2L, "/", "/d/9"),
+      ("mirror.example", 1L, "https://mirror.example/d/1",
+        "https://mirror.example/d/1")))
+  }
+
+  test("frontier on the fixture: mirror host grows with the corpus") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val n = docs.count()
+    val rendered = docs.select(col("doc_id"),
+      HtmlOps.renderHtml.as("html"))
+    val rows = HtmlOps.frontier(rendered, "doc_id", "html").collect()
+    val rel = rows.find(_.getString(0) == "").get
+    assert(rel.getLong(1) == 2L) // "/" and "/docs": bounded nav set
+    val mirror = rows.find(_.getString(0) == "mirror.example").get
+    assert(mirror.getLong(1) == n,
+      "every corpus page contributes one un-crawled mirror URL")
+  }
+
   test("extraction is a pure projection: no exchange before the sort") {
     val docs = graft.Tables.documents(spark, sfSmoke)
     val ext = docs.select(col("doc_id"),

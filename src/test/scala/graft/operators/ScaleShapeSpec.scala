@@ -69,7 +69,9 @@ class ScaleShapeSpec extends SparkSpec {
       "d2_dataset_card", "d3_card_merge", "t26_threshold_sweep",
       "h1_html_extract", "h2_html_boilerplate", "n6x_lsh_seeded_topk",
       "h3_link_harvest", "n6y_lsh_batch_topk", "t27_pii_scrub",
-      "n6z_lsh_recall", "h4_web_pipeline")
+      "n6z_lsh_recall", "h4_web_pipeline",
+      "c16_bloom_decontaminate", "h5_frontier", "st9_stream_dedup",
+      "c18_leakage_audit", "c19_domain_cap", "l13_query_expansion")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),

@@ -136,6 +136,26 @@ class TopKSpec extends SparkSpec {
       s"self-join did not reuse the top-k branch:\n$plan")
   }
 
+  test("domainCap (c19) plans through TopKPerKeyExec and equals the " +
+      "window form") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val capped = graft.operators.TextOps.domainCap(docs, "doc_id",
+      "source", "text", "n_chars", k = 20)
+    val fast = capped.collect().map(_.toSeq).toSeq
+    assert(fast.nonEmpty)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"domain cap must ride the partial top-k operator:\n$plan")
+    val ref = withRewriteOff {
+      graft.operators.TextOps.domainCap(docs, "doc_id", "source",
+        "text", "n_chars", k = 20).collect().map(_.toSeq).toSeq
+    }
+    assert(fast == ref)
+    // quota honored: no source exceeds k rows
+    val bySrc = fast.groupBy(_.head).view.mapValues(_.size)
+    assert(bySrc.values.forall(_ <= 20))
+  }
+
   private def withRewriteOff[A](body: => A): A = {
     spark.conf.set("spark.graft.topkRewrite", "false")
     try body finally spark.conf.set("spark.graft.topkRewrite", "true")
