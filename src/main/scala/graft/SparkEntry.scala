@@ -584,6 +584,19 @@ object SparkEntry {
         graft.operators.HtmlOps.renderHtml.as("html"))
       graft.operators.HtmlOps.frontier(rendered, "doc_id", "html")
     }),
+    // h6: crawl PRIORITIZATION — fixed-point PageRank (exact integer
+    // micro-grid, so an 8-round iterative double-sum is hash-gateable
+    // across engines) over the harvested page graph + the catalog's
+    // category tree; ranks feed the h5 frontier's fetch order. Top-20
+    // via TakeOrderedAndProject.
+    "h6_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rendered = docs.select(col("doc_id"),
+        graft.operators.HtmlOps.renderHtml.as("html"))
+      GraphOps.pageRank(
+        graft.operators.HtmlOps.pageEdges(rendered, "doc_id", "html"),
+        iters = 6, k = 20)
+    }),
     // c11: overlapping token-window chunking — the pre-embedding
     // splitter (64-token chunks, stride 48); manifest rows carry an
     // md5 prefix for the chunk payload, hash-checkable without text.
@@ -784,6 +797,24 @@ object SparkEntry {
     // content/membership seals; the reproducibility manifest a
     // released training set ships (re-run after any copy/migration:
     // the seals must match bit-for-bit).
+    // d4: K-ANONYMITY release audit — the quasi-identifier
+    // re-identification gate t27's direct-identifier scrub leaves
+    // open; one grouping-sets pass sizes the equivalence classes at
+    // every step of the generalization ladder.
+    "d4_k_anonymity" -> ((s, dir) =>
+      AnalyticsOps.kAnonymityAudit(Tables.customer(s, dir),
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), k = 10)),
+    // k25: SCD TYPE-2 dimension build — the event-sourced change
+    // stream (user status updates, no-op updates suppressed) rolled
+    // into effective-dated version rows; r3's as-of join is the
+    // point-in-time fact lookup against this output. Scoped to one
+    // key shard (user_id % 7) — a shard-parallel rebuild runs this
+    // same plan per shard at any width.
+    "k25_scd2" -> ((s, dir) =>
+      AnalyticsOps.scd2Build(
+        Tables.events(s, dir).filter(col("user_id") % 7 === 0),
+        "user_id", "ts", "event_id", "event_type")),
     "d2_dataset_card" -> ((s, dir) =>
       AnalyticsOps.datasetCard(Tables.documents(s, dir),
         "doc_id", "text", "source")),
@@ -1044,7 +1075,16 @@ object SparkEntry {
         ()
       }
       val run = tempTableRoot("graft_stream_dedup_run")
-      val stream = s.readStream.schema(ev.schema)
+      // State-partition sizing is a REAL streaming knob (the count
+      // pins to the checkpoint at first start): the dedup state
+      // store commits one delta PER PARTITION PER BATCH, so 32
+      // mostly-empty partitions × 3 batches is pure commit overhead
+      // at this key cardinality. A tuned child session scopes the
+      // choice to this stream — on a cluster you size it to
+      // |keys in the watermark window| / target-state-per-task.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
       graft.streaming.StreamingOps.dedupSink(stream, "ts",
         Seq("event_id"), "60 days", run + "/out", run + "/ckpt")
@@ -2948,6 +2988,15 @@ object SparkEntry {
       graft.operators.HtmlOps.linkReportSql("documents", "doc_id"),
     "h5_frontier" ->
       graft.operators.HtmlOps.frontierSql("documents", "doc_id"),
+    "h6_pagerank" -> GraphOps.pageRankSql(
+      graft.operators.HtmlOps.pageEdgesSql("documents", "doc_id"),
+      iters = 6, k = 20),
+    "d4_k_anonymity" -> AnalyticsOps.kAnonymityAuditSql("customer",
+      "c_nationkey", "c_mktsegment",
+      "CAST(floor(c_acctbal / 1000) AS BIGINT)", k = 10),
+    "k25_scd2" -> AnalyticsOps.scd2BuildSql(
+      "(SELECT * FROM events WHERE user_id % 7 = 0) ev",
+      "user_id", "ts", "event_id", "event_type"),
     "h4_web_pipeline" -> graft.operators.HtmlOps.webPipelineSql(
       """SELECT doc_id, source, text || ' contact user' || doc_id ||
         |  '@example.com' ||
