@@ -235,6 +235,130 @@ object AnalyticsOps {
       .resultSorted(col("g1").asc, col("g2").asc,
         col(k1).asc, col(k2).asc)
 
+  /** SCD TYPE-2 dimension build (k25) — turn a change STREAM (one row
+    * per observed update: key, event time, attribute value) into the
+    * effective-dated dimension star schemas join facts against:
+    * per key, consecutive rows with an UNCHANGED attribute collapse
+    * (a true SCD2 suppresses no-op updates), each surviving change
+    * opens a version row `[valid_from, valid_to)` with `valid_to` =
+    * the next change's time (NULL = current), plus a version ordinal.
+    * r3's as-of join is then the point-in-time fact lookup against
+    * this output.
+    *
+    * Scale shape: both window passes (the no-op filter's lag and the
+    * interval close's lead/row_number) partition by the dimension KEY
+    * — cardinality grows with the data, no global window anywhere —
+    * and share one (key)-hash Exchange with compatible sort orders,
+    * so the whole build is one shuffle over narrow columns. Output is
+    * |version rows|, a data-scale relation, sorted by (key, version).
+    */
+  def scd2Build(df: DataFrame, key: String, tsCol: String,
+      tiebreaker: String, statusCol: String): DataFrame = {
+    val order = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).asc, col(tiebreaker).asc)
+    val changed = df
+      .select(col(key), col(tsCol), col(tiebreaker), col(statusCol))
+      .withColumn("__prev", lag(col(statusCol), 1).over(order))
+      .filter(col("__prev").isNull || col("__prev") =!= col(statusCol))
+    // second window runs over the FILTERED relation: valid_to must be
+    // the next CHANGE, not the next raw update
+    changed
+      .withColumn("valid_to", lead(col(tsCol), 1).over(order))
+      .withColumn("version_n",
+        row_number().over(order).cast("long"))
+      .select(col(key), col("version_n"), col(statusCol).as("status"),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col(key).asc, col("version_n").asc)
+  }
+
+  /** [[scd2Build]]'s DuckDB twin over `table`. */
+  def scd2BuildSql(table: String, key: String, tsCol: String,
+      tiebreaker: String, statusCol: String): String =
+    s"""WITH upd AS (
+       |  SELECT $key, $tsCol, $tiebreaker, $statusCol,
+       |    lag($statusCol) OVER
+       |      (PARTITION BY $key ORDER BY $tsCol ASC, $tiebreaker ASC)
+       |      AS prev
+       |  FROM $table),
+       |chg AS (
+       |  SELECT * FROM upd
+       |  WHERE prev IS NULL OR prev <> $statusCol)
+       |SELECT $key,
+       |  CAST(row_number() OVER w AS BIGINT) AS version_n,
+       |  $statusCol AS status,
+       |  $tsCol AS valid_from,
+       |  lead($tsCol) OVER w AS valid_to,
+       |  (lead($tsCol) OVER w IS NULL) AS is_current
+       |FROM chg
+       |WINDOW w AS
+       |  (PARTITION BY $key ORDER BY $tsCol ASC, $tiebreaker ASC)
+       |ORDER BY $key ASC, version_n ASC""".stripMargin
+
+  /** K-ANONYMITY audit (d4) — the release gate t27's PII scrub does
+    * not cover: scrubbing removes direct identifiers, but a row is
+    * still re-identifiable when its QUASI-identifier combination
+    * (here: nation × market segment × account-balance band) is rare.
+    * The audit reports, for each step of the generalization ladder
+    * (full QI → drop the band → nation only), how many equivalence
+    * classes exist, the smallest class, and how many records a
+    * k-threshold release would suppress vs publish — the table a
+    * privacy reviewer reads to pick the release level.
+    *
+    * Scale shape: ONE scan, one grouping-sets hash aggregate (the
+    * Expand triples rows but map-side combine collapses them before
+    * the shuffle — same cost as a8/a9), then a bounded 3-row summary
+    * agg. The level label is derived from grouping-set NULL masks
+    * (QI columns are non-null by construction), which both engines
+    * produce identically — no GROUPING_ID dialect dependence.
+    */
+  val KAnonLevels: Seq[String] =
+    Seq("l0_full_qi", "l1_drop_band", "l2_key_only")
+
+  def kAnonymityAudit(df: DataFrame, q1: Column, q2: Column,
+      q3: Column, k: Int): DataFrame = {
+    val classes = df.select(q1.as("g1"), q2.as("g2"), q3.as("g3"))
+      .groupingSets(
+        Seq(Seq(col("g1"), col("g2"), col("g3")),
+          Seq(col("g1"), col("g2")), Seq(col("g1"))),
+        col("g1"), col("g2"), col("g3"))
+      .agg(count(lit(1)).as("sz"))
+    classes.select(
+        when(col("g3").isNotNull, KAnonLevels(0))
+          .when(col("g2").isNotNull, KAnonLevels(1))
+          .otherwise(KAnonLevels(2)).as("level"), col("sz"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("sz")).as("min_class"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L))
+          .cast("long").as("n_suppressed"),
+        sum(when(col("sz") >= k, col("sz")).otherwise(0L))
+          .cast("long").as("n_released"))
+      .resultSorted(col("level").asc)
+  }
+
+  /** [[kAnonymityAudit]]'s DuckDB twin; `q1Sql`/`q2Sql`/`q3Sql` are
+    * the QI expressions over `table`'s columns.
+    */
+  def kAnonymityAuditSql(table: String, q1Sql: String, q2Sql: String,
+      q3Sql: String, k: Int): String =
+    s"""WITH qi AS (
+       |  SELECT $q1Sql AS g1, $q2Sql AS g2, $q3Sql AS g3 FROM $table),
+       |cls AS (
+       |  SELECT g1, g2, g3, count(*) AS sz FROM qi
+       |  GROUP BY GROUPING SETS ((g1, g2, g3), (g1, g2), (g1))),
+       |lvl AS (
+       |  SELECT CASE WHEN g3 IS NOT NULL THEN '${KAnonLevels(0)}'
+       |              WHEN g2 IS NOT NULL THEN '${KAnonLevels(1)}'
+       |              ELSE '${KAnonLevels(2)}' END AS level, sz
+       |  FROM cls)
+       |SELECT level, count(*) AS n_classes, min(sz) AS min_class,
+       |  sum(CASE WHEN sz < $k THEN sz ELSE 0 END)::BIGINT
+       |    AS n_suppressed,
+       |  sum(CASE WHEN sz >= $k THEN sz ELSE 0 END)::BIGINT
+       |    AS n_released
+       |FROM lvl GROUP BY level ORDER BY level ASC""".stripMargin
+
   /** End-to-end corpus-preparation pipeline as ONE declarative plan —
     * the composition a training-data export actually runs:
     * quality-score filter (t2 formula) → exact content dedup

@@ -263,6 +263,52 @@ object HtmlOps {
        |  count(*) AS n_urls, min(url) AS min_url, max(url) AS max_url
        |FROM fresh GROUP BY host ORDER BY host ASC""".stripMargin
 
+  /** PAGE GRAPH (h6's input) — the edge relation crawl prioritization
+    * ranks over: every harvested href reduced to page identity (the
+    * h5 key: query/fragment stripped), src = the page it appeared on,
+    * UNIONed with the catalog's category-tree edges (each dataset
+    * page links up to its parent category page `/d/{id div 2}` — the
+    * listing hierarchy a reference catalog exposes but our fixed page
+    * template doesn't render). The harvested half is the h3 extract
+    * verbatim (in-scan, codegen); the tree half is a pure projection.
+    * The tree edges give the graph real depth structure (ranks decay
+    * down the tree, the root accumulates) on top of the template's
+    * hub links ("/", "/docs") — the two fan-in regimes a web graph
+    * actually has.
+    */
+  def pageEdges(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val harvested = df.select(
+        concat(lit("/d/"), col(idCol)).as("src"),
+        explode(regexp_extract_all(col(htmlCol), lit(HrefPattern),
+          lit(1))).as("href"))
+      .select(col("src"),
+        regexp_replace(col("href"), PageIdPattern, "").as("dst"))
+    val tree = df.filter(col(idCol) >= 1)
+      .select(concat(lit("/d/"), col(idCol)).as("src"),
+        concat(lit("/d/"), expr(s"$idCol div 2")).as("dst"))
+    harvested.unionByName(tree)
+  }
+
+  /** [[pageEdges]] as CTE text ending in `edges(src, dst)` — the
+    * shape [[GraphOps.pageRankSql]] consumes.
+    */
+  def pageEdgesSql(table: String, idCol: String): String =
+    s"""${extractCtes(table, idCol)},
+       |hedges AS (
+       |  SELECT '/d/' || $idCol AS src,
+       |    regexp_replace(
+       |      unnest(regexp_extract_all(html, '$HrefPattern', 1)),
+       |      '$PageIdPattern', '') AS dst
+       |  FROM raw),
+       |tedges AS (
+       |  SELECT '/d/' || $idCol AS src,
+       |    '/d/' || ($idCol // 2) AS dst
+       |  FROM $table WHERE $idCol >= 1),
+       |edges AS (
+       |  SELECT src, dst FROM hedges
+       |  UNION ALL SELECT src, dst FROM tedges)""".stripMargin
+
   /** THE WEB-CORPUS FRONT DOOR as ONE Catalyst plan (h4, the c12
     * composition pattern applied to ingestion): raw PII-laden pages
     * → markup strip ([[htmlToText]]) → PII scrub
