@@ -30,6 +30,31 @@ object SparkEntry {
     2 -> Seq("window", "stream"),
     3 -> Seq("scan", "join", "hash"))
 
+  /** h7's focused-crawl seed pages — interior category-tree nodes, so
+    * the personalized walk has real descendants/ancestors to score.
+    * Shared by the Spark query and the oracle twin (one constant, no
+    * drift).
+    */
+  val SeedPages: Seq[String] = Seq("/d/1", "/d/2", "/d/3")
+
+  /** The h6/h7/h8 page-graph edge relation, built in a TUNED child
+    * session: a rank iteration runs ~3 exchanges per round over the
+    * edge relation (|edges| ≈ 5·|docs| rows of two short strings —
+    * far below the corpus rows the session default is sized for), so
+    * the child sizes its shuffle width to the graph instead (the st9
+    * state-store-sizing convention; at production graph scale this
+    * knob goes UP, not down). Results are partitioning-independent —
+    * the integer grid guarantees it, GraphSpec proves it.
+    */
+  private def pageGraph(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = Tables.documents(ss, dir)
+    val rendered = docs.select(col("doc_id"),
+      graft.operators.HtmlOps.renderHtml.as("html"))
+    graft.operators.HtmlOps.pageEdges(rendered, "doc_id", "html")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's `search` verb shape: ILIKE disjunction + equality
     * filter + recency top-k (SURVEY §3.1).
@@ -589,14 +614,22 @@ object SparkEntry {
     // across engines) over the harvested page graph + the catalog's
     // category tree; ranks feed the h5 frontier's fetch order. Top-20
     // via TakeOrderedAndProject.
-    "h6_pagerank" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val rendered = docs.select(col("doc_id"),
-        graft.operators.HtmlOps.renderHtml.as("html"))
-      GraphOps.pageRank(
-        graft.operators.HtmlOps.pageEdges(rendered, "doc_id", "html"),
-        iters = 6, k = 20)
-    }),
+    "h6_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(pageGraph(s, dir), iters = 6, k = 20)),
+    // h7: FOCUSED-crawl prioritization — personalized PageRank with
+    // the teleport mass pinned to three seed pages (a plan-time
+    // IN-list, zero extra joins); rank = importance relative to the
+    // seeds, so off-topic branches decay to 0 and drop out of the
+    // fetch budget. Same integer micro-grid walk as h6.
+    "h7_seeded_rank" -> ((s, dir) =>
+      GraphOps.personalizedPageRank(pageGraph(s, dir),
+        seeds = SeedPages, iters = 6, k = 20)),
+    // h8: HITS hubs & authorities — the complementary crawl-value
+    // axis (hubs = pages worth harvesting links FROM; authorities =
+    // pages worth fetching FIRST). Integer grid, max-rescale per
+    // half-round folded in as a 1-row broadcast.
+    "h8_hits" -> ((s, dir) =>
+      GraphOps.hits(pageGraph(s, dir), iters = 4, k = 20)),
     // c11: overlapping token-window chunking — the pre-embedding
     // splitter (64-token chunks, stride 48); manifest rows carry an
     // md5 prefix for the chunk payload, hash-checkable without text.
@@ -701,6 +734,14 @@ object SparkEntry {
       FtsOps.queryExpansion(Tables.documents(s, dir), "doc_id",
         "text", seedTerms = Seq("merge", "dup"), kFb = 10, nExp = 3,
         k = 50)),
+    // l14: "did you mean" — the typo'd query ('wimdow') is corrected
+    // against the corpus vocabulary via SymSpell deletion keys
+    // (query-side keys are a plan-time IN-list; the vocab side is
+    // the persisted spell index at rest), then the corrected term
+    // searches via a broadcast postings prune.
+    "l14_spell_search" -> ((s, dir) =>
+      FtsOps.spellCorrectedSearch(Tables.documents(s, dir), "doc_id",
+        "text", query = "wimdow", k = 50)),
     // l11: TWO-STAGE RERANK — BM25 recall set exactly re-scored by
     // dense cosine, restricted to the candidates (dense cost O(n·dim)
     // at any corpus size); the serving path l9's rank fusion doesn't
@@ -1055,6 +1096,30 @@ object SparkEntry {
           col("hll_distinct"))
         .resultSorted(col("event_type").asc)
     }),
+    // st11: STREAMING frequency sketch — each micro-batch's CMS
+    // registers SUM-merge into a persisted d·w table (fixed state at
+    // ANY stream length); counter addition is exact, so the merged
+    // store probed for the top-20 candidates equals e10's one-shot
+    // batch sketch verbatim (st8 ≡ e9, applied to CMS).
+    "st11_stream_cms" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id")
+      val fix = cachedStreamInput(s, dir, "stream_cms") { root =>
+        writeInputBatches((0 until 3).map(i =>
+          ev.filter(col("event_id") % 3 === i)), root)
+        ()
+      }
+      val run = tempTableRoot("graft_stream_cms_run")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
+      graft.streaming.StreamingOps.cmsRegisterSink(stream, s,
+        "user_id", run + "/regs", run + "/ckpt")
+      val cands = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id").asc)
+        .limit(20)
+      SkewOps.cmsProbe(Catalog.load(s, run + "/regs"), cands,
+        "user_id", d = 4, w = 256)
+    }),
     // st9: STREAMING exact dedup — three micro-batches with %7-slice
     // REDELIVERIES of the previous batch (the at-least-once shape);
     // dropDuplicatesWithinWatermark drops them, so the appended
@@ -1095,6 +1160,44 @@ object SparkEntry {
           (sum(round(col("value") * 100).cast("long")) / 100.0)
             .as("total_value"))
         .resultSorted(col("event_type").asc)
+    }),
+    // st10: NATIVE stream-stream interval join — views and purchases
+    // each arrive as their own 3-micro-batch stream; matches across
+    // batches come out of the watermark-bounded join state, and the
+    // appended result must equal the batch interval join verbatim.
+    // The tuned child session is st9's state-partition sizing knob.
+    "st10_stream_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          col("user_id").as("v_user"), col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val fix = cachedStreamInput(s, dir, "stream_join") { root =>
+        writeInputBatches((0 until 3).map(i =>
+          views.filter(col("view_id") % 3 === i)), root + "/v")
+        writeInputBatches((0 until 3).map(i =>
+          purchases.filter(col("purchase_id") % 3 === i)), root + "/p")
+        ()
+      }
+      val run = tempTableRoot("graft_stream_join_run")
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val vStream = ss.readStream.schema(views.schema)
+        .option("maxFilesPerTrigger", 1).parquet(fix + "/v/in")
+      val pStream = ss.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1).parquet(fix + "/p/in")
+      graft.streaming.StreamingOps.intervalJoinSink(vStream, pStream,
+        "v_user", "p_user", "view_ts", "p_ts",
+        window = "30 minutes", watermarkDelay = "60 days",
+        run + "/out", run + "/ckpt")
+      s.read.parquet(run + "/out")
+        .select(col("view_id"), col("purchase_id"),
+          col("v_user").as("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+        .resultSorted(col("view_id").asc, col("purchase_id").asc)
     }),
     // st7: STREAMING as-of — purchases arrive in 3 micro-batches and
     // are attributed against the static click history per batch; the
@@ -1884,6 +1987,31 @@ object SparkEntry {
       |WHERE p.event_type = 'purchase'
       |ORDER BY purchase_id ASC""".stripMargin
 
+  /** Shared by e10 (batch CMS) and st11 (streamed registers) —
+    * counter SUM-merge is exact, so the streamed store must equal
+    * the one-shot batch sketch verbatim.
+    */
+  private val CmsOracleSql: String =
+    """WITH items AS (SELECT user_id::VARCHAR AS x FROM events),
+      |js(j) AS (VALUES (0), (1), (2), (3)),
+      |regs AS (
+      |  SELECT j, ('0x' || substr(md5(j || ':' || x), 1, 15))
+      |      ::BIGINT % 256 AS b, count(*) AS c
+      |  FROM items CROSS JOIN js GROUP BY 1, 2),
+      |cands AS (
+      |  SELECT user_id, count(*) AS exact_cnt FROM events
+      |  GROUP BY user_id
+      |  ORDER BY exact_cnt DESC, user_id ASC LIMIT 20),
+      |probe AS (
+      |  SELECT user_id, exact_cnt, j,
+      |    ('0x' || substr(md5(j || ':' || user_id::VARCHAR), 1, 15))
+      |      ::BIGINT % 256 AS b
+      |  FROM cands CROSS JOIN js)
+      |SELECT p.user_id, p.exact_cnt, min(r.c)::BIGINT AS cms_cnt
+      |FROM probe p JOIN regs r ON r.j = p.j AND r.b = p.b
+      |GROUP BY p.user_id, p.exact_cnt
+      |ORDER BY exact_cnt DESC, user_id ASC""".stripMargin
+
   /** Shared by e9 (batch HLL) and st8 (streamed registers) — the
     * streamed store must equal the batch computation exactly.
     */
@@ -2314,6 +2442,17 @@ object SparkEntry {
     // per-micro-batch join + append must equal the one-shot batch
     // join (the st5 ≡ c5 adjudication pattern).
     "st7_stream_asof" -> AsofOracleSql,
+    // st10: the native stream-stream join is held to the plain batch
+    // interval join (watermark delay covers the corpus span, so the
+    // streaming state never evicts a pending match).
+    "st10_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id ASC, purchase_id ASC""".stripMargin,
     "n8_ivf_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -2715,26 +2854,10 @@ object SparkEntry {
     "t23_langid_eval" -> LangIdEvalSql,
     // e10: the CMS estimator verbatim — md5-derived (j, bucket)
     // registers, min over d rows, exact counts as the witness.
-    "e10_cms_exact" ->
-      """WITH items AS (SELECT user_id::VARCHAR AS x FROM events),
-        |js(j) AS (VALUES (0), (1), (2), (3)),
-        |regs AS (
-        |  SELECT j, ('0x' || substr(md5(j || ':' || x), 1, 15))
-        |      ::BIGINT % 256 AS b, count(*) AS c
-        |  FROM items CROSS JOIN js GROUP BY 1, 2),
-        |cands AS (
-        |  SELECT user_id, count(*) AS exact_cnt FROM events
-        |  GROUP BY user_id
-        |  ORDER BY exact_cnt DESC, user_id ASC LIMIT 20),
-        |probe AS (
-        |  SELECT user_id, exact_cnt, j,
-        |    ('0x' || substr(md5(j || ':' || user_id::VARCHAR), 1, 15))
-        |      ::BIGINT % 256 AS b
-        |  FROM cands CROSS JOIN js)
-        |SELECT p.user_id, p.exact_cnt, min(r.c)::BIGINT AS cms_cnt
-        |FROM probe p JOIN regs r ON r.j = p.j AND r.b = p.b
-        |GROUP BY p.user_id, p.exact_cnt
-        |ORDER BY exact_cnt DESC, user_id ASC""".stripMargin,
+    "e10_cms_exact" -> CmsOracleSql,
+    // st11: per-batch registers SUM-merge exactly, so the streamed
+    // sketch is held to e10's one-shot oracle verbatim (st8 ≡ e9).
+    "st11_stream_cms" -> CmsOracleSql,
     "t4_simhash" ->
       operators.DedupOps.simhashSql("documents", "doc_id", "text"),
     // n31: the SymSpell pipeline replayed — same deletion keys, same
@@ -2991,6 +3114,12 @@ object SparkEntry {
     "h6_pagerank" -> GraphOps.pageRankSql(
       graft.operators.HtmlOps.pageEdgesSql("documents", "doc_id"),
       iters = 6, k = 20),
+    "h7_seeded_rank" -> GraphOps.personalizedPageRankSql(
+      graft.operators.HtmlOps.pageEdgesSql("documents", "doc_id"),
+      seeds = SeedPages, iters = 6, k = 20),
+    "h8_hits" -> GraphOps.hitsSql(
+      graft.operators.HtmlOps.pageEdgesSql("documents", "doc_id"),
+      iters = 4, k = 20),
     "d4_k_anonymity" -> AnalyticsOps.kAnonymityAuditSql("customer",
       "c_nationkey", "c_mktsegment",
       "CAST(floor(c_acctbal / 1000) AS BIGINT)", k = 10),
@@ -3254,6 +3383,9 @@ object SparkEntry {
       operators.FtsOps.queryExpansionSql("documents", "doc_id",
         "text", seedTerms = Seq("merge", "dup"), kFb = 10, nExp = 3,
         k = 50),
+    "l14_spell_search" ->
+      operators.FtsOps.spellCorrectedSearchSql("documents", "doc_id",
+        "text", query = "wimdow", k = 50),
     "l8_fts_batch" ->
       operators.FtsOps.searchBm25BatchSql("documents", "doc_id",
         "text", BatchFtsQueries, 10),

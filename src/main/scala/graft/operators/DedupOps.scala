@@ -1281,6 +1281,23 @@ object DedupOps {
        |ORDER BY id_a ASC, id_b ASC""".stripMargin
   }
 
+  /** SymSpell deletion-neighborhood keys for one string: the string
+    * itself plus every single-character deletion (deduped). Shared by
+    * [[fuzzyPairs]] and the query-side spell correction
+    * ([[FtsOps.spellCorrectedSearch]]). Empty inputs take an EXPLICIT
+    * no-deletions path (round-8 ADVICE): Spark's sequence(1, 0)
+    * yields descending [1, 0] and only agreed with the oracle's empty
+    * range(1, 1) by leaning on substr's negative-length-returns-empty
+    * accident.
+    */
+  def deletionKeys(s: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array_union(array(s),
+      when(length(s) > 0, transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1),
+          s.substr(i + 1, length(s)))))
+      .otherwise(typedLit(Seq.empty[String])))
+
   /** TYPO-TOLERANT FUZZY MATCH (edit distance ≤ 1) via the SymSpell
     * deletion neighborhood: each string's candidate keys are itself
     * plus every single-character deletion (L+1 keys for length L) —
@@ -1295,18 +1312,8 @@ object DedupOps {
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String)
       : DataFrame = {
-    // Empty inputs take an EXPLICIT no-deletions path (round-8
-    // ADVICE): Spark's sequence(1, 0) yields descending [1, 0] and
-    // only agreed with the oracle's empty range(1, 1) by leaning on
-    // substr's negative-length-returns-empty accident.
-    val dels = (s: org.apache.spark.sql.Column) =>
-      array_union(array(s),
-        when(length(s) > 0, transform(sequence(lit(1), length(s)),
-          i => concat(s.substr(lit(1), i - 1),
-            s.substr(i + 1, length(s)))))
-        .otherwise(typedLit(Seq.empty[String])))
     val keyed = df.select(col(idCol), col(strCol))
-      .withColumn("__k", explode(dels(col(strCol))))
+      .withColumn("__k", explode(deletionKeys(col(strCol))))
     keyed.as("x").join(keyed.as("y"),
         col("x.__k") === col("y.__k") &&
         col(s"x.$idCol") < col(s"y.$idCol"))

@@ -370,6 +370,85 @@ object FtsOps {
       .limit(k)
   }
 
+  /** SPELL-CORRECTED search (l14) — "did you mean": a typo'd query
+    * term is corrected against the CORPUS vocabulary before the
+    * search runs (n31's SymSpell machinery applied query-side). The
+    * query is a plan-time constant, so ITS deletion neighborhood
+    * (|q|+1 keys) is enumerated at build and candidate generation is
+    * a pure IN-SCAN `arrays_overlap` against each vocab token's own
+    * deletion keys — O(V·L) key arithmetic inside the vocab scan,
+    * ZERO extra shuffle (no explode, no distinct). A query BATCH
+    * would instead equi-join a persisted (key → token) spell index
+    * at rest (k18's store shape, n31's join) — same keys, the
+    * constant-query special case just never materializes them.
+    * Exact `levenshtein ≤ 1` verifies candidates only. The correction is
+    * picked by (edit distance asc, corpus frequency desc, token asc)
+    * — SymSpell's standard policy: an exact vocabulary query is its
+    * own distance-0 candidate and always wins, even against a more
+    * frequent distance-1 neighbor. The chosen token is DATA (a
+    * 1-row relation), so the search pass prunes postings with a
+    * broadcast join on it, never a re-scan (l13's pattern).
+    */
+  def spellCorrectedSearch(docs: DataFrame, idCol: String,
+      textCol: String, query: String, k: Int): DataFrame = {
+    val norm = query.toLowerCase
+    val qKeys = (norm +: norm.indices.map(i =>
+      norm.substring(0, i) + norm.substring(i + 1))).distinct
+    val index = buildIndex(docs, idCol, textCol).cache()
+    val vocab = index.groupBy(col("token"))
+      .agg(sum(col("tf")).as("ctf"))
+    val cand = vocab
+      .filter(arrays_overlap(DedupOps.deletionKeys(col("token")),
+        typedLit(qKeys)))
+      .withColumn("dist", levenshtein(col("token"), lit(norm)))
+      .filter(col("dist") <= 1)
+    val corrected = cand
+      .orderBy(col("dist").asc, col("ctf").desc, col("token").asc)
+      .limit(1)
+      .select(col("token"))
+    index.join(broadcast(corrected), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("score"),
+        min(col("token")).as("corrected"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Oracle twin of [[spellCorrectedSearch]] (n31's list-comprehension
+    * deletion keys on the vocab side; the same literal query-key
+    * IN-list).
+    */
+  def spellCorrectedSearchSql(table: String, idCol: String,
+      textCol: String, query: String, k: Int): String = {
+    val norm = query.toLowerCase
+    val qKeys = (norm +: norm.indices.map(i =>
+      norm.substring(0, i) + norm.substring(i + 1))).distinct
+    val inKeys = qKeys.map(q => s"'$q'").mkString(", ")
+    s"""WITH idx AS (
+       |  SELECT token, $idCol, count(*) AS tf FROM (
+       |    SELECT $idCol, unnest(string_split(lower($textCol), ' '))
+       |      AS token
+       |    FROM $table)
+       |  WHERE token <> '' GROUP BY token, $idCol),
+       |vocab AS (SELECT token, sum(tf) AS ctf FROM idx GROUP BY token),
+       |vk AS (
+       |  SELECT token, ctf, unnest(list_distinct(list_append(
+       |    [substring(token,1,i-1) || substring(token,i+1,length(token))
+       |     for i in range(1, length(token)+1)], token))) AS key
+       |  FROM vocab),
+       |cand AS (
+       |  SELECT DISTINCT token, ctf,
+       |    levenshtein(token, '$norm') AS dist FROM vk
+       |  WHERE key IN ($inKeys) AND levenshtein(token, '$norm') <= 1),
+       |corr AS (SELECT token FROM cand
+       |  ORDER BY dist ASC, ctf DESC, token ASC LIMIT 1)
+       |SELECT i.$idCol, sum(i.tf)::BIGINT AS score,
+       |  min(i.token) AS corrected
+       |FROM idx i JOIN corr c USING (token)
+       |GROUP BY i.$idCol
+       |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
+  }
+
   /** Oracle twin of [[queryExpansion]] — the identical three passes
     * as CTEs (shared tokenize/df/ln-idf conventions with
     * [[searchRankedDocsSql]]; feedback cut orders by the same

@@ -58,11 +58,22 @@ object GraphOps {
     * url-asc — a TakeOrderedAndProject, never a global sort.
     */
   def pageRank(edges: DataFrame, iters: Int, k: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // Materialize the degree-annotated edge relation and the node set
+    // ONCE: every round's join references them, and a lazy chain
+    // re-executes the upstream edge EXTRACTION (a regex scan over the
+    // corpus in h6's case) once per round — iters× the scan cost for
+    // zero benefit. (Pre-partitioning the checkpoints on their join
+    // keys to make rounds single-exchange was TRIED and measured
+    // SLOWER here — the extra materialization jobs cost more than
+    // the exchanges they save at bench scale; on a real cluster the
+    // same effect comes free from bucketing the edge table by src
+    // at rest, where it costs nothing per query.)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val ewd = e.join(outdeg, "src")
+    val ewd = e.join(outdeg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("url"))
       .unionByName(e.select(col("dst").as("url"))).distinct()
+      .localCheckpoint()
     var ranks = nodes.select(col("url"), lit(InitMicro).as("pr"))
     for (_ <- 1 to iters) {
       val inc = ewd.join(ranks, ewd("src") === ranks("url"))
@@ -80,6 +91,211 @@ object GraphOps {
         coalesce(col("n_in"), lit(0L)).as("n_in"), col("pr"))
       .orderBy(col("pr").desc, col("url").asc)
       .limit(k)
+  }
+
+  /** PERSONALIZED PageRank (h7) — focused-crawl prioritization: the
+    * teleport mass lands ONLY on `seeds` (the pages a seeded topical
+    * crawl cares about), so rank measures importance RELATIVE to the
+    * seed set — pages unreachable from any seed decay to zero and
+    * fall out of the fetch budget. This is the standard PPR
+    * formulation restricted to the b1 integer grid: same per-edge
+    * floor-division walk as [[pageRank]], teleport = `TeleportMicro`
+    * on seeds, 0 elsewhere (so total teleport mass is |seeds|·0.15,
+    * not |V|·0.15 — the conventional unnormalized variant; ranks are
+    * comparable WITHIN a run, which is all a frontier scheduler
+    * needs).
+    *
+    * The seed set is a plan-time constant (a crawl config, not
+    * data): the teleport term compiles to an `IN`-list CASE inside
+    * the per-round projection — zero extra joins, zero broadcast.
+    * Scale shape per round is identical to [[pageRank]]: one
+    * co-located equi-join rank→edges, one map-side-combined dst agg,
+    * one left join to nodes. Nodes with rank 0 stay in the relation
+    * (they are the frontier candidates being scored down).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[String],
+      iters: Int, k: Int): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs seeds")
+    // Same once-materialized edge/node inputs as [[pageRank]].
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val ewd = e.join(outdeg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("url"))
+      .unionByName(e.select(col("dst").as("url"))).distinct()
+      .localCheckpoint()
+    def teleport(u: org.apache.spark.sql.Column) =
+      when(u.isInCollection(seeds), lit(TeleportMicro))
+        .otherwise(lit(0L))
+    // Seeds start with the full unit mass, everything else at zero —
+    // the walk radiates outward from the seed set.
+    var ranks = nodes.select(col("url"),
+      when(col("url").isInCollection(seeds), lit(InitMicro))
+        .otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val inc = ewd.join(ranks, ewd("src") === ranks("url"))
+        .select(ewd("dst").as("url"), expr("pr div od").as("c"))
+        .groupBy(col("url")).agg(sum(col("c")).as("inc"))
+      ranks = nodes.join(inc, Seq("url"), "left")
+        .select(col("url"),
+          (teleport(col("url")) +
+            expr(s"($DampingPct * coalesce(inc, CAST(0 AS BIGINT)))" +
+              " div 100")).as("pr"))
+    }
+    ranks.filter(col("pr") > 0)
+      .orderBy(col("pr").desc, col("url").asc)
+      .limit(k)
+  }
+
+  /** [[personalizedPageRank]] unrolled as DuckDB CTE text — the
+    * [[pageRankSql]] convention (shared constants, `//` floors,
+    * same IN-list teleport).
+    */
+  def personalizedPageRankSql(edgesCtes: String, seeds: Seq[String],
+      iters: Int, k: Int): String = {
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.url,
+         |    CAST((CASE WHEN n.url IN ($seedList)
+         |            THEN $TeleportMicro ELSE 0 END) +
+         |      ($DampingPct * coalesce(i$i.inc, 0)) // 100 AS BIGINT)
+         |      AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT w.dst AS url, sum(w.pr // w.od) AS inc
+         |    FROM (SELECT e.src, e.dst, o.od, r.pr
+         |          FROM edges e
+         |          JOIN outdeg o ON e.src = o.src
+         |          JOIN r${i - 1} r ON e.src = r.url) w
+         |    GROUP BY 1) i$i ON n.url = i$i.url)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCtes,
+       |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+       |nodes AS (
+       |  SELECT DISTINCT url FROM (
+       |    SELECT src AS url FROM edges
+       |    UNION ALL SELECT dst AS url FROM edges)),
+       |r0 AS (SELECT url,
+       |  CAST(CASE WHEN url IN ($seedList) THEN $InitMicro ELSE 0 END
+       |    AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT url, pr FROM r$iters WHERE pr > 0
+       |ORDER BY pr DESC, url ASC LIMIT $k""".stripMargin
+  }
+
+  /** HITS hubs & authorities (h8) — the complementary importance
+    * axis to PageRank for crawl scheduling: a good HUB (a listing
+    * page linking many good datasets) is where a crawler harvests
+    * the most new value per fetch; a good AUTHORITY (linked by many
+    * good hubs) is what it should fetch first. Kleinberg's mutual
+    * recursion on the b1 integer grid:
+    *
+    *   a(v) = Σ_{u→v} h(u),  then rescale so max(a) = 1e6
+    *   h(u) = Σ_{u→v} a(v),  then rescale so max(h) = 1e6
+    *
+    * Max-rescaling (instead of sum/L2) keeps every value on
+    * [0, 1e6] with ONE 1-row aggregate per half-round — folded into
+    * the plan as a broadcast cross join (t11/boilerplate's scalar
+    * pattern), never a window. All arithmetic is integer
+    * multiply-then-floor-divide, so the iteration is bit-identical
+    * across partitionings and engines. Overflow headroom: after any
+    * rescale values are ≤1e6, so the next sum is ≤ indeg·1e6 and the
+    * rescale multiply is ≤ indeg·1e12 — Long holds to in/out-degree
+    * ~9×10⁶; past that, lift the grid to DECIMAL(38,0) (one cast;
+    * the relational shape is unchanged).
+    *
+    * Scale shape per half-round: one equi-join of scores onto edges
+    * (co-located when edges are bucketed by the join side's key),
+    * one map-side-combined hash agg, one scalar fold. UNLIKE
+    * [[pageRank]], the rounds cannot chain into one lazy plan: each
+    * rescale embeds the upstream chain in BOTH its broadcast (the
+    * max) and its main side, so an unchained plan doubles per
+    * half-round — 2^(2·iters) analysis/recompute (measured: a
+    * 4-iteration run wedged Catalyst's transformDown for minutes).
+    * Each half-round therefore `localCheckpoint`s — the
+    * [[DedupOps.dupClusters]] iterative-plan convention: materialize
+    * the round, truncate lineage, keep every downstream reference
+    * O(1). On a cluster with reliable storage, `checkpoint()`.
+    */
+  def hits(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("url"))
+      .unionByName(e.select(col("dst").as("url"))).distinct()
+      .localCheckpoint()
+    var hubs = nodes.select(col("url"), lit(InitMicro).as("h"))
+    var auths = nodes.select(col("url"), lit(0L).as("a"))
+    def rescale(df: DataFrame, c: String): DataFrame = {
+      val folded = df.localCheckpoint()
+      val mx = folded.agg(max(col(c)).as("__mx"))
+      folded.crossJoin(broadcast(mx))
+        .select(col("url"), when(col("__mx") > 0,
+            expr(s"($c * $InitMicro) div __mx"))
+          .otherwise(lit(0L)).as(c))
+    }
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs, e("src") === hubs("url"))
+        .groupBy(e("dst").as("url")).agg(sum(col("h")).as("a"))
+      auths = rescale(nodes.join(aRaw, Seq("url"), "left")
+        .select(col("url"), coalesce(col("a"), lit(0L)).as("a")), "a")
+      val hRaw = e.join(auths, e("dst") === auths("url"))
+        .groupBy(e("src").as("url")).agg(sum(col("a")).as("h"))
+      hubs = rescale(nodes.join(hRaw, Seq("url"), "left")
+        .select(col("url"), coalesce(col("h"), lit(0L)).as("h")), "h")
+    }
+    nodes.join(auths, Seq("url")).join(hubs, Seq("url"))
+      .select(col("url"), col("a").as("auth"), col("h").as("hub"))
+      .orderBy(col("auth").desc, col("hub").desc, col("url").asc)
+      .limit(k)
+  }
+
+  /** [[hits]] unrolled as DuckDB CTE text (shared constants; `//`
+    * floors; the max-rescale is a 1-row cross join — DuckDB's
+    * equivalent of the broadcast fold). Every per-round CTE is
+    * `AS MATERIALIZED`: DuckDB re-inlines plain CTEs at every
+    * reference, and each round references the previous one from
+    * both the rescale's max and its value side — unmaterialized,
+    * the chain re-expands down to the parquet scan per reference
+    * (exponential; surfaced as "Too many open files"). The c18
+    * lesson, applied at authoring time.
+    */
+  def hitsSql(edgesCtes: String, iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT n.url, coalesce(x.a, 0) AS a
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS url, sum(h.h) AS a
+         |    FROM edges e JOIN h${i - 1} h ON e.src = h.url
+         |    GROUP BY 1) x ON n.url = x.url),
+         |a$i AS MATERIALIZED (
+         |  SELECT r.url,
+         |    CASE WHEN m.mx > 0 THEN (r.a * $InitMicro) // m.mx
+         |      ELSE 0 END AS a
+         |  FROM ar$i r, (SELECT max(a) AS mx FROM ar$i) m),
+         |hr$i AS MATERIALIZED (
+         |  SELECT n.url, coalesce(x.h, 0) AS h
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS url, sum(a.a) AS h
+         |    FROM edges e JOIN a$i a ON e.dst = a.url
+         |    GROUP BY 1) x ON n.url = x.url),
+         |h$i AS MATERIALIZED (
+         |  SELECT r.url,
+         |    CASE WHEN m.mx > 0 THEN (r.h * $InitMicro) // m.mx
+         |      ELSE 0 END AS h
+         |  FROM hr$i r, (SELECT max(h) AS mx FROM hr$i) m)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCtes,
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT url FROM (
+       |    SELECT src AS url FROM edges
+       |    UNION ALL SELECT dst AS url FROM edges)),
+       |h0 AS MATERIALIZED (
+       |  SELECT url, CAST($InitMicro AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT n.url, CAST(a.a AS BIGINT) AS auth,
+       |  CAST(h.h AS BIGINT) AS hub
+       |FROM nodes n JOIN a$iters a ON n.url = a.url
+       |JOIN h$iters h ON n.url = h.url
+       |ORDER BY auth DESC, hub DESC, n.url ASC LIMIT $k""".stripMargin
   }
 
   /** The identical unrolled iteration as DuckDB CTE text.

@@ -235,24 +235,46 @@ object SkewOps {
     */
   def cmsCounts(df: DataFrame, itemCol: String, k: Int, d: Int = 4,
       w: Int = 256): DataFrame = {
-    import graft.Sorting.ResultSortOps
-    val js = df.sparkSession.range(0, d)
-      .select(col("id").cast("int").as("j"))
-    def bucketOf(x: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat_ws(":", col("j"), x)), 1, 15), 16, 10)
-        .cast("long") % w
-    val regs = df.select(col(itemCol).cast("string").as("x"))
-      .crossJoin(broadcast(js))
-      .select(col("j"), bucketOf(col("x")).as("b"))
-      .groupBy(col("j"), col("b"))
-      .agg(count(lit(1)).as("c"))
     val cands = df.groupBy(col(itemCol))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col(itemCol).asc)
       .limit(k)
+    cmsProbe(cmsRegisters(df, itemCol, d, w), cands, itemCol, d, w)
+  }
+
+  /** The (j, b, c) register relation of [[cmsCounts]] alone — d·w
+    * SUM-mergeable exact-integer counters. Split out so the
+    * streaming path (st11) merges per-batch registers with the SAME
+    * bucket arithmetic the batch estimator probes with.
+    */
+  def cmsRegisters(df: DataFrame, itemCol: String, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    val js = df.sparkSession.range(0, d)
+      .select(col("id").cast("int").as("j"))
+    df.select(col(itemCol).cast("string").as("x"))
+      .crossJoin(broadcast(js))
+      .select(col("j"),
+        (conv(substring(md5(concat_ws(":", col("j"), col("x"))),
+          1, 15), 16, 10).cast("long") % w).as("b"))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Probe a (j, b, c) register relation for a candidate relation
+    * `(itemCol, exact_cnt)`: estimate = min over the d rows. The
+    * candidate set is broadcast-joined against the fixed-size
+    * register table — the serving read of a stored/streamed sketch.
+    */
+  def cmsProbe(regs: DataFrame, cands: DataFrame, itemCol: String,
+      d: Int, w: Int): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    val js = regs.sparkSession.range(0, d)
+      .select(col("id").cast("int").as("j"))
     cands.crossJoin(broadcast(js))
       .select(col(itemCol), col("exact_cnt"), col("j"),
-        bucketOf(col(itemCol).cast("string")).as("b"))
+        (conv(substring(md5(concat_ws(":", col("j"),
+          col(itemCol).cast("string"))), 1, 15), 16, 10)
+          .cast("long") % w).as("b"))
       .join(regs, Seq("j", "b"))
       .groupBy(col(itemCol), col("exact_cnt"))
       .agg(min(col("c")).as("cms_cnt"))

@@ -513,6 +513,49 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** STREAM-STREAM interval join (st10) — the attribution shape
+    * (purchase within N minutes of a view by the same user) joined
+    * NATIVELY by Structured Streaming: both sides are unbounded, both
+    * carry event-time watermarks, and the range predicate on the two
+    * event times is what lets the engine EVICT join state — a side's
+    * buffered rows age out once the other side's watermark passes
+    * their time + window, so steady-state memory is
+    * O(rate × (watermark delay + window)) per side, not O(stream).
+    * That eviction bound is the production knob: the fixture replay
+    * sets the delay past the corpus span so no pair is ever dropped
+    * late and the result equals the batch interval join verbatim
+    * (the st5 ≡ c5 adjudication pattern — st10 is held to the plain
+    * relational oracle).
+    *
+    * Inner-join results emit as soon as both sides of a match have
+    * arrived (matches ACROSS micro-batches come from the join state,
+    * which the 3-batch replay exercises); the per-batchId overwrite
+    * keeps the sink replay-safe (asofSink's convention). All column
+    * names must be distinct across the two inputs.
+    */
+  def intervalJoinSink(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTsCol: String,
+      rightTsCol: String, window: String, watermarkDelay: String,
+      outPath: String, checkpointDir: String): Unit = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val cond = col(leftKey) === col(rightKey) &&
+      col(rightTsCol) >= col(leftTsCol) &&
+      col(rightTsCol) < col(leftTsCol) + expr(s"INTERVAL $window")
+    val q = l.join(r, cond, "inner").writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("overwrite")
+            .parquet(s"$outPath/batch=$batchId")
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAMING DISTINCT-COUNT via mergeable HLL registers: each
     * micro-batch's (key, bucket, ρ) registers are MAX-merged into a
     * persisted register table (256 rows per key — fixed state at ANY
@@ -544,6 +587,44 @@ object StreamingOps {
             else regs
           // write-temp-then-swap: the merged plan READS the store
           val tmp = storePath + "__hll_tmp"
+          graft.Catalog.overwrite(merged, tmp)
+          graft.Catalog.replace(spark, tmp, storePath)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** STREAMING FREQUENCY SKETCH via mergeable Count-Min registers
+    * (st11 — the [[hllRegisterSink]] pattern applied to CMS): each
+    * micro-batch's (j, b, c) registers are SUM-merged into a
+    * persisted register table — d·w rows of exact integers, FIXED
+    * state at any stream length or key cardinality. Counter
+    * addition is exact, so the merged table EQUALS the one-shot
+    * batch registers over the union and st11 is held to e10's
+    * oracle verbatim (the st8 ≡ e9 adjudication). At production
+    * rates the same merge runs as `flatMapGroupsWithState` keyed by
+    * (j, b) — identical algebra, state-store-resident.
+    */
+  def cmsRegisterSink(stream: DataFrame, spark: SparkSession,
+      itemCol: String, storePath: String, checkpointDir: String,
+      d: Int = 4, w: Int = 256): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val regs = graft.operators.SkewOps
+            .cmsRegisters(batch, itemCol, d, w)
+          val merged =
+            if (graft.Catalog.tableExists(spark, storePath))
+              graft.Catalog.load(spark, storePath)
+                .unionByName(regs)
+                .groupBy(col("j"), col("b"))
+                .agg(sum(col("c")).as("c"))
+            else regs
+          val tmp = storePath + "__cms_tmp"
           graft.Catalog.overwrite(merged, tmp)
           graft.Catalog.replace(spark, tmp, storePath)
         }

@@ -677,4 +677,47 @@ class AnalyticsSpec extends SparkSpec {
     val dropped = card(docs.filter(col("doc_id") =!= 1L))
     assert(dropped != base)
   }
+
+  test("kAnonymityAudit: planted rare class is suppressed at its " +
+      "level and rescued by generalization") {
+    // 12 rows of (n1, segA, band 0) — one k=10-safe class — plus 2
+    // rows (n1, segB, band 0): rare at l0 AND l1, absorbed at l2.
+    val rows = (1 to 12).map(i => ("n1", "segA", 10.0 * i)) ++
+      Seq(("n1", "segB", 50.0), ("n1", "segB", 60.0))
+    val df = rows.toDF("nat", "seg", "bal")
+    val out = AnalyticsOps.kAnonymityAudit(df, col("nat"), col("seg"),
+        floor(col("bal") / 1000).cast("long"), k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // l0: classes (n1,segA,0)=12 ok, (n1,segB,0)=2 suppressed
+    assert(out("l0_full_qi") == (2L, 2L, 2L, 12L))
+    // l1 drops the band: same two classes, same outcome
+    assert(out("l1_drop_band") == (2L, 2L, 2L, 12L))
+    // l2: one class of 14 — everything releasable
+    assert(out("l2_key_only") == (1L, 14L, 0L, 14L))
+  }
+
+  test("scd2Build: no-op updates collapse, intervals chain exactly") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: A, A (no-op), B, B (no-op), A  -> versions A/B/A
+    // user 2: single X -> one open version
+    val df = Seq(
+      (1L, ts(10), 100L, "A"), (1L, ts(20), 101L, "A"),
+      (1L, ts(30), 102L, "B"), (1L, ts(40), 103L, "B"),
+      (1L, ts(50), 104L, "A"),
+      (2L, ts(15), 200L, "X"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = AnalyticsOps.scd2Build(df, "user_id", "ts", "event_id",
+      "event_type").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(2)).toSeq == Seq("A", "B", "A"))
+    // each interval closes at the NEXT CHANGE, skipping the no-op
+    assert(u1(0).getTimestamp(4) == ts(30))
+    assert(u1(1).getTimestamp(4) == ts(50))
+    assert(u1(2).getTimestamp(4) == null && u1(2).getBoolean(5))
+    assert(u1.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getBoolean(5))
+  }
 }

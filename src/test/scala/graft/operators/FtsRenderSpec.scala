@@ -275,4 +275,31 @@ class FtsRenderSpec extends SparkSpec {
     assert(out.map(_._2).sliding(2).forall(p =>
       p.length < 2 || p(0) >= p(1)))
   }
+
+  test("spell-corrected search: typo corrects to the frequent vocab " +
+      "term; exact query wins over its neighbors; unknowns yield none") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the window slid open"), (2L, "window window frame"),
+      (3L, "a widow walked by"), (4L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    // substitution typo: 'wimdow' is distance 1 from 'window' (ctf 3)
+    // AND distance 1 from 'widow' (ctf 1) — frequency picks 'window'
+    val typo = FtsOps.spellCorrectedSearch(docs, "doc_id", "text",
+      "wimdow", k = 10).collect()
+    assert(typo.map(_.getString(2)).distinct.toSeq == Seq("window"))
+    assert(typo.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L))
+    // an exact vocabulary query is its own distance-0 candidate and
+    // beats a MORE FREQUENT distance-1 neighbor ('widow' ctf 1 vs
+    // 'window' ctf 3) — the (dist, ctf) policy, not frequency alone
+    val exact = FtsOps.spellCorrectedSearch(docs, "doc_id", "text",
+      "widow", k = 10).collect()
+    assert(exact.map(_.getString(2)).distinct.toSeq == Seq("widow"))
+    assert(exact.map(_.getLong(0)).toSeq == Seq(3L))
+    // no vocab term within one edit -> empty result, not a crash
+    val none = FtsOps.spellCorrectedSearch(docs, "doc_id", "text",
+      "zzzzzz", k = 10).collect()
+    assert(none.isEmpty)
+  }
 }

@@ -554,6 +554,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("cmsRegisterSink: SUM-merged streamed registers equal the " +
+      "batch sketch's") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (i.toLong, i.toLong % 37))
+      .toDF("event_id", "user_id")
+    val root = tmpDir("cmssink")
+    val in = new java.io.File(root + "/in"); in.mkdirs()
+    (0 until 2).foreach { i =>
+      val tmp = s"$root/b$i"
+      rows.filter(col("event_id") % 2 === i)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"batch_$i.parquet").toPath)
+      ()
+    }
+    val stream = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val store = root + "/regs"
+    StreamingOps.cmsRegisterSink(stream, spark, "user_id", store,
+      root + "/ckpt")
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("j", "b", "CAST(c AS BIGINT) AS c").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = regMap(graft.Catalog.load(spark, store))
+    val batch = regMap(graft.operators.SkewOps
+      .cmsRegisters(rows, "user_id"))
+    assert(streamed == batch && streamed.nonEmpty)
+    // every register holds ≥ the max exact count it absorbed, and
+    // total mass across one hash row equals |rows|
+    assert(streamed.collect { case ((0, _), c) => c }.sum == 500L)
+  }
+
   test("asofSink: micro-batched enrichment equals the one-shot batch join") {
     import spark.implicits._
     import java.sql.Timestamp
@@ -593,5 +627,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed == Map(900L -> 100L, 901L -> 101L, 902L -> -1L,
       903L -> 200L))
+  }
+
+  test("intervalJoinSink: matches across micro-batches come out of " +
+      "join state; window bounds are half-open") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Event times sit WELL past the epoch: Spark's global watermark
+    // initializes to 0 ms, and a stateful operator drops input rows
+    // at-or-before the current watermark as late — a row AT epoch 0
+    // silently vanishes from the join (observed; cost a debug
+    // session). Real event data never sits at 1970, so pin the spec
+    // to a modern base instead of a special-cased boundary.
+    def ts(s: Long) = new Timestamp((1700000000L + s) * 1000L)
+    // view 10 at t=0 matches purchases at t=5 (same batch) and t=40
+    // (LATER batch — must come from buffered state); t=60 is exactly
+    // at the window edge (exclusive); user 2's purchase precedes its
+    // view (no match)
+    val views = Seq((10L, 1L, ts(0)), (11L, 2L, ts(50)))
+      .toDF("view_id", "v_user", "view_ts")
+    val purchases = Seq((900L, 1L, ts(5)), (901L, 1L, ts(40)),
+        (902L, 1L, ts(60)), (903L, 2L, ts(45)))
+      .toDF("purchase_id", "p_user", "p_ts")
+    val root = tmpDir("ssjoin")
+    def stage(df: org.apache.spark.sql.DataFrame, sub: String,
+        idCol: String): String = {
+      val in = new java.io.File(s"$root/$sub/in"); in.mkdirs()
+      (0 until 2).foreach { i =>
+        val tmp = s"$root/$sub/b$i"
+        df.filter(col(idCol) % 2 === i).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(in, s"batch_$i.parquet").toPath)
+        ()
+      }
+      in.toString
+    }
+    val vIn = stage(views, "v", "view_id")
+    val pIn = stage(purchases, "p", "purchase_id")
+    val vStream = spark.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", 1).parquet(vIn)
+    val pStream = spark.readStream.schema(purchases.schema)
+      .option("maxFilesPerTrigger", 1).parquet(pIn)
+    val out = root + "/out"
+    StreamingOps.intervalJoinSink(vStream, pStream, "v_user", "p_user",
+      "view_ts", "p_ts", window = "1 minute", watermarkDelay = "1 day",
+      out, root + "/ckpt")
+    val got = spark.read.parquet(out)
+      .select("view_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (10,900) same-batch-or-not, (10,901) cross-batch from state;
+    // 902 excluded (t=60 == 0+60 exclusive), 903 precedes view 11
+    assert(got == Set((10L, 900L), (10L, 901L)))
   }
 }
