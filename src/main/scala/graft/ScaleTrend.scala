@@ -195,6 +195,43 @@ object ScaleTrend {
     }
     println(f"[scale] c16 x$factor min=${c16Times.min}%.3f " +
       s"all=${c16Times.map(t => f"$t%.3f").mkString(",")}")
+    // n3 vs n33 (exact Jaccard: all-shared-shingle vs prefix-filtered
+    // candidates) over the disjoint-shingle replicas — N independent
+    // copies of the 1× dedup problem, so BOTH must scale linearly;
+    // the probe measures whether the prefix prune's win is a stable
+    // constant factor (it removes the bulk of each copy's candidate
+    // mass) and prints the candidate-volume gap itself.
+    val qn3 = () => operators.DedupOps.jaccardPairs(bigDisjoint,
+      "doc_id", "text", minJaccard = 0.8,
+      maxDf = SparkEntry.ShingleMaxDf)
+    val n3Times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qn3().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] n3 x$factor min=${n3Times.min}%.3f " +
+      s"all=${n3Times.map(t => f"$t%.3f").mkString(",")}")
+    val qn33 = () => operators.DedupOps.prefixFilteredJaccardPairs(
+      bigDisjoint, "doc_id", "text", tNum = 4, tDen = 5,
+      maxDf = SparkEntry.ShingleMaxDf)
+    val n33Times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qn33().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] n33 x$factor min=${n33Times.min}%.3f " +
+      s"all=${n33Times.map(t => f"$t%.3f").mkString(",")}")
+    val shCand = operators.DedupOps.capShingleDf(
+      operators.DedupOps.hashedShingles(bigDisjoint, "doc_id", "text"),
+      SparkEntry.ShingleMaxDf)
+    val allCand = shCand.select(col("doc_id").as("id_a"), col("x"))
+      .join(shCand.select(col("doc_id").as("id_b"), col("x")), Seq("x"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct().count()
+    val prefCand = operators.DedupOps
+      .prefixCandidates(shCand, "doc_id", 4, 5).count()
+    println(s"[scale] n33 candidates x$factor " +
+      s"prefix=$prefCand all_shared=$allCand")
     spark.stop()
   }
 }

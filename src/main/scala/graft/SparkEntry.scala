@@ -370,6 +370,14 @@ object SparkEntry {
     "n3_ngram_jaccard" -> ((s, dir) =>
       DedupOps.jaccardPairs(Tables.documents(s, dir),
         "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)),
+    // n33: the SAME pairs via PPJoin prefix filtering — candidates
+    // join only each doc's rarest few shingles (|x| − ⌈0.8|x|⌉ + 1
+    // under the rare-first global order) instead of every shared
+    // shingle; exact verify restricted to candidates. Held to n3's
+    // oracle verbatim: a different algorithm, the same answer.
+    "n33_prefix_jaccard" -> ((s, dir) =>
+      DedupOps.prefixFilteredJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", tNum = 4, tDen = 5, maxDf = ShingleMaxDf)),
     "n4_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashPairs(Tables.documents(s, dir),
         "doc_id", "text", minJaccard = 0.8, maxDf = ShingleMaxDf)),
@@ -2751,6 +2759,11 @@ object SparkEntry {
         |SELECT doc_id, source, content_md5 FROM r WHERE rn = 1
         |ORDER BY doc_id ASC""".stripMargin,
     "n3_ngram_jaccard" ->
+      operators.DedupOps.jaccardPairsSql("documents", "doc_id", "text",
+        0.8, maxDf = ShingleMaxDf),
+    // n33: prefix filtering is candidate PRUNING, not a semantics
+    // change — the exact-Jaccard oracle is n3's verbatim.
+    "n33_prefix_jaccard" ->
       operators.DedupOps.jaccardPairsSql("documents", "doc_id", "text",
         0.8, maxDf = ShingleMaxDf),
     "n17_source_overlap" ->

@@ -225,6 +225,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact) // 8 bands × 2 rows: recall ≈ 1 at J ≥ 0.8
   }
 
+  test("prefixFilteredJaccardPairs equals jaccardPairs on real docs " +
+      "with strictly fewer candidates") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = DedupOps.prefixFilteredJaccardPairs(docs, "doc_id",
+        "text", tNum = 4, tDen = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && pref == exact)
+    // the point of the prefix principle: the candidate relation is a
+    // strict subset of the all-shared-shingle pair relation
+    val sh = DedupOps.hashedShingles(docs, "doc_id", "text").cache()
+    val allPairs = sh.select(col("doc_id").as("id_a"), col("x"))
+      .join(sh.select(col("doc_id").as("id_b"), col("x")), Seq("x"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct().count()
+    val prefPairs =
+      DedupOps.prefixCandidates(sh, "doc_id", 4, 5).count()
+    assert(prefPairs < allPairs,
+      s"prefix candidates $prefPairs !< all-shared $allPairs")
+    sh.unpersist()
+    ()
+  }
+
+  test("prefix filter keeps a boundary pair whose overlap sits " +
+      "exactly at the threshold") {
+    // 8 + 8 words with 6 shared trigrams each way... construct a
+    // planted pair at jaccard exactly 0.8: |A|=|B|=9 shingles with
+    // |A∩B|=8 → 8/10 = 0.8. 11-word docs differing in their LAST
+    // word give trigram sets of size 9 sharing 8.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 endA"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 endB"
+    val df = Seq((1L, a), (2L, b),
+      (3L, "completely unrelated filler text here body")).toDF("id", "text")
+    val pref = DedupOps.prefixFilteredJaccardPairs(df, "id", "text",
+        tNum = 4, tDen = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(pref.toSeq == Seq((1L, 2L, 0.8)))
+  }
+
   test("graft_simhash expression equals the 60-sum-aggregate formulation") {
     val docs = graft.Tables.documents(spark, sfSmoke)
     val fast = DedupOps.simhash(docs, "doc_id", "text")
