@@ -732,6 +732,13 @@ object SparkEntry {
     "l7_fts_bm25" -> ((s, dir) =>
       FtsOps.searchBm25Docs(Tables.documents(s, dir), "doc_id",
         "text", terms = Seq("batch", "dup"), k = 50)),
+    // l15: BM25F — field-weighted ranking (title = first 3 tokens,
+    // n31's convention; weight 2×): fields fold into ONE weighted
+    // pseudo-tf BEFORE saturation (the thing that distinguishes
+    // BM25F from summing per-field BM25 scores).
+    "l15_bm25f" -> ((s, dir) =>
+      FtsOps.searchBm25F(Tables.documents(s, dir), "doc_id",
+        "text", terms = Seq("batch", "dup"), k = 50)),
 
     // l13: QUERY EXPANSION (pseudo-relevance feedback, RM3-lite) —
     // seed tf·idf search → top-10 feedback docs → 3 strongest
@@ -918,6 +925,11 @@ object SparkEntry {
     "t21_ngram_diversity" -> ((s, dir) =>
       TextOps.ngramDiversity(Tables.documents(s, dir),
         "source", "text")),
+    // t28: Zipf rank-frequency slope per source — the power-law
+    // corpus diagnostic (natural ≈ −1; templated text flattens).
+    // The top-100 rank filter plans through TopKPerKey.
+    "t28_zipf_slope" -> ((s, dir) =>
+      TextOps.zipfSlope(Tables.documents(s, dir), "source", "text")),
     // t22: word-blocklist safety gate — a pure scan-stage predicate
     // (arrays_overlap with a broadcast list), no shuffle of text.
     "t22_blocklist_gate" -> ((s, dir) =>
@@ -3246,6 +3258,8 @@ object SparkEntry {
         "text"),
     // t21: bigrams via the same positional list comprehension as t9's
     // trigrams; TTR = exact types over occurrences.
+    "t28_zipf_slope" ->
+      operators.TextOps.zipfSlopeSql("documents", "source", "text"),
     "t21_ngram_diversity" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS w
         |  FROM documents),
@@ -3389,6 +3403,9 @@ object SparkEntry {
     "l6_fts_ranked" ->
       operators.FtsOps.searchRankedDocsSql("documents", "doc_id",
         "text", Seq("batch", "dup"), 50),
+    "l15_bm25f" ->
+      operators.FtsOps.searchBm25FSql("documents", "doc_id", "text",
+        terms = Seq("batch", "dup"), k = 50),
     "l7_fts_bm25" ->
       operators.FtsOps.searchBm25DocsSql("documents", "doc_id",
         "text", Seq("batch", "dup"), 50),

@@ -171,6 +171,114 @@ object FtsOps {
       idCol, terms, k)
   }
 
+  /** BM25F (l15) — FIELD-WEIGHTED ranking (Robertson/Zaragoza's
+    * simple variant): a title hit outranks the same hit buried in
+    * the body. Fields here follow n31's convention — title = the
+    * first `nTitle` whitespace tokens, body = the rest. Per (doc,
+    * term) the fields fold into ONE weighted pseudo-frequency
+    * BEFORE saturation,
+    *
+    *   tf̃ = Σ_f w_f · tf_f / ((1−b) + b · len_f/avgdl_f)
+    *   score = Σ_t ln(N/df_t) · tf̃ / (k1 + tf̃)
+    *
+    * which is what distinguishes BM25F from naively summing
+    * per-field BM25 scores (that double-saturates). Scale shape:
+    * title/body arrays and their lengths are ONE scan-stage
+    * projection (no second tokenize pass); the tagged postings
+    * explode is term-filtered in the same stage; df and the per-
+    * field corpus stats are broadcast 1-row/`|terms|`-row folds; the
+    * only doc-keyed join is postings⨝lens. Deterministic at 6 dp
+    * (l7's convention — few-term double sums under a final round).
+    */
+  def searchBm25F(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, nTitle: Int = 3,
+      wTitle: Double = 2.0, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(terms.nonEmpty, "at least one search term")
+    val normTerms = terms.map(_.toLowerCase).distinct
+    val fields = docs.select(col(idCol),
+        split(lower(col(textCol)), " ").as("__ws"))
+      .select(col(idCol),
+        slice(col("__ws"), 1, nTitle).as("__ta"),
+        expr(s"slice(__ws, ${nTitle + 1}, " +
+          s"greatest(0, size(__ws) - $nTitle))").as("__ba"))
+    val lens = fields.select(col(idCol),
+      size(col("__ta")).cast("double").as("lt"),
+      size(col("__ba")).cast("double").as("lb"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("lt")).as("alt"), avg(col("lb")).as("alb"))
+    val tagged = fields.select(col(idCol), explode(concat(
+        transform(col("__ta"), t => struct(lit("t").as("fld"),
+          t.as("token"))),
+        transform(col("__ba"), t => struct(lit("b").as("fld"),
+          t.as("token"))))).as("p"))
+      .select(col(idCol), col("p.fld"), col("p.token"))
+      .filter(col("token").isInCollection(normTerms))
+    val tf = tagged.groupBy(col(idCol), col("fld"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+    val bNorm = lit(1 - b) + lit(b) *
+      when(col("fld") === "t", col("lt") / col("alt"))
+        .otherwise(col("lb") / col("alb"))
+    val tfw = tf.join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol), col("token"))
+      .agg(sum(when(col("fld") === "t", lit(wTitle))
+        .otherwise(lit(1.0)) * col("tf") / bNorm).as("tfw"))
+    tfw.join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(round(sum(log(col("n_docs") / col("df")) *
+        col("tfw") / (lit(k1) + col("tfw"))), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Oracle twin of [[searchBm25F]] — identical arithmetic as CTEs
+    * (DuckDB list slicing `ws[1:n]` / `ws[n+1:]` mirrors the
+    * guarded Spark `slice`; both engines keep RAW split lengths so
+    * the field-length convention cannot drift).
+    */
+  def searchBm25FSql(table: String, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, nTitle: Int = 3,
+      wTitle: Double = 2.0, k1: Double = 1.2, b: Double = 0.75)
+      : String = {
+    val inTerms = terms.map(_.toLowerCase).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT $idCol, ws[1:$nTitle] AS ta, ws[${nTitle + 1}:] AS ba
+       |  FROM (SELECT $idCol, string_split(lower($textCol), ' ')
+       |          AS ws FROM $table)),
+       |lens AS (SELECT $idCol, len(ta)::DOUBLE AS lt,
+       |  len(ba)::DOUBLE AS lb FROM f),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(lt) AS alt,
+       |  avg(lb) AS alb FROM lens),
+       |post AS (
+       |  SELECT $idCol, 't' AS fld, unnest(ta) AS token FROM f
+       |  UNION ALL
+       |  SELECT $idCol, 'b', unnest(ba) FROM f),
+       |tf AS (
+       |  SELECT $idCol, fld, token, count(*)::DOUBLE AS tf
+       |  FROM post WHERE token IN ($inTerms) GROUP BY 1, 2, 3),
+       |dfs AS (SELECT token, count(DISTINCT $idCol)::DOUBLE AS df
+       |  FROM tf GROUP BY 1),
+       |tfw AS (
+       |  SELECT t.$idCol, t.token,
+       |    sum((CASE WHEN t.fld = 't' THEN $wTitle ELSE 1.0 END)
+       |        * t.tf /
+       |        ((1 - $b) + $b * (CASE WHEN t.fld = 't'
+       |           THEN l.lt / s.alt ELSE l.lb / s.alb END))) AS tfw
+       |  FROM tf t JOIN lens l USING ($idCol) CROSS JOIN stats s
+       |  GROUP BY 1, 2)
+       |SELECT w.$idCol,
+       |  round(sum(ln(s.n_docs / d.df) * w.tfw / ($k1 + w.tfw)), 6)
+       |    AS score
+       |FROM tfw w JOIN dfs d USING (token) CROSS JOIN stats s
+       |GROUP BY 1
+       |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
+  }
+
   /** BATCH BM25 serving — the FTS analogue of the IVF batch tier
     * (n10/n15): one shared plan answers a whole query SET instead of
     * one job per query. The postings scan is pruned once by the UNION

@@ -1254,6 +1254,81 @@ object TextOps {
       .resultSorted(col(srcCol).asc)
   }
 
+  /** ZIPF RANK-FREQUENCY SLOPE (t28) — the power-law corpus
+    * diagnostic: natural text follows freq ∝ rank^s with s ≈ −1;
+    * templated/synthetic text flattens (|s| small), and a spam blast
+    * of one phrase steepens it. Per source, the top `topN` tokens by
+    * frequency are fitted with closed-form OLS on
+    * (x, y) = (ln rank, ln freq):
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * Scale shape: one (source, token) pre-aggregate (map-side
+    * combined), then the rank filter `row_number() ≤ topN` — the
+    * EXACT shape TopKRewrite plans as the partial top-k operator
+    * (map-side bounded heaps, the exchange carries ≤ topN·|sources|
+    * rows, never the vocabulary) — then a |sources|-row OLS fold.
+    * Ties break token-asc so the rank assignment (and thus the
+    * fit) is deterministic; doubles settle under the 6 dp round
+    * (l7's convention).
+    */
+  def zipfSlope(df: DataFrame, srcCol: String, textCol: String,
+      topN: Int = 100): DataFrame = {
+    import graft.Sorting.ResultSortOps
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(srcCol),
+        explode(split(lower(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(srcCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = tf
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(srcCol))
+          .orderBy(col("c").desc, col("token").asc)))
+      .filter(col("rank") <= topN)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("c").cast("double"))
+    ranked.groupBy(col(srcCol))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .select(col(srcCol), col("n").cast("long").as("n_tokens"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") - col("sx") *
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))) /
+          col("n"), 6).as("intercept"))
+      .resultSorted(col(srcCol).asc)
+  }
+
+  /** Oracle twin of [[zipfSlope]] — same pre-aggregate, same
+    * rank-filter, same closed-form OLS.
+    */
+  def zipfSlopeSql(table: String, srcCol: String, textCol: String,
+      topN: Int = 100): String =
+    s"""WITH tf AS (
+       |  SELECT $srcCol, token, count(*) AS c FROM (
+       |    SELECT $srcCol, unnest(string_split(lower($textCol), ' '))
+       |      AS token FROM $table)
+       |  WHERE token <> '' GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT $srcCol, c, row_number() OVER (
+       |      PARTITION BY $srcCol ORDER BY c DESC, token ASC) AS rank
+       |  FROM tf QUALIFY rank <= $topN),
+       |s AS (
+       |  SELECT $srcCol, count(*)::DOUBLE AS n,
+       |    sum(ln(rank::DOUBLE)) AS sx, sum(ln(c::DOUBLE)) AS sy,
+       |    sum(ln(rank::DOUBLE) * ln(c::DOUBLE)) AS sxy,
+       |    sum(ln(rank::DOUBLE) * ln(rank::DOUBLE)) AS sxx
+       |  FROM ranked GROUP BY 1)
+       |SELECT $srcCol, n::BIGINT AS n_tokens,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
+       |    / n, 6) AS intercept
+       |FROM s ORDER BY $srcCol ASC""".stripMargin
+
   /** WORD-BLOCKLIST gate: per source, how many documents contain any
     * blocklisted token — the safety-filter stage (slur/boilerplate/
     * spam word lists) every production corpus pass runs before

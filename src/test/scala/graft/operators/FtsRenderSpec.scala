@@ -276,6 +276,36 @@ class FtsRenderSpec extends SparkSpec {
       p.length < 2 || p(0) >= p(1)))
   }
 
+  test("bm25f: a title hit outranks the same-frequency body hit; " +
+      "field fold beats per-field double-saturation") {
+    import spark.implicits._
+    // both docs contain 'query' exactly once, same total length —
+    // doc 1 carries it in the TITLE (first 3 tokens), doc 2 in the
+    // body; the 2× title weight must rank doc 1 first
+    val docs = Seq(
+      (1L, "query alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma query delta epsilon zeta"),
+      (3L, "nothing relevant in this document at all"))
+      .toDF("doc_id", "text")
+    val out = FtsOps.searchBm25F(docs, "doc_id", "text",
+      terms = Seq("query"), k = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+    // a doc hitting in BOTH fields folds into one saturation curve:
+    // its score must exceed the title-only doc but stay below the
+    // sum of the two single-field scores (saturation is concave)
+    val both = Seq(
+      (1L, "query alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma query delta epsilon zeta"),
+      (4L, "query alpha beta query delta epsilon zeta"),
+      (3L, "nothing relevant in this document at all"))
+      .toDF("doc_id", "text")
+    val o2 = FtsOps.searchBm25F(both, "doc_id", "text",
+      terms = Seq("query"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(o2(4L) > o2(1L) && o2(4L) < o2(1L) + o2(2L))
+  }
+
   test("spell-corrected search: typo corrects to the frequent vocab " +
       "term; exact query wins over its neighbors; unknowns yield none") {
     import spark.implicits._

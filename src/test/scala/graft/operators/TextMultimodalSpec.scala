@@ -806,4 +806,23 @@ class TextMultimodalSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(out == Seq(("s1", 3L, 1L, 2L), ("s2", 1L, 1L, 0L)))
   }
+
+  test("zipfSlope: a perfect 1/rank law fits slope -1 exactly; " +
+      "a flat distribution fits slope 0") {
+    // source z: freq(a)=6, freq(b)=3, freq(c)=2 -> ln(freq) =
+    // ln 6 - ln(rank) exactly, so the OLS slope is exactly -1 and
+    // the intercept ln 6; source f: three equal-frequency tokens ->
+    // y is constant -> slope 0 (ties rank token-asc).
+    val z = "a a a a a a b b b c c"
+    val f = "x y w x y w"
+    val df = Seq((1L, z, "z"), (2L, f, "f")).toDF("doc_id", "text",
+      "source")
+    val out = TextOps.zipfSlope(df, "source", "text")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("z")._2 == 3L && out("z")._3 == -1.0)
+    assert(out("z")._4 == math.floor(math.log(6) * 1e6 + 0.5) / 1e6 ||
+      math.abs(out("z")._4 - math.log(6)) < 1e-6)
+    assert(out("f")._2 == 3L && out("f")._3 == 0.0)
+  }
 }
