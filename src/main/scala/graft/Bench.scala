@@ -57,8 +57,13 @@ object Bench {
   // = 44.6165 − 13.6768 + 1.1551 = 32.0948 at 199, + l13 0.1149
   // = 32.2097 for the 200-query oracle suite (2026-08-14; see
   // BASELINE.md round-10 ledger).
-  val RecordedDuckdbSf01: Double = 32.2097
-  val RecordedDuckdbQueries: Int = 200
+  // Round-10 session 2: + h6 0.2283 + d4 0.0108 + k25 0.0346
+  // (back-bakes) + l14 0.0771 + st10 0.0225 + h7 0.2641 + h8 0.8128
+  // + st11 0.1703 + n33 1.5207 + l15 0.1192 + t28 0.0613 = 35.5314
+  // for the 211-query oracle suite (suite 213 with the two rows-only
+  // approximations; see BASELINE.md round-10 ledger).
+  val RecordedDuckdbSf01: Double = 35.5314
+  val RecordedDuckdbQueries: Int = 211
 
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =

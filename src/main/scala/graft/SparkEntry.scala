@@ -1129,9 +1129,17 @@ object SparkEntry {
         ()
       }
       val run = tempTableRoot("graft_stream_cms_run")
-      val stream = s.readStream.schema(ev.schema)
+      // tuned child: the per-batch register relation is ≤ d·w rows,
+      // so the stream runs at a register-sized shuffle width; the
+      // sink is stateless-in-the-engine (state lives in the TABLE),
+      // so the no-data finalization batch buys nothing.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        "false")
+      val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
-      graft.streaming.StreamingOps.cmsRegisterSink(stream, s,
+      graft.streaming.StreamingOps.cmsRegisterSink(stream, ss,
         "user_id", run + "/regs", run + "/ckpt")
       val cands = ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("exact_cnt"))
@@ -1203,7 +1211,15 @@ object SparkEntry {
       }
       val run = tempTableRoot("graft_stream_join_run")
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      // a stream-stream join keeps FOUR state stores per partition
+      // per side; 4 partitions covers the sf0.1 user-key spread while
+      // halving the per-trigger store checkpoint count (st9's sizing
+      // convention). The no-data finalization batch only exists to
+      // advance watermark-driven OUTPUT — an inner join emits
+      // eagerly, so it is pure overhead here.
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        "false")
       val vStream = ss.readStream.schema(views.schema)
         .option("maxFilesPerTrigger", 1).parquet(fix + "/v/in")
       val pStream = ss.readStream.schema(purchases.schema)
