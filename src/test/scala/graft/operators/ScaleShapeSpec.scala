@@ -71,7 +71,9 @@ class ScaleShapeSpec extends SparkSpec {
       "h3_link_harvest", "n6y_lsh_batch_topk", "t27_pii_scrub",
       "n6z_lsh_recall", "h4_web_pipeline",
       "c16_bloom_decontaminate", "h5_frontier", "st9_stream_dedup",
-      "c18_leakage_audit", "c19_domain_cap", "l13_query_expansion")
+      "c18_leakage_audit", "c19_domain_cap", "l13_query_expansion",
+      "l14_spell_search", "l15_bm25f", "t28_zipf_slope",
+      "n33_prefix_jaccard", "d4_k_anonymity", "k25_scd2")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
@@ -93,6 +95,38 @@ class ScaleShapeSpec extends SparkSpec {
     val singles = plan.split("SinglePartition").length - 1
     assert(singles <= 1,
       s"t11 planned $singles single-partition exchanges:\n$plan")
+  }
+
+  test("pageRank/PPR plan fully partitioned rounds: zero " +
+      "single-partition exchanges") {
+    // The rank iteration must stay hash-partitioned end to end: one
+    // co-located join + one map-side-combined aggregate + one node
+    // join per round, top-k via TakeOrderedAndProject — never a
+    // global window or a 1-partition funnel. (h8's max-rescales DO
+    // fold through 1-row aggregates by design — h6/h7 have none.)
+    Seq("h6_pagerank", "h7_seeded_rank").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfSmoke)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name must not plan a window:\n$plan")
+      val singles = plan.split("SinglePartition").length - 1
+      assert(singles == 0,
+        s"$name planned $singles single-partition exchanges:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name top-k must be TakeOrderedAndProject:\n$plan")
+    }
+  }
+
+  test("t28 zipf slope plans the rank filter through TopKPerKey") {
+    // The top-100-per-source filter must hit the partial top-k
+    // operator (map-side bounded heaps), not a full window sort of
+    // the vocabulary.
+    val df = graft.SparkEntry.queries("t28_zipf_slope")(spark, sfSmoke)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"t28 rank filter must plan as TopKPerKey:\n$plan")
   }
 
   test("d3 card merge plans NO base rescan: increment + stored card only") {
