@@ -198,12 +198,20 @@ object DedupOps {
       .agg(count(lit(1)).as("i"),
         any_value(col("na")).as("na"), any_value(col("nb")).as("nb"))
 
+  // The threshold applies to the UNROUNDED ratio (only the OUTPUT is
+  // rounded to 6 dp): thresholding the rounded value would admit pairs
+  // with true J in [t − 5e-7, t) — pairs the PPJoin prefix theorem
+  // (n33) never generates candidates for, so the two formulations
+  // could diverge on a boundary pair. Both engines compute the ratio
+  // in IEEE double (DuckDB's `i * 1.0 / u` types as DOUBLE), so the
+  // unrounded compare agrees exactly; [[jaccardPairsSql]] is the twin.
   private def jaccardOf(pairs: DataFrame, minJaccard: Double): DataFrame =
     pairs
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn("__j",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("__j") >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        round(col("__j"), 6).as("jaccard"))
       .orderBy(col("id_a").asc, col("id_b").asc)
 
   /** EXACT Jaccard near-dup pairs (tier 2). Candidates = pairs sharing
@@ -465,17 +473,33 @@ object DedupOps {
       maxDf: Int = Int.MaxValue, estItems: Long = 1000000L)
       : DataFrame = {
     val sb = capShingleDf(sb0, maxDf)
-    sa.createOrReplaceTempView("graft_bloom_bench")
-    sb.createOrReplaceTempView("graft_bloom_corpus")
+    // Temp views resolve against the DataFrames' OWN session (a
+    // passed-in `spark` from a different session would read a stale
+    // or missing view), and fixed names would let two concurrent
+    // callers clobber each other — so the views are UUID-suffixed,
+    // registered and queried on `sa.sparkSession`, and dropped as
+    // soon as `sql()` has analyzed the plan (analysis inlines the
+    // view, so the returned DataFrame no longer references it).
+    val ss = sa.sparkSession
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val benchView = s"graft_bloom_bench_$tag"
+    val corpusView = s"graft_bloom_corpus_$tag"
+    sa.createOrReplaceTempView(benchView)
+    sb.createOrReplaceTempView(corpusView)
     // The scalar subquery is the only SQL-surface-only piece:
     // BloomFilterMightContain type-checks its bloom side as a
     // constant or subquery, exactly how the optimizer's own injected
     // filters are shaped.
-    val pruned = spark.sql(
-      s"""SELECT corpus_id, x FROM graft_bloom_corpus
-         |WHERE graft_might_contain(
-         |  (SELECT graft_bloom_agg(x, ${estItems}L)
-         |   FROM graft_bloom_bench), x)""".stripMargin)
+    val pruned =
+      try ss.sql(
+        s"""SELECT corpus_id, x FROM $corpusView
+           |WHERE graft_might_contain(
+           |  (SELECT graft_bloom_agg(x, ${estItems}L)
+           |   FROM $benchView), x)""".stripMargin)
+      finally {
+        ss.catalog.dropTempView(benchView)
+        ss.catalog.dropTempView(corpusView)
+      }
     sa.join(pruned, Seq("x"))
       .groupBy(col("bench_id"), col("corpus_id"))
       .agg(count(lit(1)).as("shared"))
@@ -1165,7 +1189,7 @@ object DedupOps {
        |FROM inter
        |JOIN sizes sa ON sa.$idCol = id_a
        |JOIN sizes sb ON sb.$idCol = id_b
-       |WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= $minJaccard
+       |WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= $minJaccard
        |ORDER BY id_a ASC, id_b ASC""".stripMargin
 
   /** EXACT-SUBSTRING overlap pairs — the long-span detector
@@ -1357,7 +1381,7 @@ object DedupOps {
        |JOIN inter USING (id_a, id_b)
        |JOIN sizes sa ON sa.$idCol = c.id_a
        |JOIN sizes sb ON sb.$idCol = c.id_b
-       |WHERE round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) >= $minJaccard
+       |WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= $minJaccard
        |ORDER BY id_a ASC, id_b ASC""".stripMargin
   }
 

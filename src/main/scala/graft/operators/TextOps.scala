@@ -1288,18 +1288,23 @@ object TextOps {
       .filter(col("rank") <= topN)
     val x = log(col("rank").cast("double"))
     val y = log(col("c").cast("double"))
+    // A single-token vocabulary has one rank-1 row: sx = sxx = 0 and
+    // the OLS denominator is 0. Spark evaluates 0/0 to NaN while
+    // DuckDB yields NULL — guard BOTH engines to NULL (NULLIF twin in
+    // [[zipfSlopeSql]]) so the oracle hash cannot diverge on a
+    // degenerate source.
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
     ranked.groupBy(col(srcCol))
       .agg(count(lit(1)).cast("double").as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"))
       .select(col(srcCol), col("n").cast("long").as("n_tokens"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
-          .as("slope"),
-        round((col("sy") - col("sx") *
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")))) /
-          col("n"), 6).as("intercept"))
+        when(denom =!= 0.0, round(slope, 6))
+          .otherwise(lit(null).cast("double")).as("slope"),
+        when(denom =!= 0.0,
+          round((col("sy") - col("sx") * slope) / col("n"), 6))
+          .otherwise(lit(null).cast("double")).as("intercept"))
       .resultSorted(col(srcCol).asc)
   }
 
@@ -1324,9 +1329,10 @@ object TextOps {
        |    sum(ln(rank::DOUBLE) * ln(rank::DOUBLE)) AS sxx
        |  FROM ranked GROUP BY 1)
        |SELECT $srcCol, n::BIGINT AS n_tokens,
-       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-       |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx)))
-       |    / n, 6) AS intercept
+       |  round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0),
+       |    6) AS slope,
+       |  round((sy - sx * ((n * sxy - sx * sy)
+       |      / NULLIF(n * sxx - sx * sx, 0))) / n, 6) AS intercept
        |FROM s ORDER BY $srcCol ASC""".stripMargin
 
   /** WORD-BLOCKLIST gate: per source, how many documents contain any

@@ -613,20 +613,38 @@ object StreamingOps {
       d: Int = 4, w: Int = 256): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val regs = graft.operators.SkewOps
-            .cmsRegisters(batch, itemCol, d, w)
-          val merged =
-            if (graft.Catalog.tableExists(spark, storePath))
-              graft.Catalog.load(spark, storePath)
-                .unionByName(regs)
-                .groupBy(col("j"), col("b"))
-                .agg(sum(col("c")).as("c"))
-            else regs
-          val tmp = storePath + "__cms_tmp"
-          graft.Catalog.overwrite(merged, tmp)
-          graft.Catalog.replace(spark, tmp, storePath)
+          // REPLAY SAFETY: counter SUM-merge is not idempotent (the
+          // sibling dedup/interval sinks overwrite per batchId and
+          // hllRegisterSink's MAX-merge re-applies harmlessly), so a
+          // foreachBatch retry after a crash between the store swap
+          // and the checkpoint commit would double-count the batch.
+          // The store carries the last merged batchId; a replayed
+          // batch at-or-below it is skipped.
+          val exists = graft.Catalog.tableExists(spark, storePath)
+          val alreadyMerged = exists && {
+            val prev = graft.Catalog.load(spark, storePath)
+            prev.columns.contains("last_batch") &&
+              prev.agg(max(col("last_batch"))).head.getLong(0) >=
+                batchId
+          }
+          if (!alreadyMerged) {
+            val regs = graft.operators.SkewOps
+              .cmsRegisters(batch, itemCol, d, w)
+            val merged =
+              if (exists)
+                graft.Catalog.load(spark, storePath)
+                  .drop("last_batch")
+                  .unionByName(regs)
+                  .groupBy(col("j"), col("b"))
+                  .agg(sum(col("c")).as("c"))
+              else regs
+            val tmp = storePath + "__cms_tmp"
+            graft.Catalog.overwrite(
+              merged.withColumn("last_batch", lit(batchId)), tmp)
+            graft.Catalog.replace(spark, tmp, storePath)
+          }
         }
         ()
       }
