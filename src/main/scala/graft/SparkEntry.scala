@@ -718,27 +718,34 @@ object SparkEntry {
         "doc_id", "text", "source")),
 
     // ---- L2 v2: tokenized inverted-index full-text search ----
+    // The whole family runs SERVED (round-10 verdict item 3): the
+    // corpus is indexed ONCE into persisted bucketBy(token) tables
+    // (servedFts fixture — the one-time indexing cost a deployment
+    // pays per corpus version) and each query reads only its terms'
+    // buckets. The inline rebuild-per-query twins remain in FtsOps
+    // (they ARE the oracle semantics) and FtsRenderSpec pins
+    // served ≡ inline per member.
     "l2_fts_search" -> ((s, dir) =>
-      FtsOps.searchDocs(Tables.documents(s, dir), "doc_id", "text",
+      FtsOps.searchIndexed(s, servedFts(s, dir).postings, "doc_id",
         terms = Seq("spark", "window"), k = 50)),
     // idf ranking: 'batch' appears in ~80% of docs (idf ≈ 0.22) while
     // 'dup' is rare (idf ≈ 3.0) — the ranked result puts rare-term
     // docs first where raw-tf ranking would reward stop-token piles.
     "l6_fts_ranked" -> ((s, dir) =>
-      FtsOps.searchRankedDocs(Tables.documents(s, dir), "doc_id",
-        "text", terms = Seq("batch", "dup"), k = 50)),
+      FtsOps.servedRanked(s, servedFts(s, dir), "doc_id",
+        terms = Seq("batch", "dup"), k = 50)),
     // l7: BM25 — tf saturation + length normalization on top of l6's
     // idf (the three-tier ranking ladder: raw tf → tf·idf → BM25).
     "l7_fts_bm25" -> ((s, dir) =>
-      FtsOps.searchBm25Docs(Tables.documents(s, dir), "doc_id",
-        "text", terms = Seq("batch", "dup"), k = 50)),
+      FtsOps.servedBm25(s, servedFts(s, dir), "doc_id",
+        terms = Seq("batch", "dup"), k = 50)),
     // l15: BM25F — field-weighted ranking (title = first 3 tokens,
     // n31's convention; weight 2×): fields fold into ONE weighted
     // pseudo-tf BEFORE saturation (the thing that distinguishes
     // BM25F from summing per-field BM25 scores).
     "l15_bm25f" -> ((s, dir) =>
-      FtsOps.searchBm25F(Tables.documents(s, dir), "doc_id",
-        "text", terms = Seq("batch", "dup"), k = 50)),
+      FtsOps.servedBm25F(s, servedFts(s, dir), "doc_id",
+        terms = Seq("batch", "dup"), k = 50)),
 
     // l13: QUERY EXPANSION (pseudo-relevance feedback, RM3-lite) —
     // seed tf·idf search → top-10 feedback docs → 3 strongest
@@ -746,17 +753,17 @@ object SparkEntry {
     // A doc with zero seed terms can rank via the expansion — the
     // recall lever ranking alone can't pull.
     "l13_query_expansion" -> ((s, dir) =>
-      FtsOps.queryExpansion(Tables.documents(s, dir), "doc_id",
-        "text", seedTerms = Seq("merge", "dup"), kFb = 10, nExp = 3,
+      FtsOps.servedQueryExpansion(s, servedFts(s, dir), "doc_id",
+        seedTerms = Seq("merge", "dup"), kFb = 10, nExp = 3,
         k = 50)),
     // l14: "did you mean" — the typo'd query ('wimdow') is corrected
     // against the corpus vocabulary via SymSpell deletion keys
-    // (query-side keys are a plan-time IN-list; the vocab side is
-    // the persisted spell index at rest), then the corrected term
-    // searches via a broadcast postings prune.
+    // (query-side keys are a plan-time IN-list over the persisted
+    // spell-key index), then the corrected term searches via a
+    // broadcast postings prune.
     "l14_spell_search" -> ((s, dir) =>
-      FtsOps.spellCorrectedSearch(Tables.documents(s, dir), "doc_id",
-        "text", query = "wimdow", k = 50)),
+      FtsOps.servedSpellSearch(s, servedFts(s, dir), "doc_id",
+        query = "wimdow", k = 50)),
     // l11: TWO-STAGE RERANK — BM25 recall set exactly re-scored by
     // dense cosine, restricted to the candidates (dense cost O(n·dim)
     // at any corpus size); the serving path l9's rank fusion doesn't
@@ -1799,6 +1806,29 @@ object SparkEntry {
       val root = tempTableRoot(s"graft_${tag}_in")
       build(root)
       root
+    })
+
+  /** Process-scoped cache for the SERVED full-text index
+    * (round-10 verdict item 3): the ranked FTS family (l2/l6/l7/
+    * l13/l14/l15) reads persisted bucketBy(token) tables — the
+    * production serving shape — instead of re-tokenizing the corpus
+    * inside every query. The build is the one-time indexing cost a
+    * real deployment pays per corpus version; each query then
+    * touches only its terms' buckets. Keyed by (session, dir): the
+    * catalog tables live in the session's SharedState, so a fresh
+    * session rebuilds.
+    */
+  private val ftsIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      operators.FtsOps.ServedFtsIndex]()
+
+  private def servedFts(s: SparkSession, dir: String)
+      : operators.FtsOps.ServedFtsIndex =
+    ftsIndexes.computeIfAbsent((s, dir), _ => {
+      val root = tempTableRoot("graft_fts_served")
+      operators.FtsOps.buildServedIndex(s, Tables.documents(s, dir),
+        "doc_id", "text",
+        tag = f"${dir.hashCode & 0x7fffffff}%x", root = root)
     })
 
   /** Lay each batch down as one parquet file under `root/in` — the

@@ -131,14 +131,24 @@ object FtsOps {
     */
   def searchBm25(index: DataFrame, lens: DataFrame, idCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75)
-      : DataFrame = {
+      : DataFrame =
+    bm25Scored(index, lens,
+      lens.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("len")).as("avgdl")),
+      idCol, terms, k, k1, b)
+
+  /** [[searchBm25]] with the corpus stats supplied as a 1-row
+    * `(n_docs, avgdl)` relation — the served shape, where the stats
+    * are index metadata at rest instead of a per-query fold.
+    */
+  def bm25Scored(index: DataFrame, lens: DataFrame, stats: DataFrame,
+      idCol: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "at least one search term")
     val normTerms = terms.map(_.toLowerCase).distinct
     val postings = index.filter(col("token").isInCollection(normTerms))
     val dfs = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("len")).as("avgdl"))
-    val idf = log(col("n_docs") / col("df"))
+    val idf = log(col("n_docs").cast("double") / col("df"))
     val sat = (col("tf") * (k1 + 1)) /
       (col("tf") +
         lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl")))
@@ -216,6 +226,16 @@ object FtsOps {
       .filter(col("token").isInCollection(normTerms))
     val tf = tagged.groupBy(col(idCol), col("fld"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    bm25fScored(tf, lens, stats, idCol, k, wTitle, k1, b)
+  }
+
+  /** The BM25F scoring tail from a `(idCol, fld, token, tf)` relation
+    * — shared by [[searchBm25F]] (inline tokenize) and
+    * [[servedBm25F]] (persisted field-tagged postings).
+    */
+  private def bm25fScored(tf: DataFrame, lens: DataFrame,
+      stats: DataFrame, idCol: String, k: Int, wTitle: Double,
+      k1: Double, b: Double): DataFrame = {
     val dfs = tf.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).cast("double").as("df"))
     val bNorm = lit(1 - b) + lit(b) *
@@ -229,7 +249,7 @@ object FtsOps {
     tfw.join(broadcast(dfs), Seq("token"))
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
-      .agg(round(sum(log(col("n_docs") / col("df")) *
+      .agg(round(sum(log(col("n_docs").cast("double") / col("df")) *
         col("tfw") / (lit(k1) + col("tfw"))), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
@@ -426,6 +446,227 @@ object FtsOps {
   def searchIndexed(spark: SparkSession, tableName: String,
       idCol: String, terms: Seq[String], k: Int): DataFrame =
     search(spark.table(tableName), idCol, terms, k)
+
+  /** Doc-hash partition count of the served FORWARD index: the
+    * feedback pass of [[servedQueryExpansion]] reads `kFb` known doc
+    * ids, so the forward postings are laid out by `id mod DocBuckets`
+    * and the lookup statically prunes to ≤ kFb directories.
+    */
+  val DocBuckets = 16
+
+  /** Handle to a persisted, SERVED full-text index — the production
+    * shape the ranked family runs against (the inline `*Docs`
+    * variants re-tokenize the corpus inside every query; correct for
+    * oracle parity, wrong for serving — a user pays the corpus scan
+    * once at [[buildServedIndex]] and each query touches only its
+    * terms' buckets). Members are catalog table names:
+    *
+    *  - `postings` (token, id, tf) bucketBy(token): l2/l6/l7 lookups
+    *    and l13's scoring passes prune to the query terms' buckets;
+    *  - `forward` (id, token, tf) partitionBy(id mod [[DocBuckets]]):
+    *    l13's feedback-doc term harvest — an id-keyed read the
+    *    token-bucketed layout cannot prune;
+    *  - `fieldPostings` (id, fld, token, tf) bucketBy(token): l15's
+    *    BM25F field-tagged frequencies;
+    *  - `lens` (id, len, lt, lb): per-doc RAW split lengths (l7/l15
+    *    length normalization — index metadata, not a corpus scan);
+    *  - `stats`: ONE row (n_docs, avgdl, alt, alb) — the corpus
+    *    constants every ranked query needs;
+    *  - `spell` (key, token, ctf) bucketBy(key): the SymSpell
+    *    deletion-key index (n31's store shape) — l14's query keys are
+    *    plan-time literals, so correction is a bucket-pruned IN-scan
+    *    instead of a vocabulary sweep.
+    */
+  final case class ServedFtsIndex(postings: String, forward: String,
+      fieldPostings: String, lens: String, stats: String,
+      spell: String)
+
+  /** Build every table of a [[ServedFtsIndex]] from the corpus — paid
+    * ONCE per corpus version (in production: incrementally maintained,
+    * k18's signature-store pattern). `idCol` must be integral (the
+    * forward layout hashes it). All derived relations (`forward`,
+    * `spell`) read back the just-written postings table, so the
+    * tokenize explode runs exactly once.
+    */
+  def buildServedIndex(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, tag: String, root: String,
+      buckets: Int = 32, nTitle: Int = 3): ServedFtsIndex = {
+    val ix = ServedFtsIndex(
+      postings = s"graft_fts_${tag}_postings",
+      forward = s"graft_fts_${tag}_forward",
+      fieldPostings = s"graft_fts_${tag}_fpostings",
+      lens = s"graft_fts_${tag}_lens",
+      stats = s"graft_fts_${tag}_stats",
+      spell = s"graft_fts_${tag}_spell")
+    def save(df: DataFrame, table: String, sub: String,
+        bucketCol: Option[String] = None,
+        partitionCol: Option[String] = None): Unit = {
+      val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+        .option("path", s"$root/$sub")
+      val wb = bucketCol.fold(w)(c => w.bucketBy(buckets, c).sortBy(c))
+      partitionCol.fold(wb)(c => wb.partitionBy(c)).saveAsTable(table)
+    }
+    save(buildIndex(docs, idCol, textCol), ix.postings, "postings",
+      bucketCol = Some("token"))
+    val postings = spark.table(ix.postings)
+    save(postings.withColumn("dbkt",
+        pmod(col(idCol), lit(DocBuckets.toLong)).cast("int")),
+      ix.forward, "forward", partitionCol = Some("dbkt"))
+    save(postings.groupBy(col("token")).agg(sum(col("tf")).as("ctf"))
+        .select(explode(DedupOps.deletionKeys(col("token")))
+          .as("key"), col("token"), col("ctf")),
+      ix.spell, "spell", bucketCol = Some("key"))
+    // Field split (l15's convention: title = first nTitle raw split
+    // tokens) and RAW lengths — one tokenize projection feeds both
+    // the lens table and the field-tagged postings.
+    val fields = docs.select(col(idCol),
+        split(lower(col(textCol)), " ").as("__ws"))
+      .select(col(idCol),
+        slice(col("__ws"), 1, nTitle).as("__ta"),
+        expr(s"slice(__ws, ${nTitle + 1}, " +
+          s"greatest(0, size(__ws) - $nTitle))").as("__ba"))
+    save(fields.select(col(idCol),
+        (size(col("__ta")) + size(col("__ba"))).cast("double")
+          .as("len"),
+        size(col("__ta")).cast("double").as("lt"),
+        size(col("__ba")).cast("double").as("lb")),
+      ix.lens, "lens")
+    save(spark.table(ix.lens).agg(
+        count(lit(1)).as("n_docs"), avg(col("len")).as("avgdl"),
+        avg(col("lt")).as("alt"), avg(col("lb")).as("alb")),
+      ix.stats, "stats")
+    // Empty tokens can never match a (non-empty) query term, so they
+    // are dead rows at rest — dropped here; the inline twin drops
+    // them implicitly at its term filter.
+    save(fields.select(col(idCol), explode(concat(
+          transform(col("__ta"), t => struct(lit("t").as("fld"),
+            t.as("token"))),
+          transform(col("__ba"), t => struct(lit("b").as("fld"),
+            t.as("token"))))).as("p"))
+        .select(col(idCol), col("p.fld").as("fld"),
+          col("p.token").as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col(idCol), col("fld"), col("token"))
+        .agg(count(lit(1)).cast("double").as("tf")),
+      ix.fieldPostings, "fpostings", bucketCol = Some("token"))
+    ix
+  }
+
+  /** [[searchRanked]] (l6, tf·idf) over a [[ServedFtsIndex]]: two
+    * bucket-pruned posting reads + the stored 1-row corpus count.
+    */
+  def servedRanked(spark: SparkSession, ix: ServedFtsIndex,
+      idCol: String, terms: Seq[String], k: Int): DataFrame =
+    searchRanked(spark.table(ix.postings),
+      spark.table(ix.stats).select(col("n_docs")), idCol, terms, k)
+
+  /** [[searchBm25]] (l7) over a [[ServedFtsIndex]]: postings prune to
+    * the terms' buckets; lens/stats are stored index metadata.
+    */
+  def servedBm25(spark: SparkSession, ix: ServedFtsIndex,
+      idCol: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Scored(spark.table(ix.postings),
+      spark.table(ix.lens).select(col(idCol), col("len")),
+      spark.table(ix.stats).select(col("n_docs"), col("avgdl")),
+      idCol, terms, k, k1, b)
+
+  /** [[searchBm25F]] (l15) over a [[ServedFtsIndex]]: the field-
+    * tagged tf relation is read bucket-pruned instead of re-tagging
+    * the corpus.
+    */
+  def servedBm25F(spark: SparkSession, ix: ServedFtsIndex,
+      idCol: String, terms: Seq[String], k: Int,
+      wTitle: Double = 2.0, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(terms.nonEmpty, "at least one search term")
+    val normTerms = terms.map(_.toLowerCase).distinct
+    bm25fScored(
+      spark.table(ix.fieldPostings)
+        .filter(col("token").isInCollection(normTerms)),
+      spark.table(ix.lens).select(col(idCol), col("lt"), col("lb")),
+      spark.table(ix.stats).select(col("n_docs"), col("alt"),
+        col("alb")),
+      idCol, k, wTitle, k1, b)
+  }
+
+  /** [[queryExpansion]] (l13) over a [[ServedFtsIndex]]. The kFb
+    * feedback ids (a top-k result, metadata-scale by construction)
+    * are gathered to the coordinator — exactly the second round-trip
+    * a served retrieval system issues — so the feedback-term harvest
+    * reads the FORWARD index with static partition pruning (≤ kFb of
+    * [[DocBuckets]] directories) instead of semi-join-scanning the
+    * whole token-bucketed index.
+    */
+  def servedQueryExpansion(spark: SparkSession, ix: ServedFtsIndex,
+      idCol: String, seedTerms: Seq[String], kFb: Int, nExp: Int,
+      k: Int): DataFrame = {
+    require(seedTerms.nonEmpty, "at least one seed term")
+    val norm = seedTerms.map(_.toLowerCase).distinct
+    val postingsAll = spark.table(ix.postings)
+    val nDocs = spark.table(ix.stats).select(col("n_docs"))
+    val fbIds = searchRanked(postingsAll, nDocs, idCol, norm, kFb)
+      .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+    val stop = Seq("the", "a", "of", "and", "is", "in") ++ norm
+    val cand = spark.table(ix.forward)
+      .filter(col("dbkt").isInCollection(
+          fbIds.map(i => (i % DocBuckets).toInt).distinct) &&
+        col(idCol).isInCollection(fbIds))
+      .filter(!col("token").isInCollection(stop))
+      .groupBy(col("token")).agg(sum(col("tf")).as("fb_tf"))
+      .orderBy(col("fb_tf").desc, col("token").asc)
+      .limit(nExp)
+      .cache()
+    val seedDf = spark
+      .createDataset(norm)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("token")
+    val terms = cand.select(col("token")).unionByName(seedDf)
+      .distinct()
+    val postings = postingsAll.join(broadcast(terms), Seq("token"))
+    val dfs = postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val expandedWith = cand
+      .agg(array_join(sort_array(collect_list(col("token"))), " ")
+        .as("expanded_with"))
+    postings.join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(col("tf") * log(col("n_docs").cast("double") / col("df"))),
+        6).as("score"))
+      .crossJoin(broadcast(expandedWith))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[spellCorrectedSearch]] (l14) over a [[ServedFtsIndex]]: the
+    * query's deletion keys are plan-time literals, so the candidate
+    * read is an IN-list bucket prune of the persisted spell index —
+    * never a vocabulary sweep.
+    */
+  def servedSpellSearch(spark: SparkSession, ix: ServedFtsIndex,
+      idCol: String, query: String, k: Int): DataFrame = {
+    val norm = query.toLowerCase
+    val qKeys = (norm +: norm.indices.map(i =>
+      norm.substring(0, i) + norm.substring(i + 1))).distinct
+    // One vocab token can match several query keys → distinct before
+    // ranking (the inline twin's arrays_overlap is set-semantics).
+    val corrected = spark.table(ix.spell)
+      .filter(col("key").isInCollection(qKeys))
+      .select(col("token"), col("ctf")).distinct()
+      .withColumn("dist", levenshtein(col("token"), lit(norm)))
+      .filter(col("dist") <= 1)
+      .orderBy(col("dist").asc, col("ctf").desc, col("token").asc)
+      .limit(1)
+      .select(col("token"))
+    spark.table(ix.postings)
+      .join(broadcast(corrected), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("score"),
+        min(col("token")).as("corrected"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** QUERY EXPANSION via pseudo-relevance feedback (l13, RM3-lite) —
     * the retrieval-quality lever after ranking itself: seed tf·idf

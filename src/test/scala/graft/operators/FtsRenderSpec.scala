@@ -332,4 +332,51 @@ class FtsRenderSpec extends SparkSpec {
       "zzzzzz", k = 10).collect()
     assert(none.isEmpty)
   }
+
+  test("served index: every ranked-family member equals its inline " +
+      "rebuild-per-query twin on the real corpus") {
+    val docs = Tables.documents(spark, sfSmoke)
+    val root = tmpDir("ftsserved")
+    val ix = FtsOps.buildServedIndex(spark, docs, "doc_id", "text",
+      tag = "spec", root = root)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    try {
+      assert(rows(FtsOps.searchIndexed(spark, ix.postings, "doc_id",
+          Seq("spark", "window"), 50)) ==
+        rows(FtsOps.searchDocs(docs, "doc_id", "text",
+          Seq("spark", "window"), 50)))
+      assert(rows(FtsOps.servedRanked(spark, ix, "doc_id",
+          Seq("batch", "dup"), 50)) ==
+        rows(FtsOps.searchRankedDocs(docs, "doc_id", "text",
+          Seq("batch", "dup"), 50)))
+      assert(rows(FtsOps.servedBm25(spark, ix, "doc_id",
+          Seq("batch", "dup"), 50)) ==
+        rows(FtsOps.searchBm25Docs(docs, "doc_id", "text",
+          Seq("batch", "dup"), 50)))
+      assert(rows(FtsOps.servedBm25F(spark, ix, "doc_id",
+          Seq("batch", "dup"), 50)) ==
+        rows(FtsOps.searchBm25F(docs, "doc_id", "text",
+          Seq("batch", "dup"), 50)))
+      assert(rows(FtsOps.servedQueryExpansion(spark, ix, "doc_id",
+          Seq("merge", "dup"), kFb = 10, nExp = 3, k = 50)) ==
+        rows(FtsOps.queryExpansion(docs, "doc_id", "text",
+          Seq("merge", "dup"), kFb = 10, nExp = 3, k = 50)))
+      assert(rows(FtsOps.servedSpellSearch(spark, ix, "doc_id",
+          "wimdow", 50)) ==
+        rows(FtsOps.spellCorrectedSearch(docs, "doc_id", "text",
+          "wimdow", 50)))
+      // serving shape, not just answers: the postings read under a
+      // served ranked query is bucket-pruned to the query terms
+      val plan = FtsOps.servedBm25(spark, ix, "doc_id",
+        Seq("batch", "dup"), 50).queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 32".r
+        .findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in served plan:\n$plan")
+      assert(m.get.group(1).toInt <= 2,
+        "two terms must select at most two buckets")
+    } finally Seq(ix.postings, ix.forward, ix.fieldPostings, ix.lens,
+      ix.stats, ix.spell).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
