@@ -784,7 +784,7 @@ object AnalyticsOps {
       : DataFrame = {
     val e = df.select(col(idCol))
       .crossJoin(broadcast(
-        df.sparkSession.range(0, epochs).select(
+        df.sparkSession.range(0, epochs, 1, 1).select(
           col("id").cast("int").as("epoch"))))
       .withColumn("__h",
         md5(concat_ws(":", col("epoch"), col(idCol))))

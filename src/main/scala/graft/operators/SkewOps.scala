@@ -249,7 +249,10 @@ object SkewOps {
     */
   def cmsRegisters(df: DataFrame, itemCol: String, d: Int = 4,
       w: Int = 256): DataFrame = {
-    val js = df.sparkSession.range(0, d)
+    // numPartitions=1: the d-row relation only feeds a broadcast;
+    // the default-parallelism range would launch a 32-task job to
+    // collect 4 rows (a per-micro-batch tax in the streaming path).
+    val js = df.sparkSession.range(0, d, 1, 1)
       .select(col("id").cast("int").as("j"))
     df.select(col(itemCol).cast("string").as("x"))
       .crossJoin(broadcast(js))
@@ -268,7 +271,7 @@ object SkewOps {
   def cmsProbe(regs: DataFrame, cands: DataFrame, itemCol: String,
       d: Int, w: Int): DataFrame = {
     import graft.Sorting.ResultSortOps
-    val js = regs.sparkSession.range(0, d)
+    val js = regs.sparkSession.range(0, d, 1, 1)
       .select(col("id").cast("int").as("j"))
     cands.crossJoin(broadcast(js))
       .select(col(itemCol), col("exact_cnt"), col("j"),

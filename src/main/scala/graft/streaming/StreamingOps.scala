@@ -557,38 +557,38 @@ object StreamingOps {
   }
 
   /** STREAMING DISTINCT-COUNT via mergeable HLL registers: each
-    * micro-batch's (key, bucket, ρ) registers are MAX-merged into a
-    * persisted register table (256 rows per key — fixed state at ANY
-    * cardinality, the whole point of the sketch for an unbounded
-    * stream), and the final estimate over the stored registers
+    * micro-batch lays its (key, bucket, ρ) registers down as one
+    * batch partition of a persisted register store (≤ 256 rows per
+    * key per batch — register-scale at ANY cardinality, the whole
+    * point of the sketch for an unbounded stream), MAX-merged on
+    * read, and the final estimate over the merged registers
     * EQUALS the batch e9 computation over the union — which is why
     * st8 is held to e9's oracle verbatim (the st5 ≡ c5 pattern):
     * register merge is exact, not approximate-on-approximate.
-    * The store is metadata-scale, so the merge is a read-union-
-    * reaggregate-swap per batch; at production rates the same merge
-    * runs as `flatMapGroupsWithState` with the 256-register array as
-    * the state value — identical algebra, state-store-resident.
+    * The store lays one register partition down per batch and
+    * readers merge on read; at production rates the same merge runs
+    * as `flatMapGroupsWithState` with the 256-register array as the
+    * state value — identical algebra, state-store-resident.
     */
   def hllRegisterSink(stream: DataFrame, spark: SparkSession,
       key: String, idCol: String, storePath: String,
       checkpointDir: String): Unit = {
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val regs = graft.operators.AnalyticsOps
+          // One register partition PER BATCH (batch=<id>, overwrite):
+          // a foreachBatch retry rewrites its own partition — replay-
+          // idempotent by construction — and the per-batch write is
+          // one small job instead of a read-union-reaggregate-swap of
+          // the whole store. Readers MAX-merge at probe time
+          // ([[mergedHllRegisters]]); at production rates a k18-style
+          // compaction folds old batch partitions into one.
+          graft.operators.AnalyticsOps
             .hllRegisters(batch, key, idCol)
-          val merged =
-            if (graft.Catalog.tableExists(spark, storePath))
-              graft.Catalog.load(spark, storePath)
-                .unionByName(regs)
-                .groupBy(col("t"), col("bucket"))
-                .agg(max(col("rho")).as("rho"))
-            else regs
-          // write-temp-then-swap: the merged plan READS the store
-          val tmp = storePath + "__hll_tmp"
-          graft.Catalog.overwrite(merged, tmp)
-          graft.Catalog.replace(spark, tmp, storePath)
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$storePath/batch=$batchId")
         }
         ()
       }
@@ -597,12 +597,22 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** MAX-merge a per-batch HLL register store ([[hllRegisterSink]]
+    * layout) back to one row per (t, bucket) — register merge is
+    * exact, so the merged relation EQUALS the one-shot batch
+    * registers over the union of all batches.
+    */
+  def mergedHllRegisters(store: DataFrame): DataFrame =
+    store.groupBy(col("t"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+
   /** STREAMING FREQUENCY SKETCH via mergeable Count-Min registers
     * (st11 — the [[hllRegisterSink]] pattern applied to CMS): each
-    * micro-batch's (j, b, c) registers are SUM-merged into a
-    * persisted register table — d·w rows of exact integers, FIXED
-    * state at any stream length or key cardinality. Counter
-    * addition is exact, so the merged table EQUALS the one-shot
+    * micro-batch lays its (j, b, c) registers down as one batch
+    * partition of a persisted register store — ≤ d·w rows of exact
+    * integers per batch, register-scale at any stream length or key
+    * cardinality, SUM-merged on read ([[mergedCmsRegisters]]).
+    * Counter addition is exact, so the merged table EQUALS the one-shot
     * batch registers over the union and st11 is held to e10's
     * oracle verbatim (the st8 ≡ e9 adjudication). At production
     * rates the same merge runs as `flatMapGroupsWithState` keyed by
@@ -615,42 +625,54 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          // REPLAY SAFETY: counter SUM-merge is not idempotent (the
-          // sibling dedup/interval sinks overwrite per batchId and
-          // hllRegisterSink's MAX-merge re-applies harmlessly), so a
-          // foreachBatch retry after a crash between the store swap
+          // REPLAY SAFETY: counter SUM-merge is not idempotent, so a
+          // foreachBatch retry after a crash between a store rewrite
           // and the checkpoint commit would double-count the batch.
-          // The store carries the last merged batchId; a replayed
-          // batch at-or-below it is skipped.
-          val exists = graft.Catalog.tableExists(spark, storePath)
-          val alreadyMerged = exists && {
-            val prev = graft.Catalog.load(spark, storePath)
-            prev.columns.contains("last_batch") &&
-              prev.agg(max(col("last_batch"))).head.getLong(0) >=
-                batchId
-          }
-          if (!alreadyMerged) {
-            val regs = graft.operators.SkewOps
-              .cmsRegisters(batch, itemCol, d, w)
-            val merged =
-              if (exists)
-                graft.Catalog.load(spark, storePath)
-                  .drop("last_batch")
-                  .unionByName(regs)
-                  .groupBy(col("j"), col("b"))
-                  .agg(sum(col("c")).as("c"))
-              else regs
-            val tmp = storePath + "__cms_tmp"
-            graft.Catalog.overwrite(
-              merged.withColumn("last_batch", lit(batchId)), tmp)
-            graft.Catalog.replace(spark, tmp, storePath)
-          }
+          // Writing one register partition PER BATCH (batch=<id>,
+          // overwrite) makes the retry rewrite its own partition —
+          // idempotent by construction — and is one small job
+          // instead of a read-union-reaggregate-swap of the store.
+          // Readers SUM-merge at probe time ([[mergedCmsRegisters]]);
+          // at production rates a k18-style compaction folds old
+          // batch partitions into one.
+          graft.operators.SkewOps
+            .cmsRegisters(batch, itemCol, d, w)
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$storePath/batch=$batchId")
         }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** SUM-merge a per-batch CMS register store ([[cmsRegisterSink]]
+    * layout) back to one row per (j, b) — counter addition is exact,
+    * so the merged relation EQUALS the one-shot batch registers over
+    * the union of all batches (st11 ≡ e10).
+    */
+  def mergedCmsRegisters(store: DataFrame): DataFrame =
+    store.groupBy(col("j"), col("b"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Shuffle/state-partition width for a streaming child session,
+    * DERIVED from the stream's OBSERVED state volume instead of a
+    * literal tuned to one scale factor: a stateful operator commits
+    * one state-store delta PER PARTITION PER BATCH, so the width is
+    * sized to hold ~`targetRowsPerPartition` state rows per task
+    * (rounded up to a power of two for stable key routing), floored
+    * at 4 so small fixtures keep parallelism without paying 32
+    * mostly-empty store commits per trigger. On a cluster the same
+    * derivation runs over |state rows inside the watermark window| /
+    * target-state-per-task (see docs/SCALE.md).
+    */
+  def stateWidth(stateRows: Long,
+      targetRowsPerPartition: Long = 24 * 1024): Int = {
+    val need = math.max(1L, (stateRows + targetRowsPerPartition - 1) /
+      targetRowsPerPartition)
+    math.max(4, java.lang.Long.highestOneBit(need * 2 - 1).toInt)
   }
 
   /** Run a streaming aggregation to completion against a memory sink

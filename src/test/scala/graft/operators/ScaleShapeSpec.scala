@@ -158,4 +158,26 @@ class ScaleShapeSpec extends SparkSpec {
     assert(shuffledJoins >= 3,
       s"fact joins must degrade to shuffled joins, got $shuffledJoins")
   }
+
+  test("streaming widths DERIVE from observed state volume " +
+      "(round-10 verdict item 4: no sf-tuned literals)") {
+    import graft.streaming.StreamingOps.stateWidth
+    // floor: tiny fixtures keep 4-way parallelism
+    assert(stateWidth(1) == 4)
+    assert(stateWidth(3000) == 4) // st6's docs-scale refresh volume
+    // one 24Ki-row target reproduces every previously-tuned width:
+    // st10 (views+purchases ≈ 40k) → 4, st9 (events+redeliveries
+    // ≈ 110k) → 8, st8/st11 (events 100k) → 8
+    assert(stateWidth(40025) == 4)
+    assert(stateWidth(100000) == 8)
+    assert(stateWidth(109500) == 8)
+    // next power of two, monotone in volume, and scale-responsive:
+    // 100× the stream → 100×/2^ceil width, not a saturated literal
+    val ws = (1L to 64L).map(k => stateWidth(k * 25000))
+    assert(ws == ws.sorted, s"width must be monotone: $ws")
+    assert(ws.forall(w => Integer.bitCount(w) == 1),
+      s"widths must be powers of two: $ws")
+    assert(stateWidth(10000000L) == 512,
+      "a 100x stream must widen, not saturate")
+  }
 }

@@ -546,9 +546,13 @@ class StreamingSpec extends SparkSpec {
     StreamingOps.hllRegisterSink(stream, spark, "event_type",
       "user_id", store, root + "/ckpt")
     def regMap(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r =>
+      df.select("t", "bucket", "rho").collect().map(r =>
         (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
-    val streamed = regMap(graft.Catalog.load(spark, store))
+    // the store is one partition per batch, MAX-merged on read
+    val raw = graft.Catalog.load(spark, store)
+    assert(raw.select("batch").distinct().count() == 2,
+      "one register partition per micro-batch")
+    val streamed = regMap(StreamingOps.mergedHllRegisters(raw))
     val batch = regMap(graft.operators.AnalyticsOps
       .hllRegisters(rows, "event_type", "user_id"))
     assert(streamed == batch && streamed.nonEmpty)
@@ -579,7 +583,13 @@ class StreamingSpec extends SparkSpec {
     def regMap(df: org.apache.spark.sql.DataFrame) =
       df.selectExpr("j", "b", "CAST(c AS BIGINT) AS c").collect()
         .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val streamed = regMap(graft.Catalog.load(spark, store))
+    // the store is one partition per batch (a foreachBatch retry
+    // rewrites its own partition — replay-idempotent), SUM-merged
+    // on read
+    val raw = graft.Catalog.load(spark, store)
+    assert(raw.select("batch").distinct().count() == 2,
+      "one register partition per micro-batch")
+    val streamed = regMap(StreamingOps.mergedCmsRegisters(raw))
     val batch = regMap(graft.operators.SkewOps
       .cmsRegisters(rows, "user_id"))
     assert(streamed == batch && streamed.nonEmpty)
