@@ -122,4 +122,28 @@ class GraphSpec extends SparkSpec {
     assert(e.count(_._1 == "/d/0") == 4)
     assert(e.count(_._1 == "/d/5") == 5)
   }
+
+  test("pageRankConverged: exits at the data-derived fixed point and " +
+      "equals the capped unroll (post-fixed-point rounds are identity)") {
+    val docs = graft.Tables.documents(spark, sfSmoke)
+    val rendered = docs.select(col("doc_id"),
+      HtmlOps.renderHtml.as("html"))
+    val edges = HtmlOps.pageEdges(rendered, "doc_id", "html")
+      .localCheckpoint()
+    val (top, rounds) = GraphOps.pageRankConverged(edges,
+      maxIters = 48, k = 20)
+    // the convergence CERTIFICATE: the exit fired before the cap —
+    // the round count came from the data, not the cap
+    assert(rounds < 48, s"expected early exit, ran $rounds")
+    assert(rounds % 8 == 0, "exit only at block boundaries")
+    // equality with the unrolled computation at the cap AND at the
+    // exit round — the idempotent tail that makes the fixed-round
+    // oracle sound
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(rows(top) == rows(GraphOps.pageRank(edges, 48, 20)))
+    assert(rows(top) == rows(GraphOps.pageRank(edges, rounds, 20)))
+    // one more block past the fixed point changes nothing
+    assert(rows(top) == rows(GraphOps.pageRank(edges, rounds + 8, 20)))
+  }
 }
