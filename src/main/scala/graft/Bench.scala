@@ -65,6 +65,40 @@ object Bench {
   val RecordedDuckdbSf01: Double = 35.5314
   val RecordedDuckdbQueries: Int = 211
 
+  /** Quiet-host calibration floor (seconds for the fixed-work probe):
+    * the builder's historic quiet reads 0.029–0.031 across rounds 6–9
+    * and the round-9 driver measured 0.0308.
+    */
+  val QuietCalib: Double = 0.030
+
+  /** Host slowdown factor from the calib probe — PIECEWISE LINEAR
+    * through the observed (calib/quiet → measured per-query
+    * inflation) pairs in BASELINE.md's calib-vs-ratio table:
+    * (1.0, 1.0) by definition; (1.93, 1.15) — the round-10 driver
+    * box, calib 0.0594, per-query median inflation 1.15× on
+    * unchanged plans; (3.88, 2.25) — the round-10 session-2 box,
+    * calib 0.1195, paired-query factor ≈2.25×. The probe
+    * over-responds to load relative to full queries (it is pure
+    * CPU+scheduler), hence the sub-linear mapping. Extrapolation
+    * past the last anchor keeps its slope; a quieter-than-quiet host
+    * clamps to 1.
+    */
+  def hostFactor(calib: Double): Double = {
+    val cr = calib / QuietCalib
+    val anchors = Seq((1.0, 1.0), (1.93, 1.15), (3.88, 2.25))
+    if (cr <= 1.0) 1.0
+    else {
+      val segs = anchors.zip(anchors.tail)
+      segs.collectFirst {
+        case ((x0, y0), (x1, y1)) if cr <= x1 =>
+          y0 + (y1 - y0) * (cr - x0) / (x1 - x0)
+      }.getOrElse {
+        val ((x0, y0), (x1, y1)) = segs.last
+        y1 + (y1 - y0) * (cr - x1) / (x1 - x0)
+      }
+    }
+  }
+
   /** Executes the full plan, sorts included, discarding rows. */
   private def runPlan(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -129,9 +163,16 @@ object Bench {
                   SparkEntry.oracleSql.size == Bench.RecordedDuckdbQueries)
                 Some(Bench.RecordedDuckdbSf01)
               else None)
+    // Machine-readable host normalization (round-10 verdict item 1b):
+    // a degraded-host run carries its own discount — `host_factor`
+    // from the calib probe via the BASELINE.md calib-vs-ratio table,
+    // and `host_normalized_ratio` = ratio / host_factor. The RAW
+    // ratio stays the headline; the normalized one bounds what a
+    // quiet host would measure.
+    val hf = hostFactor(calib)
     val baseJson = baseline.map { b =>
       if (failed.isEmpty)
-        f""","oracle_total_sec":$oracleTotal%.4f,"duckdb_baseline_sec":$b%.4f,"ratio":${oracleTotal / b}%.2f"""
+        f""","oracle_total_sec":$oracleTotal%.4f,"duckdb_baseline_sec":$b%.4f,"ratio":${oracleTotal / b}%.2f,"host_factor":$hf%.2f,"host_normalized_ratio":${oracleTotal / b / hf}%.2f"""
       else f""","duckdb_baseline_sec":$b%.4f"""
     }.getOrElse("")
     println(

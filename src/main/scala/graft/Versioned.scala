@@ -309,6 +309,48 @@ object Versioned {
       .parquet(dir)
   }
 
+  /** Write version `v`'s data files via a PRIVATE staging directory
+    * + atomic rename. `ErrorIfExists` on the destination alone is an
+    * exists-check-then-create: two concurrent writers of the same
+    * version can BOTH pass the check and write into one directory,
+    * and the winner's directory-listed manifest then captures the
+    * loser's files — a torn table that the commit-marker gate cannot
+    * see (caught by the VersionedSpec concurrent-writer tests on a
+    * loaded host). Staging privately and renaming into place makes
+    * the VERSION DIRECTORY itself the atomic claim: exactly one
+    * rename lands (rename(2) locally — EEXIST/ENOTEMPTY rejects the
+    * loser; name-node-arbitrated rename-no-overwrite on HDFS), and
+    * the loser's files never enter the winner's listing. The commit
+    * marker stays the final arbiter on top.
+    *
+    * Returns the new version's manifest-relative data file list.
+    */
+  private def stageVersion(df: DataFrame, table: String, v: Int,
+      partitionCols: Seq[String]): Seq[String] = {
+    val spark = df.sparkSession
+    val stage =
+      s"$table/.stage-v$v-${java.util.UUID.randomUUID.toString.take(8)}"
+    write(df, stage, partitionCols)
+    val f = fs(spark, table)
+    val dest = new Path(versionDir(table, v))
+    val won =
+      if (f.getScheme == "file")
+        try {
+          java.nio.file.Files.move(java.nio.file.Paths.get(stage),
+            java.nio.file.Paths.get(versionDir(table, v)))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      else !f.exists(dest) && f.rename(new Path(stage), dest)
+    if (!won) {
+      f.delete(new Path(stage), true)
+      throw new IllegalStateException(
+        s"commit of $table v$v lost a race (version directory claimed)")
+    }
+    listDataFiles(spark, table, v)
+  }
+
   /** Create version 0 from `df`. Fails if the table already exists.
     * `partitionCols` lays every snapshot out partitioned (pruned
     * reads keep working through time travel, and a partition column
@@ -319,8 +361,7 @@ object Versioned {
     val spark = df.sparkSession
     require(currentVersion(spark, table).isEmpty,
       s"versioned table already initialized: $table")
-    write(df, versionDir(table, 0), partitionCols)
-    commit(spark, table, 0, listDataFiles(spark, table, 0))
+    commit(spark, table, 0, stageVersion(df, table, 0, partitionCols))
   }
 
   /** SHALLOW CLONE: initialize `target` whose v0 manifest references
@@ -517,9 +558,8 @@ object Versioned {
           rewrite.join(source.select(keyCols: _*), keys, "left_anti"),
           allowMissingColumns = true)
       }
-    write(merged, versionDir(table, v + 1), partitionCols)
     commit(spark, table, v + 1,
-      untouched ++ listDataFiles(spark, table, v + 1))
+      untouched ++ stageVersion(merged, table, v + 1, partitionCols))
   }
 
   /** MERGE-ON-READ upsert: commit the batch AS-IS as a log file —
@@ -557,8 +597,7 @@ object Versioned {
       case Some(flag) => source.withColumnRenamed(flag, MorDeleted)
       case None => source
     }
-    write(out, versionDir(table, v + 1), Nil)
-    val newLogs = listDataFiles(spark, table, v + 1)
+    val newLogs = stageVersion(out, table, v + 1, Nil)
       .map(p => s"log:${keys.mkString(",")}:$p")
     commit(spark, table, v + 1, entries ++ newLogs)
   }
@@ -609,9 +648,8 @@ object Versioned {
         readFilesByBirth(spark, table, matched.toSeq)
           .join(src.select(keys.map(col): _*), keys, "left_anti"),
         allowMissingColumns = true)
-    write(merged, versionDir(table, v + 1), partitionCols)
     commit(spark, table, v + 1,
-      untouched ++ listDataFiles(spark, table, v + 1))
+      untouched ++ stageVersion(merged, table, v + 1, partitionCols))
   }
 
   /** Change data feed between two committed snapshots, computed from
@@ -856,8 +894,7 @@ object Versioned {
     val z = graft.functions.ZOrder.zvalue2(
       bucket(c1, 0), bucket(c2, 2), bits)
     val out = df.repartitionByRange(nFiles, z).sortWithinPartitions(z)
-    write(out, versionDir(table, v + 1), Nil)
-    commit(spark, table, v + 1, listDataFiles(spark, table, v + 1))
+    commit(spark, table, v + 1, stageVersion(out, table, v + 1, Nil))
   }
 
   /** OPTIMIZE (compaction): bin-pack the current snapshot's small
@@ -900,9 +937,8 @@ object Versioned {
     val nOut = math.max(1,
       math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
     val packed = readFilesByBirth(spark, table, small).coalesce(nOut)
-    write(packed, versionDir(table, v + 1), partitionCols)
     commit(spark, table, v + 1,
-      keep ++ listDataFiles(spark, table, v + 1))
+      keep ++ stageVersion(packed, table, v + 1, partitionCols))
   }
 
   /** Per-version row counts — the table's history report. */
