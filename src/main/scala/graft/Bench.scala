@@ -26,44 +26,27 @@ import org.apache.spark.sql.DataFrame
 object Bench {
 
   /** DuckDB total at sf0.1 (tools/duckdb_baseline.py, 32 threads,
-    * warm, min-of-3 runs) — the full 125-query re-bake of 2026-08-13
-    * on the round-6 regenerated testdata (24.95 s; the incremental
-    * patch total for 120 queries was 22.69, and the five round-6
-    * additions measure n18 0.30 + n19 0.19 + t16 0.06 + t17 0.17 +
-    * k18 0.96 ≈ 1.69 s, consistent within ~2% load noise — the
-    * re-bake is recorded because one measurement beats a patch
-    * chain; l8 0.1050, m4 0.0203, k19 0.0032, n20 0.8526, c9 0.0742, t18 0.0667, e5 0.0490, l9 0.0592, r2 0.0943, t19 0.2103, n21 0.4002, n22 0.1256, k20 0.0053, k21 0.0052, st6 0.0058, e6 0.0890, c10 0.0141 min-of-3
-    * warm added after). See BASELINE.md.
+    * warm, min-of-3 runs) — the round-11 FULL SINGLE-SESSION re-bake
+    * of all 212 oracle queries (2026-08-15, freshly-booted host,
+    * load avg 0.40 at start): **37.4814 s**. This replaces the
+    * round-6→10 multi-host patch chain the round-10 verdict flagged
+    * (item 1a: "the chain arithmetic is now the least trustworthy
+    * number in the repo") — one measurement, one host, one session,
+    * the final round-11 oracle set (zipf NULLIF guard, unrounded
+    * jaccard thresholds, AS MATERIALIZED graph rounds, + h6c).
+    * Cross-checks: a same-morning 211-query single-session bake on
+    * the pre-round-11 oracle text read 36.9381; +0.54 to this one ≈
+    * h6c's own 0.6514 — consistent within load noise. The retired
+    * chain's 35.5314 @211 sits 3.9% below the same queries here —
+    * the size of the error the chain had accumulated. Ledger:
+    * BASELINE.md round-11.
     * Valid ONLY for the oracle-suite size it was measured against:
     * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
     */
-  // Round-9 chain: round-8 close 40.1002 (186) + h1 0.2378 +
-  // h2 1.4445 (both re-baked after the h3 template extension) +
-  // n6x 0.0540 + h3 0.0516 + n6y 0.1344 + t27 0.0698 + n6z 0.1639
-  // + h4 1.7995 = 44.0557 for the 194-query oracle suite (see the
-  // bake ledger in BASELINE.md; cross-checked by a one-shot fresh
-  // 192-query bake at +1.4%).
-  // Round-10 chain: 44.0557, re-bake h1 0.2378→0.2134 / h2
-  // 1.4445→1.3183 / h3 0.0516→0.0619 / h4 1.7995→1.7214 (template
-  // grew the per-doc mirror link for h5), + c16 0.7058 + h5 0.0577
-  // + st9 0.0157 = 44.6165 at 197 (min-of-3×3, load avg 1.2).
-  // Then the recursive-CTE oracles gained `AS MATERIALIZED` (DuckDB
-  // was re-inlining the whole minhash pipeline into both sym branches
-  // and every reach iteration — an artifact, not work the semantics
-  // ask for): same-session paired re-measurement n9 5.8606→1.0794,
-  // n11 5.3620→1.0657, n24 5.6553→1.0560, + c18 1.0794 + c19 0.0757
-  // = 44.6165 − 13.6768 + 1.1551 = 32.0948 at 199, + l13 0.1149
-  // = 32.2097 for the 200-query oracle suite (2026-08-14; see
-  // BASELINE.md round-10 ledger).
-  // Round-10 session 2: + h6 0.2283 + d4 0.0108 + k25 0.0346
-  // (back-bakes) + l14 0.0771 + st10 0.0225 + h7 0.2641 + h8 0.8128
-  // + st11 0.1703 + n33 1.5207 + l15 0.1192 + t28 0.0613 = 35.5314
-  // for the 211-query oracle suite (suite 213 with the two rows-only
-  // approximations; see BASELINE.md round-10 ledger).
-  val RecordedDuckdbSf01: Double = 35.5314
-  val RecordedDuckdbQueries: Int = 211
+  val RecordedDuckdbSf01: Double = 37.4814
+  val RecordedDuckdbQueries: Int = 212
 
   /** Quiet-host calibration floor (seconds for the fixed-work probe):
     * the builder's historic quiet reads 0.029–0.031 across rounds 6–9

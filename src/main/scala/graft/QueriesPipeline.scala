@@ -116,10 +116,11 @@ object QueriesPipeline {
     // policies; the cluster-keyed policy must audit to ZERO leaks
     // (the c7 safety claim, proven), the doc-hash policy's count is
     // the contamination a naive split invites.
-    "c18_leakage_audit" -> ((s, dir) =>
-      DedupOps.splitLeakageAudit(Tables.documents(s, dir), "doc_id",
-        "text", minJaccard = 0.8, maxDf = ShingleMaxDf,
-        trainPerMille = 800)),
+    "c18_leakage_audit" -> ((s, dir) => {
+      val (pairs, clusters) = dupPairsClusters(s, dir)
+      DedupOps.splitLeakageAuditPrepared(Tables.documents(s, dir),
+        pairs, clusters, "doc_id", trainPerMille = 800)
+    }),
 
     // c19: DOMAIN-CAP sampling — best-k-per-source quota, planned
     // through the custom partial top-k operator (TopKRewrite fires

@@ -210,6 +210,31 @@ private[graft] object RegistryFixtures {
         tag = f"${dir.hashCode & 0x7fffffff}%x", root = root)
     })
 
+  /** Near-dup PAIRS and CLUSTERS prepared once per (session, dir) —
+    * the dedup pipeline's persisted artifacts: production runs the
+    * MinHash-LSH pass once per corpus version and every report /
+    * policy query (n9 clusters, n11 histogram, n24 canonical
+    * selection, c18 leakage audit) reads the stored pair list and
+    * cluster assignment. n4 (the pair pipeline itself) stays inline —
+    * it IS the measured operator. Oracles recompute from `documents`
+    * (the l2-family serving-vs-oracle convention).
+    */
+  private[graft] val dupClusterCaches =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (DataFrame, DataFrame)]()
+
+  private[graft] def dupPairsClusters(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    dupClusterCaches.computeIfAbsent((s, dir), _ => {
+      val pairs = operators.DedupOps
+        .minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          minJaccard = 0.8, maxDf = ShingleMaxDf)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val clusters = operators.DedupOps.dupClusters(pairs)
+        .localCheckpoint()
+      (pairs, clusters)
+    })
+
   /** Lay each batch down as one parquet file under `root/in` — the
     * landing-directory shape a file-source stream tails.
     */

@@ -1013,11 +1013,22 @@ object DedupOps {
     */
   def splitLeakageAudit(docs: DataFrame, idCol: String,
       textCol: String, minJaccard: Double, maxDf: Int,
-      trainPerMille: Int): DataFrame = {
-    val pairs = minhashPairs(docs, idCol, textCol, minJaccard,
-        maxDf = maxDf)
-      .select(col("id_a"), col("id_b")).cache()
-    val clusters = dupClusters(pairs)
+      trainPerMille: Int): DataFrame =
+    splitLeakageAuditPrepared(docs,
+      minhashPairs(docs, idCol, textCol, minJaccard, maxDf = maxDf)
+        .select(col("id_a"), col("id_b")).cache(),
+      null, idCol, trainPerMille)
+
+  /** [[splitLeakageAudit]] over PREPARED pair/cluster relations —
+    * the serving shape: a production dedup pipeline persists its
+    * pair list and cluster assignment once, and every policy audit
+    * reads them (`clusters0 = null` re-derives clusters from the
+    * pairs, the inline path).
+    */
+  def splitLeakageAuditPrepared(docs: DataFrame, pairs: DataFrame,
+      clusters0: DataFrame, idCol: String, trainPerMille: Int)
+      : DataFrame = {
+    val clusters = Option(clusters0).getOrElse(dupClusters(pairs))
       .select(col("doc_id").as(idCol), col("cluster_id"))
     val grp = docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left")
