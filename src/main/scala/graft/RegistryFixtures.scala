@@ -235,6 +235,23 @@ private[graft] object RegistryFixtures {
       (pairs, clusters)
     })
 
+  /** The LEARNED BPE merge table, once per (session, dir, ranks) —
+    * the trained-tokenizer artifact: production trains once and
+    * every encode pass loads the merge list (vocab-scale metadata).
+    * t19/t20 still run the induction loop inline — the loop is what
+    * THEY measure; t24/t25 are the apply-at-scale tier and read the
+    * trained table.
+    */
+  private[graft] val bpeMergeCaches =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, Int), Seq[(String, String)]]()
+
+  private[graft] def learnedBpeMerges(s: SparkSession, dir: String,
+      ranks: Int): Seq[(String, String)] =
+    bpeMergeCaches.computeIfAbsent((s, dir, ranks), _ =>
+      operators.TextOps.learnedMerges(Tables.documents(s, dir),
+        "text", ranks))
+
   /** Lay each batch down as one parquet file under `root/in` — the
     * landing-directory shape a file-source stream tails.
     */
