@@ -108,7 +108,7 @@ object QueriesSearch {
     // 32 rounds; GraphSpec asserts the certificate.)
     "h6c_pagerank_converged" -> ((s, dir) =>
       GraphOps.pageRankConverged(pageGraph(s, dir), maxIters = 48,
-        k = 20, blockIters = 8)._1),
+        k = 20, blockIters = 16)._1),
 
     // h7: FOCUSED-crawl prioritization — personalized PageRank with
     // the teleport mass pinned to three seed pages (a plan-time

@@ -271,9 +271,13 @@ private[graft] object RegistryFixtures {
     in.toString
   }
 
-  /** Recursive file copy — hydrates a fresh mutable table root from
-    * a cached immutable template at file-IO cost instead of a Spark
-    * write job per invocation.
+  /** Recursive HARD-LINK hydration of a fresh mutable table root from
+    * a cached immutable template — metadata-only IO instead of byte
+    * copies. Safe because parquet data files are never modified in
+    * place by any path here: appends and merges write NEW files,
+    * overwrites delete-then-write (deletion just unlinks the link,
+    * the template's inode survives). Falls back to a byte copy where
+    * linking is unsupported (cross-device).
     */
   private[graft] def copyDir(src: String, dst: String): Unit = {
     import java.nio.file.{Files, Path, Paths}
@@ -283,7 +287,12 @@ private[graft] object RegistryFixtures {
     try st.forEach { p: Path =>
       val d = d0.resolve(s0.relativize(p))
       if (Files.isDirectory(p)) Files.createDirectories(d)
-      else Files.copy(p, d)
+      else
+        try Files.createLink(d, p)
+        catch { case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+          Files.copy(p, d)
+        }
       ()
     } finally st.close()
   }
