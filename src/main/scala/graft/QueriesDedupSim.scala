@@ -286,11 +286,42 @@ object QueriesDedupSim {
     // n_chars, id-asc tiebreak) plus the kept/dropped accounting.
     "n24_keep_best" -> ((s, dir) =>
       DedupOps.keepBestPerCluster(dupPairsClusters(s, dir)._2,
-        Tables.documents(s, dir), "doc_id", "n_chars")))
+        Tables.documents(s, dir), "doc_id", "n_chars")),
+
+    // n34: the k-NN NEIGHBOR GRAPH build — the offline artifact of
+    // the graph-ANN (HNSW/NSW-class) tier. Exact rank-filtered
+    // all-pairs at fixture scale (TopKPerKey partial top-k shape);
+    // IVF-candidate / NN-descent bounded at 100 TB (see SCALE.md).
+    "n34_knn_graph" -> ((s, dir) =>
+      SimilarityOps.knnGraph(Tables.embeddings(s, dir), k = 8)),
+
+    // n35: graph-ANN BEAM SEARCH over the prepared NSW graph
+    // (n34's directed top-24 edges symmetrized — reverse edges make
+    // the graph navigable) — the HNSW-class serving query: o(1)
+    // coordinator-held beam state, two bucket-prunable point reads
+    // per round, cost independent of corpus size. Deterministic
+    // (sequential-fold double scores, (s desc, id asc) selection,
+    // entry = min non-query id), so the fixed-round unrolled SQL
+    // twin replays it exactly; recall@10 = 10/10 vs n1's exact
+    // ground truth at sf0.1 (spec-pinned ≥ 8).
+    "n35_graph_ann" -> ((s, dir) =>
+      SimilarityOps.graphBeamSearch(annGraphFixture(s, dir),
+        Tables.embeddings(s, dir), queryId = 0L, beam = 16,
+        rounds = 8, k = 10)))
 
   def oracleSql: Map[String, String] = Map(
     // n26: serve-after-delete ≡ serve-with-exclusion.
     "n26_index_delete" -> IndexDeleteOracleSql,
+
+    "n34_knn_graph" ->
+      operators.SimilarityOps.knnGraphSql("embeddings", k = 8),
+
+    // n35: the beam walk unrolled — same symmetrized-graph
+    // definition, same entry rule, same (s desc, id asc) beam cuts,
+    // fixed 8 rounds.
+    "n35_graph_ann" ->
+      operators.SimilarityOps.graphBeamSearchSql("embeddings",
+        queryId = 0L, graphK = 24, beam = 16, rounds = 8, k = 10),
 
     "n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,

@@ -252,6 +252,22 @@ private[graft] object RegistryFixtures {
       operators.TextOps.learnedMerges(Tables.documents(s, dir),
         "text", ranks))
 
+  /** The k-NN NEIGHBOR GRAPH, once per (session, dir) — the offline
+    * artifact the graph-ANN serving query (n35) walks; n34 (the
+    * build op itself) stays inline. At rest this is a table bucketed
+    * by src; the beam search reads ≤ beam neighbor lists per round.
+    */
+  private[graft] val annGraphCaches =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private[graft] def annGraphFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    annGraphCaches.computeIfAbsent((s, dir), _ =>
+      operators.SimilarityOps
+        .nswGraph(Tables.embeddings(s, dir), k = 24)
+        .localCheckpoint())
+
   /** Lay each batch down as one parquet file under `root/in` — the
     * landing-directory shape a file-source stream tails.
     */

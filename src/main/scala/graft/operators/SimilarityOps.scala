@@ -1141,4 +1141,170 @@ object SimilarityOps {
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Exact k-NN NEIGHBOR GRAPH (n34) — the offline artifact a
+    * graph-ANN (HNSW/NSW-class) serving tier reads. At fixture scale
+    * the build is the exact rank-filtered all-pairs join (the
+    * TopKPerKey partial top-k shape: the exchange carries ≤ k rows
+    * per node per partition, never the pair matrix); at 100 TB the
+    * graph comes from IVF candidate sets or NN-descent rounds (the
+    * n13/n20 machinery bounds candidates per node) — the serving
+    * path ([[graphBeamSearch]]) never depends on HOW the graph was
+    * built. Neighbor rank compares RAW doubles (dst-asc ties):
+    * sequential-fold dots are bit-identical across engines, so the
+    * rank is too; the output score rounds to 6 dp (n1's convention).
+    */
+  def knnGraph(embeddings: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col("vec_id"),
+        toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val a = e.select(col("vec_id").as("src"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("dst"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("s").desc, col("dst").asc)
+    a.crossJoin(b).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosinePrenormed(col("va"), col("vb"), col("na"), col("nb"))
+          .as("s"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("src"), col("dst"), round(col("s"), 6).as("score"))
+      .orderBy(col("src").asc, col("score").desc, col("dst").asc)
+  }
+
+  /** The NSW-style UNDIRECTED navigation graph: [[knnGraph]]'s
+    * directed top-k edges symmetrized (src↔dst, deduped). Reverse
+    * edges are what make a near-neighbor graph NAVIGABLE — a greedy
+    * walk can back out of a one-way neighborhood (measured on the
+    * fixture: directed k=8 plateaus at recall 2–4/10 from a single
+    * entry; undirected k=24 reaches 10/10). This is the offline
+    * artifact n35 walks; in production it is the NSW/HNSW base
+    * layer, bucketed by src.
+    */
+  def nswGraph(embeddings: DataFrame, k: Int): DataFrame = {
+    val g = knnGraph(embeddings, k).select(col("src"), col("dst"))
+    g.unionByName(g.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Oracle twin of [[knnGraph]]. */
+  def knnGraphSql(table: String, k: Int): String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM $table),
+       |n AS MATERIALIZED (SELECT vec_id, v,
+       |  sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       |SELECT src, dst, round(s, 6) AS score FROM (
+       |  SELECT src, dst, s, row_number() OVER (
+       |      PARTITION BY src ORDER BY s DESC, dst ASC) AS rn
+       |  FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS s
+       |    FROM n a JOIN n b ON a.vec_id <> b.vec_id))
+       |WHERE rn <= $k
+       |ORDER BY src ASC, score DESC, dst ASC""".stripMargin
+
+  /** GRAPH-ANN BEAM SEARCH (n35) — the HNSW/NSW-class SERVING query
+    * over a prepared [[knnGraph]] relation: start at the entry node
+    * (min non-query id), and for `rounds` rounds expand the current
+    * top-`beam` frontier's neighbor lists, score the unseen
+    * expansions against the query, and fold them into the visited
+    * set; answer = top-k of visited. The beam/visited state is o(1)
+    * (≤ 1 + rounds·beam·graphK entries) and lives on the
+    * COORDINATOR — exactly where a served ANN system keeps it; each
+    * round issues two point reads (the beam's neighbor lists, then
+    * the unseen ids' embeddings), both bucket-prunable when graph
+    * and embeddings are bucketed by id at rest, each independent of
+    * corpus size. Deterministic end-to-end: scores are
+    * sequential-fold doubles, beam/answer selection is (s desc, id
+    * asc), so the fixed-round unrolled SQL twin replays it exactly.
+    */
+  def graphBeamSearch(graph: DataFrame, embeddings: DataFrame,
+      queryId: Long, beam: Int, rounds: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col("vec_id"),
+      toDoubleArray(col("embedding")).as("v"))
+    val qv = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    def scoreOf(ids: Seq[Long]): Map[Long, Double] =
+      e.filter(col("vec_id").isInCollection(ids))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val entry = e.filter(col("vec_id") =!= queryId)
+      .agg(min(col("vec_id"))).head.getLong(0)
+    var visited = scoreOf(Seq(entry))
+    (1 to rounds).foreach { _ =>
+      val beamIds = visited.toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(beam).map(_._1)
+      val fresh = graph
+        .filter(col("src").isInCollection(beamIds))
+        .select(col("dst")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+        .filterNot(visited.contains).filter(_ != queryId)
+      if (fresh.nonEmpty) visited = visited ++ scoreOf(fresh)
+    }
+    val top = visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+    import spark.implicits._
+    val topDf = top.toDF("vec_id", "s")
+    embeddings.join(broadcast(topDf), Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
+        round(col("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+  }
+
+  /** Oracle twin of [[graphBeamSearch]] — the identical fixed-round
+    * beam unrolled as CTEs over the same [[nswGraph]] definition
+    * (directed top-graphK, symmetrized; AS MATERIALIZED: the graph
+    * and score relations are referenced once per round). UNION
+    * dedupes the visited set by full row — a vec_id always carries
+    * the same score, so it is a set of ids exactly like the Spark
+    * side's map.
+    */
+  def graphBeamSearchSql(table: String, queryId: Long, graphK: Int,
+      beam: Int, rounds: Int, k: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""b$i AS (SELECT vec_id FROM v${i - 1}
+         |  ORDER BY s DESC, vec_id ASC LIMIT $beam),
+         |x$i AS (SELECT DISTINCT g.dst AS vec_id
+         |  FROM g JOIN b$i ON g.src = b$i.vec_id),
+         |v$i AS MATERIALIZED (
+         |  SELECT * FROM v${i - 1}
+         |  UNION
+         |  SELECT sc.vec_id, sc.label, sc.s
+         |  FROM sc JOIN x$i USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM $table),
+       |n AS MATERIALIZED (SELECT vec_id, label, v,
+       |  sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |g0 AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (
+       |        PARTITION BY src ORDER BY s DESC, dst ASC) AS rn
+       |    FROM (
+       |      SELECT a.vec_id AS src, b.vec_id AS dst,
+       |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS s
+       |      FROM n a JOIN n b ON a.vec_id <> b.vec_id))
+       |  WHERE rn <= $graphK),
+       |g AS MATERIALIZED (
+       |  SELECT src, dst FROM g0
+       |  UNION
+       |  SELECT dst, src FROM g0),
+       |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $queryId),
+       |sc AS MATERIALIZED (SELECT vec_id, label,
+       |    list_dot_product(v, qv) / (nrm * qn) AS s
+       |  FROM n, q WHERE vec_id <> $queryId),
+       |v0 AS (SELECT vec_id, label, s FROM sc
+       |  WHERE vec_id = (SELECT min(vec_id) FROM n
+       |                  WHERE vec_id <> $queryId)),
+       |$roundCtes
+       |SELECT vec_id, label, round(s, 6) AS score FROM v$rounds
+       |ORDER BY score DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
 }
