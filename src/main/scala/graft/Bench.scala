@@ -44,9 +44,21 @@ object Bench {
     * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
     * is dropped when the current suite no longer matches, so a stale
     * baked-in baseline can never silently shape the reported ratio.
+    *
+    * Late-round addendum: the graph-ANN tier (n34/n35) grew the
+    * oracle suite to 214 AFTER the quiet-window close bake. Three
+    * further full single-session 214-query bakes all landed on
+    * loaded windows (43.10 / 44.32 / 45.94 — median per-query
+    * inflation 1.08–1.11× vs the quiet close bake on unchanged
+    * oracles; recording any of them would FLATTER the ratio by
+    * ~12%). Recorded instead: the quiet 212 close bake + the two
+    * additions at their min across the three bakes (n34 0.5323 +
+    * n35 0.6374) = **38.6511** — one same-day, same-host splice,
+    * chosen against our own interest; all four bakes are ledgered
+    * in BASELINE.md round-11.
     */
-  val RecordedDuckdbSf01: Double = 37.4814
-  val RecordedDuckdbQueries: Int = 212
+  val RecordedDuckdbSf01: Double = 38.6511
+  val RecordedDuckdbQueries: Int = 214
 
   /** Quiet-host calibration floor (seconds for the fixed-work probe):
     * the builder's historic quiet reads 0.029–0.031 across rounds 6–9

@@ -73,7 +73,8 @@ class ScaleShapeSpec extends SparkSpec {
       "c16_bloom_decontaminate", "h5_frontier", "st9_stream_dedup",
       "c18_leakage_audit", "c19_domain_cap", "l13_query_expansion",
       "l14_spell_search", "l15_bm25f", "t28_zipf_slope",
-      "n33_prefix_jaccard", "d4_k_anonymity", "k25_scd2")
+      "n33_prefix_jaccard", "d4_k_anonymity", "k25_scd2",
+      "h6c_pagerank_converged", "n34_knn_graph", "n35_graph_ann")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       assert(canon(fn(spark, sfSmoke)) == canon(fn(s2, sfSmoke)),
