@@ -98,10 +98,40 @@ object Bench {
   private def runPlan(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def calibProbe(spark: org.apache.spark.sql.SparkSession)
+      : Double = {
+    val c0 = System.nanoTime()
+    runPlan(spark.range(4000000L).selectExpr("sum(id) as s"))
+    (System.nanoTime() - c0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(Sessions.envCores)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+    // QUIET-WINDOW GATE (round-11 verdict item 1): the raw ratio has
+    // been breached twice on host noise alone (calib 0.059→0.075 while
+    // every plan audit came back clean), so the suite now WAITS for a
+    // quiet window instead of timing into a noisy one. The fixed-work
+    // probe runs first (after 3 warm shots so codegen/JIT is not
+    // measured); while its min-of-2 exceeds the gate (default 0.055 ≈
+    // 1.8× the 0.030 quiet floor), sleep 30 s and re-probe, up to a
+    // bounded budget. Every attempt is recorded in the JSON so a run
+    // that had to settle for a loaded window says so on its face.
+    val gate = sys.env.getOrElse("SPARK_GRAFT_CALIB_GATE", "0.055").toDouble
+    val maxWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_MAX_WAIT_SEC", "600").toInt
+    (1 to 3).foreach(_ => calibProbe(spark))
+    val attempts = scala.collection.mutable.ArrayBuffer[Double]()
+    var waited = 0
+    var probe = math.min(calibProbe(spark), calibProbe(spark))
+    attempts += probe
+    while (probe > gate && waited < maxWaitSec) {
+      Thread.sleep(30000L); waited += 30
+      probe = math.min(calibProbe(spark), calibProbe(spark))
+      attempts += probe
+    }
 
     // Warm-up: run everything once (codegen compile, parquet footer
     // cache, JIT). Failures surface during measurement, ignore here.
@@ -115,11 +145,9 @@ object Bench {
     // Fixed-work calibration probe per rep: totals on a loaded machine
     // run 1.5–2× a quiet one, so the probe's min is recorded alongside
     // to make run-to-run totals comparable (quiet ≈ 0.10–0.15 s).
-    var calib = Double.MaxValue
+    var calib = attempts.min
     (1 to reps).foreach { _ =>
-      val c0 = System.nanoTime()
-      runPlan(spark.range(4000000L).selectExpr("sum(id) as s"))
-      calib = math.min(calib, (System.nanoTime() - c0) / 1e9)
+      calib = math.min(calib, calibProbe(spark))
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -165,20 +193,23 @@ object Bench {
     // ratio stays the headline; the normalized one bounds what a
     // quiet host would measure.
     val hf = hostFactor(calib)
+    val attemptsJson = attempts.map(a => f"$a%.4f").mkString(
+      s""","calib_gate":$gate,"calib_wait_sec":$waited,"calib_attempts":[""",
+      ",", "]")
     val baseJson = baseline.map { b =>
       if (failed.isEmpty)
         f""","oracle_total_sec":$oracleTotal%.4f,"duckdb_baseline_sec":$b%.4f,"ratio":${oracleTotal / b}%.2f,"host_factor":$hf%.2f,"host_normalized_ratio":${oracleTotal / b / hf}%.2f"""
       else f""","duckdb_baseline_sec":$b%.4f"""
     }.getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib%.4f$failedJson$baseJson}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib%.4f$attemptsJson$failedJson$baseJson}""")
     // Second, SHORT line with the headline numbers only: the full
     // per-query line above can exceed a log tail-capture window, which
     // truncates its head (where "value" lives) and leaves the driver
     // with nothing parseable. This line is ~120 bytes and always
     // survives a tail.
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","calib_sec":$calib%.4f,"n_queries":${names.size - failed.size}$baseJson}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","calib_sec":$calib%.4f$attemptsJson,"n_queries":${names.size - failed.size}$baseJson}""")
     spark.stop()
   }
 }

@@ -44,12 +44,33 @@ object SparkEntry {
     * disjoint by the family prefix routing, so ++ is a pure union).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesDedupSim.queries ++
-      QueriesText.queries ++ QueriesPipeline.queries ++
-      QueriesSearch.queries ++ QueriesStreamVersioned.queries
+    disjointUnion("queries", Seq(
+      QueriesCore.queries, QueriesDedupSim.queries,
+      QueriesText.queries, QueriesPipeline.queries,
+      QueriesSearch.queries, QueriesStreamVersioned.queries))
 
   def oracleSql: Map[String, String] =
-    QueriesCore.oracleSql ++ QueriesDedupSim.oracleSql ++
-      QueriesText.oracleSql ++ QueriesPipeline.oracleSql ++
-      QueriesSearch.oracleSql ++ QueriesStreamVersioned.oracleSql
+    disjointUnion("oracleSql", Seq(
+      QueriesCore.oracleSql, QueriesDedupSim.oracleSql,
+      QueriesText.oracleSql, QueriesPipeline.oracleSql,
+      QueriesSearch.oracleSql, QueriesStreamVersioned.oracleSql))
+
+  /** `++` silently keeps the LAST binding of a duplicated key, so a
+    * future name collision across family files would shadow one
+    * registration without any gate noticing (the Bench suite-size
+    * fingerprint can still match by count). Fail fast instead: the
+    * union is only legal when the family key sets are disjoint.
+    */
+  private def disjointUnion[V](what: String,
+      parts: Seq[Map[String, V]]): Map[String, V] = {
+    val merged = parts.reduce(_ ++ _)
+    if (merged.size != parts.map(_.size).sum) {
+      val dups = parts.flatMap(_.keys)
+        .groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+      throw new IllegalStateException(
+        s"duplicate $what keys across family registries: " +
+          dups.toSeq.sorted.mkString(", "))
+    }
+    merged
+  }
 }

@@ -342,7 +342,29 @@ object Versioned {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
-      else !f.exists(dest) && f.rename(new Path(stage), dest)
+      else
+        // FileSystem.rename(Path, Path) is NOT rename-no-overwrite:
+        // with an existing destination DIRECTORY it moves the source
+        // INSIDE it (posix mv semantics) and returns true, so a
+        // check-then-act `!exists && rename` lets a racing loser nest
+        // its staged part-* files under the winner's version dir —
+        // exactly the torn-table shape this staging exists to kill.
+        // FileContext.rename with Options.Rename.NONE is the
+        // name-node-arbitrated atomic no-overwrite rename (fails with
+        // FileAlreadyExistsException when dest exists in any form).
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+            .rename(new Path(stage), dest,
+              org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.io.FileNotFoundException => false
+          case e: java.io.IOException
+              if e.getMessage != null &&
+                 e.getMessage.contains("already exists") => false
+        }
     if (!won) {
       f.delete(new Path(stage), true)
       throw new IllegalStateException(

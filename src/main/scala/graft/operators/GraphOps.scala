@@ -127,16 +127,22 @@ object GraphOps {
     * round that amortizes to 1/blockIters probe actions; lineage
     * stays O(blockIters) deep.
     *
-    * Returns (top-k result, rounds actually executed) — the round
-    * count is the convergence certificate GraphSpec asserts on; the
-    * registry query uses the result alone.
+    * Returns (top-k result, rounds actually executed, converged) —
+    * the (rounds, converged) pair is the convergence certificate
+    * GraphSpec asserts on; the registry query uses the result alone.
+    * `converged` disambiguates "hit the fixed point exactly at the
+    * cap" from "never converged" (both report rounds == maxIters);
+    * only a true flag certifies the result equals every longer
+    * unroll. An empty node set short-circuits: it is vacuously
+    * converged at 0 rounds (the delta probe would read NULL forever
+    * and burn all maxIters rounds for an empty relation).
     */
   def pageRankConverged(edges: DataFrame, maxIters: Int, k: Int,
-      blockIters: Int = 8): (DataFrame, Int) =
+      blockIters: Int = 8): (DataFrame, Int, Boolean) =
     pageRankConverged(prepare(edges), maxIters, k, blockIters)
 
   def pageRankConverged(g: PreparedGraph, maxIters: Int, k: Int,
-      blockIters: Int): (DataFrame, Int) = {
+      blockIters: Int): (DataFrame, Int, Boolean) = {
     require(maxIters % blockIters == 0,
       "cap must align to block boundaries so the capped run equals " +
         "the unrolled oracle exactly")
@@ -153,7 +159,7 @@ object GraphOps {
     var ranks = g.nodes.select(col("url"), lit(InitMicro).as("pr"))
       .localCheckpoint()
     var rounds = 0
-    var converged = false
+    var converged = ranks.isEmpty
     while (!converged && rounds < maxIters) {
       var next = ranks
       (1 to blockIters).foreach(_ => next = round(next))
@@ -175,7 +181,7 @@ object GraphOps {
         coalesce(col("n_in"), lit(0L)).as("n_in"), col("pr"))
       .orderBy(col("pr").desc, col("url").asc)
       .limit(k)
-    (top, rounds)
+    (top, rounds, converged)
   }
 
   /** PERSONALIZED PageRank (h7) — focused-crawl prioritization: the

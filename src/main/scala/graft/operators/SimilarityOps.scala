@@ -1251,10 +1251,15 @@ object SimilarityOps {
     val top = visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
     import spark.implicits._
     val topDf = top.toDF("vec_id", "s")
+    // Final order on the RAW score (id-asc ties) — the same key the
+    // top-k cut above used and the SQL twin's ORDER BY uses; rounding
+    // happens only in the projection, so a rounded-score tie at the k
+    // boundary can never make the engines pick different id sets.
     embeddings.join(broadcast(topDf), Seq("vec_id"))
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"), col("label"), col("s"),
         round(col("s"), 6).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
+      .orderBy(col("s").desc, col("vec_id").asc)
+      .drop("s")
   }
 
   /** Oracle twin of [[graphBeamSearch]] — the identical fixed-round
@@ -1305,6 +1310,6 @@ object SimilarityOps {
        |                  WHERE vec_id <> $queryId)),
        |$roundCtes
        |SELECT vec_id, label, round(s, 6) AS score FROM v$rounds
-       |ORDER BY score DESC, vec_id ASC LIMIT $k""".stripMargin
+       |ORDER BY s DESC, vec_id ASC LIMIT $k""".stripMargin
   }
 }

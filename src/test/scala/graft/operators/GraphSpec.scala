@@ -130,10 +130,12 @@ class GraphSpec extends SparkSpec {
       HtmlOps.renderHtml.as("html"))
     val edges = HtmlOps.pageEdges(rendered, "doc_id", "html")
       .localCheckpoint()
-    val (top, rounds) = GraphOps.pageRankConverged(edges,
+    val (top, rounds, converged) = GraphOps.pageRankConverged(edges,
       maxIters = 48, k = 20)
     // the convergence CERTIFICATE: the exit fired before the cap —
-    // the round count came from the data, not the cap
+    // the round count came from the data, not the cap — and the
+    // flag says so explicitly (rounds == cap alone is ambiguous)
+    assert(converged, "fixed point not reached")
     assert(rounds < 48, s"expected early exit, ran $rounds")
     assert(rounds % 8 == 0, "exit only at block boundaries")
     // equality with the unrolled computation at the cap AND at the
