@@ -288,10 +288,12 @@ object QueriesDedupSim {
       DedupOps.keepBestPerCluster(dupPairsClusters(s, dir)._2,
         Tables.documents(s, dir), "doc_id", "n_chars")),
 
-    // n34: the k-NN NEIGHBOR GRAPH build — the offline artifact of
-    // the graph-ANN (HNSW/NSW-class) tier. Exact rank-filtered
-    // all-pairs at fixture scale (TopKPerKey partial top-k shape);
-    // IVF-candidate / NN-descent bounded at 100 TB (see SCALE.md).
+    // n34: the EXACT k-NN neighbor graph — retained as the
+    // fixture-scale GROUND TRUTH the recall eval (n34r) reads, the
+    // same role n1's brute-force scan plays for the ANN serving
+    // tier. The production build is n34b (IVF-candidate +
+    // NN-Descent, equi-joins only); this one is all-pairs and
+    // quadratic by definition — it certifies, it does not scale.
     "n34_knn_graph" -> ((s, dir) =>
       SimilarityOps.knnGraph(Tables.embeddings(s, dir), k = 8)),
 
@@ -307,7 +309,32 @@ object QueriesDedupSim {
     "n35_graph_ann" -> ((s, dir) =>
       SimilarityOps.graphBeamSearch(annGraphFixture(s, dir),
         Tables.embeddings(s, dir), queryId = 0L, beam = 16,
-        rounds = 8, k = 10)))
+        rounds = 8, k = 10)),
+
+    // n34b: the BOUNDED kNN-graph build — the 100 TB path n34's
+    // scaladoc promised (round-11 verdict item 2): candidates from
+    // shared IVF cells (n12's multi-probe convention, top-2 cells
+    // per vector over the strided codebook), per-src exact top-k
+    // over candidates only, then 2 NN-Descent refinement rounds
+    // (2-hop expansion + re-rank — per-src work constant, corpus
+    // linear). Every stage is an equi-join: no cross join anywhere
+    // in the plan. Deterministic → oracle-gated despite being
+    // approximate RELATIVE TO the exact n34 graph; n34r pins the
+    // recall.
+    "n34b_knn_graph_bounded" -> ((s, dir) =>
+      SimilarityOps.knnGraphBounded(Tables.embeddings(s, dir),
+        k = 8, stride = 50, nProbe = 2, nndRounds = 2)),
+
+    // n34r: the edge-recall CERTIFICATE for n34b (the n28/n6z
+    // convention — approximate tiers carry an in-suite eval):
+    // bounded-vs-exact top-8 edge overlap, one row. The fixture
+    // embeddings are isotropic-random (no neighborhood structure —
+    // see GraphAnnBoundedSpec), so this pins the noise-floor
+    // number; the spec's clustered corpus shows ≥ 95% where
+    // structure exists.
+    "n34r_knn_graph_recall" -> ((s, dir) =>
+      SimilarityOps.knnGraphEdgeRecall(Tables.embeddings(s, dir),
+        k = 8, stride = 50, nProbe = 2, nndRounds = 2)))
 
   def oracleSql: Map[String, String] = Map(
     // n26: serve-after-delete ≡ serve-with-exclusion.
@@ -322,6 +349,14 @@ object QueriesDedupSim {
     "n35_graph_ann" ->
       operators.SimilarityOps.graphBeamSearchSql("embeddings",
         queryId = 0L, graphK = 24, beam = 16, rounds = 8, k = 10),
+
+    "n34b_knn_graph_bounded" ->
+      operators.SimilarityOps.knnGraphBoundedSql("embeddings",
+        k = 8, stride = 50, nProbe = 2, nndRounds = 2),
+
+    "n34r_knn_graph_recall" ->
+      operators.SimilarityOps.knnGraphEdgeRecallSql("embeddings",
+        k = 8, stride = 50, nProbe = 2, nndRounds = 2),
 
     "n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,
