@@ -334,7 +334,19 @@ object QueriesDedupSim {
     // structure exists.
     "n34r_knn_graph_recall" -> ((s, dir) =>
       SimilarityOps.knnGraphEdgeRecall(Tables.embeddings(s, dir),
-        k = 8, stride = 50, nProbe = 2, nndRounds = 2)))
+        k = 8, stride = 50, nProbe = 2, nndRounds = 2)),
+
+    // n36: BATCHED graph-ANN serving over the BOUNDED graph — the
+    // full production pairing (bounded build → batched walk), and
+    // the batched twin every other serving tier already has
+    // (l8/n10/n15 convention): all queries' beams expand in the
+    // same two jobs per round, so a batch pays `rounds` round-trips
+    // total, not rounds × |queries|. Entries centroid-seeded per
+    // query.
+    "n36_graph_ann_batch" -> ((s, dir) =>
+      SimilarityOps.graphBeamSearchBatch(boundedNswFixture(s, dir),
+        Tables.embeddings(s, dir), queryMod = 199, beam = 16,
+        rounds = 8, k = 10)))
 
   def oracleSql: Map[String, String] = Map(
     // n26: serve-after-delete ≡ serve-with-exclusion.
@@ -357,6 +369,11 @@ object QueriesDedupSim {
     "n34r_knn_graph_recall" ->
       operators.SimilarityOps.knnGraphEdgeRecallSql("embeddings",
         k = 8, stride = 50, nProbe = 2, nndRounds = 2),
+
+    "n36_graph_ann_batch" ->
+      operators.SimilarityOps.graphBeamSearchBatchSql("embeddings",
+        queryMod = 199, graphK = 24, beam = 16, rounds = 8, k = 10,
+        stride = 50, nProbe = 2, nndRounds = 2),
 
     "n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,

@@ -268,6 +268,29 @@ private[graft] object RegistryFixtures {
         .nswGraph(Tables.embeddings(s, dir), k = 24)
         .localCheckpoint())
 
+  /** The BOUNDED NSW navigation graph, once per (session, dir) —
+    * the end-to-end PRODUCTION pairing: the artifact is built by the
+    * bounded path (n34b's IVF-candidate + NN-Descent build at k=24,
+    * symmetrized — no all-pairs anywhere in its lineage) and served
+    * by the batched walk (n36). The exact-graph fixture above stays
+    * for n35 (its oracle pins the exact-NSW semantics).
+    */
+  private[graft] val boundedNswCaches =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private[graft] def boundedNswFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    boundedNswCaches.computeIfAbsent((s, dir), _ => {
+      val g = operators.SimilarityOps
+        .knnGraphBounded(Tables.embeddings(s, dir), k = 24,
+          stride = 50, nProbe = 2, nndRounds = 2)
+        .select(col("src"), col("dst"))
+      g.unionByName(g.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .distinct().localCheckpoint()
+    })
+
   /** Lay each batch down as one parquet file under `root/in` — the
     * landing-directory shape a file-source stream tails.
     */

@@ -1210,7 +1210,8 @@ object SimilarityOps {
 
   /** GRAPH-ANN BEAM SEARCH (n35) — the HNSW/NSW-class SERVING query
     * over a prepared [[knnGraph]] relation: start at the entry node
-    * (min non-query id), and for `rounds` rounds expand the current
+    * (the best-scoring codebook seed — see below), and for `rounds`
+    * rounds expand the current
     * top-`beam` frontier's neighbor lists, score the unseen
     * expansions against the query, and fold them into the visited
     * set; answer = top-k of visited. The beam/visited state is o(1)
@@ -1224,7 +1225,9 @@ object SimilarityOps {
     * asc), so the fixed-round unrolled SQL twin replays it exactly.
     */
   def graphBeamSearch(graph: DataFrame, embeddings: DataFrame,
-      queryId: Long, beam: Int, rounds: Int, k: Int): DataFrame = {
+      queryId: Long, beam: Int, rounds: Int, k: Int,
+      entryStride: Int = 50,
+      entryOverride: Option[Long] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
@@ -1235,8 +1238,21 @@ object SimilarityOps {
         .crossJoin(broadcast(qv))
         .select(col("vec_id"), cosine(col("v"), col("qv")).as("s"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val entry = e.filter(col("vec_id") =!= queryId)
-      .agg(min(col("vec_id"))).head.getLong(0)
+    // CENTROID-SEEDED entry (round-11 verdict item 5): start from the
+    // best-scoring codebook seed (the strided vectors ARE corpus
+    // members — IVF medoids), not the min id. Entry placement is what
+    // recall rides on at 100 TB, and ranking |C| seeds is one tiny
+    // point read. Deterministic: raw-score desc, id asc. An explicit
+    // `entryOverride` exists for the adversarial-entry spec (prove
+    // the walk escapes a wrong-cluster start).
+    val entry = entryOverride.getOrElse {
+      val seedIds = e
+        .filter(col("vec_id") % entryStride === 0 &&
+          col("vec_id") =!= queryId)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      scoreOf(seedIds).toSeq
+        .sortBy { case (id, s) => (-s, id) }.head._1
+    }
     var visited = scoreOf(Seq(entry))
     (1 to rounds).foreach { _ =>
       val beamIds = visited.toSeq
@@ -1271,7 +1287,7 @@ object SimilarityOps {
     * side's map.
     */
   def graphBeamSearchSql(table: String, queryId: Long, graphK: Int,
-      beam: Int, rounds: Int, k: Int): String = {
+      beam: Int, rounds: Int, k: Int, entryStride: Int = 50): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""b$i AS (SELECT vec_id FROM v${i - 1}
          |  ORDER BY s DESC, vec_id ASC LIMIT $beam),
@@ -1306,8 +1322,9 @@ object SimilarityOps {
        |    list_dot_product(v, qv) / (nrm * qn) AS s
        |  FROM n, q WHERE vec_id <> $queryId),
        |v0 AS (SELECT vec_id, label, s FROM sc
-       |  WHERE vec_id = (SELECT min(vec_id) FROM n
-       |                  WHERE vec_id <> $queryId)),
+       |  WHERE vec_id = (SELECT vec_id FROM sc
+       |                  WHERE vec_id % $entryStride = 0
+       |                  ORDER BY s DESC, vec_id ASC LIMIT 1)),
        |$roundCtes
        |SELECT vec_id, label, round(s, 6) AS score FROM v$rounds
        |ORDER BY s DESC, vec_id ASC LIMIT $k""".stripMargin
@@ -1575,4 +1592,139 @@ object SimilarityOps {
        |    AS DOUBLE) / count(*), 4) AS recall
        |FROM exact LEFT JOIN bg
        |  ON exact.src = bg.src AND exact.dst = bg.dst""".stripMargin
+
+  /** BATCHED graph-ANN beam search (n36) — [[graphBeamSearch]] for a
+    * query SET, the l8/n10/n15 batched-serving convention (round-11
+    * verdict item 4): all queries' beams expand inside the SAME
+    * per-round jobs, so a batch pays `rounds` round-trips total
+    * instead of `rounds × |queries|`. Per round:
+    *   1. one job expands every query's beam through the graph (the
+    *      frontier — ≤ |Q|·beam (query_id, src) pairs — broadcasts
+    *      into an equi-join with the edge relation);
+    *   2. one job scores every query's unseen expansions (the fresh
+    *      (query_id, vec_id) pairs broadcast into two equi-joins
+    *      with the vector relation — payload vectors never ride a
+    *      shuffle keyed by pair).
+    * The visited state stays on the coordinator, ≤ |Q| · (1 +
+    * rounds·beam·degree) entries — o(corpus), the served-ANN shape.
+    * Queries are `vec_id % queryMod == 0`; entries are
+    * centroid-seeded per query (best codebook seed, raw-score desc /
+    * id asc — one tiny job for the whole batch). Deterministic →
+    * the per-query unrolled SQL twin replays every walk exactly.
+    */
+  def graphBeamSearchBatch(graph: DataFrame, embeddings: DataFrame,
+      queryMod: Int, beam: Int, rounds: Int, k: Int,
+      entryStride: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = normedVecs(embeddings)
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    // Score a set of (query_id, vec_id) pairs in ONE job: the pair
+    // list broadcasts into equi-joins with the vector relation on
+    // both key columns.
+    def scoreOf(pairs: Seq[(Long, Long)]): Map[(Long, Long), Double] = {
+      if (pairs.isEmpty) return Map.empty
+      val p = pairs.toDF("query_id", "vec_id")
+      e.join(broadcast(p), Seq("vec_id"))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qn"))
+            .as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    }
+    val qIds = q.select("query_id").collect().map(_.getLong(0))
+      .toSeq.sorted
+    val seedIds = e.filter(col("vec_id") % entryStride === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val seedScores = scoreOf(for {
+      qid <- qIds; sid <- seedIds if sid != qid
+    } yield (qid, sid))
+    // visited: per query, id -> raw score
+    val visited = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.Map[Long, Double]]()
+    qIds.foreach { qid =>
+      val (entry, s0) = seedScores.collect {
+        case ((`qid`, sid), s) => (sid, s)
+      }.toSeq.sortBy { case (id, s) => (-s, id) }.head
+      visited(qid) = scala.collection.mutable.Map(entry -> s0)
+    }
+    (1 to rounds).foreach { _ =>
+      val frontier = qIds.flatMap { qid =>
+        visited(qid).toSeq.sortBy { case (id, s) => (-s, id) }
+          .take(beam).map { case (id, _) => (qid, id) }
+      }
+      val fdf = frontier.toDF("query_id", "src")
+      val expansions = graph.join(broadcast(fdf), Seq("src"))
+        .select(col("query_id"), col("dst")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val fresh = expansions.filter { case (qid, id) =>
+        id != qid && !visited(qid).contains(id)
+      }.toSeq
+      scoreOf(fresh).foreach { case ((qid, id), s) =>
+        visited(qid)(id) = s
+      }
+    }
+    val top = qIds.flatMap { qid =>
+      visited(qid).toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+        .map { case (id, s) => (qid, id, s) }
+    }
+    val topDf = top.toDF("query_id", "vec_id", "s")
+    embeddings.join(broadcast(topDf), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("s"),
+        round(col("s"), 6).as("score"))
+      .orderBy(col("query_id").asc, col("s").desc, col("vec_id").asc)
+      .drop("s")
+  }
+
+  /** Oracle twin of [[graphBeamSearchBatch]] over the BOUNDED
+    * navigation graph: [[knnGraphBoundedCtes]] build the edge
+    * relation (graphK edges per src, symmetrized), then every
+    * query's fixed-round walk unrolls keyed by query_id — identical
+    * entry rule (best codebook seed), beam cuts, and raw-score/id
+    * ordering.
+    */
+  def graphBeamSearchBatchSql(table: String, queryMod: Int,
+      graphK: Int, beam: Int, rounds: Int, k: Int, stride: Int,
+      nProbe: Int, nndRounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""b$i AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
+         |      AS rn FROM v${i - 1}) WHERE rn <= $beam),
+         |x$i AS (SELECT DISTINCT b.query_id, g.dst AS vec_id
+         |  FROM g JOIN b$i b ON g.src = b.vec_id
+         |  WHERE g.dst <> b.query_id),
+         |v$i AS MATERIALIZED (
+         |  SELECT * FROM v${i - 1}
+         |  UNION
+         |  SELECT sc.query_id, sc.vec_id, sc.label, sc.s
+         |  FROM sc JOIN x$i USING (query_id, vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphBoundedCtes(table, graphK, stride, nProbe,
+          nndRounds)},
+       |g AS MATERIALIZED (
+       |  SELECT src, dst FROM bg
+       |  UNION
+       |  SELECT dst, src FROM bg),
+       |qrel AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+       |  FROM n WHERE vec_id % $queryMod = 0),
+       |sc AS MATERIALIZED (SELECT qrel.query_id, n.vec_id, n.label,
+       |    list_dot_product(n.v, qrel.qv) / (n.nrm * qrel.qn) AS s
+       |  FROM qrel, n WHERE n.vec_id <> qrel.query_id),
+       |v0 AS (SELECT query_id, vec_id, label, s FROM (
+       |    SELECT query_id, vec_id, label, s, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
+       |      AS rn
+       |    FROM sc WHERE vec_id % $stride = 0) WHERE rn = 1),
+       |$roundCtes
+       |SELECT query_id, vec_id, label, round(s, 6) AS score FROM (
+       |  SELECT query_id, vec_id, label, s, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rn
+       |  FROM v$rounds) WHERE rn <= $k
+       |ORDER BY query_id ASC, s DESC, vec_id ASC""".stripMargin
+  }
 }

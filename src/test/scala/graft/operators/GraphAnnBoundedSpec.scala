@@ -116,4 +116,51 @@ class GraphAnnBoundedSpec extends SparkSpec {
     assert((walk & exact).size >= 8,
       s"walk recall ${(walk & exact).size}/10 over the bounded graph")
   }
+
+  test("batched beam search == the per-query walk, query by query " +
+      "(n36 is a batching, not a new semantics)") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val nsw = graft.RegistryFixtures.boundedNswFixture(spark, sfSmoke)
+    val batch = SimilarityOps.graphBeamSearchBatch(nsw, emb,
+      queryMod = 199, beam = 16, rounds = 8, k = 10)
+      .select("query_id", "vec_id", "label", "score")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val qIds = batch.map(_._1).distinct.sorted
+    assert(qIds == Seq(0L, 199L, 398L))
+    qIds.foreach { qid =>
+      val single = SimilarityOps.graphBeamSearch(nsw, emb, qid,
+        beam = 16, rounds = 8, k = 10)
+        .as[(Long, Int, Double)].collect().toSeq
+        .map { case (v, l, s) => (qid, v, l, s) }
+      assert(batch.filter(_._1 == qid) == single,
+        s"batch result diverged from the per-query walk for $qid")
+    }
+  }
+
+  test("adversarial entry: the walk escapes a WRONG-cluster start " +
+      "(navigability, not entry luck, carries the recall)") {
+    val emb = clusteredCorpus(n = 1000, d = 64, c = 10)
+      .localCheckpoint()
+    val bounded = SimilarityOps.knnGraphBounded(emb, k = 24,
+      stride = 50, nProbe = 2, nndRounds = 2)
+    val nsw = bounded.select("src", "dst")
+      .unionByName(bounded.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct().localCheckpoint()
+    // worst possible entry: the codebook seed FARTHEST from the
+    // query (guaranteed wrong cluster on this corpus)
+    val worstSeed = SimilarityOps.cosineTopK(emb, queryId = 0L,
+        k = 999)
+      .filter(col("vec_id") % 50 === 0)
+      .orderBy(col("score").asc, col("vec_id").asc)
+      .select("vec_id").as[Long].head()
+    val exact = SimilarityOps.cosineTopK(emb, queryId = 0L, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val walk = SimilarityOps.graphBeamSearch(nsw, emb, queryId = 0L,
+      beam = 16, rounds = 8, k = 10,
+      entryOverride = Some(worstSeed))
+      .select("vec_id").as[Long].collect().toSet
+    assert((walk & exact).size >= 8,
+      s"adversarial-entry recall ${(walk & exact).size}/10")
+  }
 }
