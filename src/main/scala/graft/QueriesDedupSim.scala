@@ -346,7 +346,23 @@ object QueriesDedupSim {
     "n36_graph_ann_batch" -> ((s, dir) =>
       SimilarityOps.graphBeamSearchBatch(boundedNswFixture(s, dir),
         Tables.embeddings(s, dir), queryMod = 199, beam = 16,
-        rounds = 8, k = 10)))
+        rounds = 8, k = 10)),
+
+    // n37: INCREMENTAL graph maintenance (k18/n22 convention) —
+    // appended vectors (vec_id % 4 == 3) join the prepared base
+    // graph through the frozen-codebook bounded path; only touched
+    // base neighborhoods re-rank (existing k edges merged with the
+    // new co-resident candidates — no base×base pair re-scored).
+    // The ORACLE is the full REBUILD's SQL (bounded build over the
+    // whole table, codebook still base-frozen): incremental ≡
+    // rebuild is the hash gate itself, not a side assertion.
+    "n37_graph_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SimilarityOps.knnGraphAppend(baseKnnGraphFixture(s, dir),
+        emb.filter(col("vec_id") % 4 =!= 3),
+        emb.filter(col("vec_id") % 4 === 3),
+        k = 8, stride = 50, nProbe = 2)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     // n26: serve-after-delete ≡ serve-with-exclusion.
@@ -374,6 +390,11 @@ object QueriesDedupSim {
       operators.SimilarityOps.graphBeamSearchBatchSql("embeddings",
         queryMod = 199, graphK = 24, beam = 16, rounds = 8, k = 10,
         stride = 50, nProbe = 2, nndRounds = 2),
+
+    "n37_graph_append" ->
+      operators.SimilarityOps.knnGraphBoundedSql("embeddings",
+        k = 8, stride = 50, nProbe = 2, nndRounds = 0,
+        basePred = "vec_id % 4 <> 3"),
 
     "n1_cosine_topk" ->
       """WITH e AS (SELECT vec_id, label,

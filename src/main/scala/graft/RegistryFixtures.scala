@@ -291,6 +291,26 @@ private[graft] object RegistryFixtures {
         .distinct().localCheckpoint()
     })
 
+  /** The BASE bounded kNN graph (vec_id % 4 != 3, IVF-candidate
+    * build, raw scores), once per (session, dir) — the existing
+    * index artifact n37's incremental append maintains. Its codebook
+    * (the base's strided seeds) is what the append keeps frozen.
+    */
+  private[graft] val baseKnnGraphCaches =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private[graft] def baseKnnGraphFixture(s: SparkSession, dir: String)
+      : DataFrame =
+    baseKnnGraphCaches.computeIfAbsent((s, dir), _ => {
+      val base = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 4 =!= 3)
+      operators.SimilarityOps.knnGraphBoundedRaw(base,
+          operators.SimilarityOps.ivfCodebook(base, stride = 50),
+          k = 8, nProbe = 2)
+        .localCheckpoint()
+    })
+
   /** Lay each batch down as one parquet file under `root/in` — the
     * landing-directory shape a file-source stream tails.
     */

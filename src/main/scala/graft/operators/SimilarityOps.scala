@@ -1407,22 +1407,29 @@ object SimilarityOps {
     * never ride the candidate shuffle) and keep each src's top-k by
     * raw score (dst-asc ties). Output (src, dst, s) with s RAW.
     */
-  private def rerankTopK(cand: DataFrame, vecs: DataFrame,
-      k: Int): DataFrame = {
+  private def scoreCands(cand: DataFrame, vecs: DataFrame)
+      : DataFrame = {
     val a = vecs.select(col("vec_id").as("src"), col("v").as("va"),
       col("nrm").as("na"))
     val b = vecs.select(col("vec_id").as("dst"), col("v").as("vb"),
       col("nrm").as("nb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("s").desc, col("dst").asc)
     cand.join(a, Seq("src")).join(b, Seq("dst"))
       .select(col("src"), col("dst"),
         cosinePrenormed(col("va"), col("vb"), col("na"), col("nb"))
           .as("s"))
+  }
+
+  private def topKPerSrc(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("s").desc, col("dst").asc)
+    scored
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select("src", "dst", "s")
   }
+
+  private def rerankTopK(cand: DataFrame, vecs: DataFrame,
+      k: Int): DataFrame = topKPerSrc(scoreCands(cand, vecs), k)
 
   /** IVF-candidate bounded graph (no refinement): per-src exact top-k
     * over pairs co-resident in ANY shared probed cell. The codebook is
@@ -1537,12 +1544,73 @@ object SimilarityOps {
     Seq(seed, rounds, tail).filter(_.nonEmpty).mkString(",\n")
   }
 
-  /** Oracle twin of [[knnGraphBounded]]. */
+  /** Oracle twin of [[knnGraphBounded]]. With `basePred`, also the
+    * oracle of [[knnGraphAppend]]: incremental maintenance is
+    * DEFINED as equal to the bounded rebuild over the full relation
+    * with the codebook still frozen to the base corpus, so the
+    * append query hash-matches this rebuild SQL directly — the
+    * strongest possible incremental≡rebuild gate (the k18
+    * convention, upgraded from spec to oracle).
+    */
   def knnGraphBoundedSql(table: String, k: Int, stride: Int,
-      nProbe: Int, nndRounds: Int): String =
-    s"""WITH ${knnGraphBoundedCtes(table, k, stride, nProbe, nndRounds)}
+      nProbe: Int, nndRounds: Int, basePred: String = "TRUE"): String =
+    s"""WITH ${knnGraphBoundedCtes(table, k, stride, nProbe, nndRounds,
+          basePred)}
        |SELECT src, dst, round(s, 6) AS score FROM bg
        |ORDER BY src ASC, score DESC, dst ASC""".stripMargin
+
+  /** INCREMENTAL kNN-graph maintenance (n37) — the n22/k18
+    * convention for the bounded graph: appended vectors get edges
+    * through the SAME bounded candidate path (assign against the
+    * codebook FROZEN at base-build time — production IVF appends do
+    * not retrain), and only TOUCHED base neighborhoods re-rank:
+    * a base src merges its existing k edges with its newly
+    * co-resident appended candidates and re-cuts top-k. No base×base
+    * pair is ever re-scored.
+    *
+    * EXACT rebuild equivalence, by construction: the kept base edges
+    * are top-k(base candidates), and top-k(top-k(A) ∪ B) =
+    * top-k(A ∪ B) under the total (s desc, dst asc) order — so the
+    * merged cut equals the full rebuild's cut over (base ∪ new)
+    * candidates, and new↔base / new↔new pairs are generated exactly
+    * as the rebuild generates them. The registered query is
+    * therefore gated by the REBUILD's own oracle SQL
+    * ([[knnGraphBoundedSql]] with the codebook base-frozen).
+    *
+    * Cost: |inc|·|C| assignment + candidates touching appended cells
+    * only — independent of how much history the base graph holds.
+    */
+  def knnGraphAppend(gBase: DataFrame, base: DataFrame,
+      inc: DataFrame, k: Int, stride: Int, nProbe: Int): DataFrame = {
+    val cents = ivfCodebook(base, stride)
+    val vb = normedVecs(base)
+    val vi = normedVecs(inc)
+    val allVecs = vb.unionByName(vi)
+    val asgB = ivfMultiAssign(vb, cents, nProbe)
+    val asgI = ivfMultiAssign(vi, cents, nProbe)
+    // base srcs touched by an appended co-resident: only these pairs
+    // are scored (dsts are new ids — disjoint from gBase's base dsts,
+    // so the union below never double-counts an edge)
+    val candOldNew = asgB.select(col("vec_id").as("src"),
+        col("centroid_id"))
+      .join(asgI.select(col("vec_id").as("dst"), col("centroid_id")),
+        Seq("centroid_id"))
+      .select("src", "dst").distinct()
+    // appended srcs pair with every co-resident (base or appended)
+    val asgAll = asgB.unionByName(asgI)
+    val candNew = asgI.select(col("vec_id").as("src"),
+        col("centroid_id"))
+      .join(asgAll.select(col("vec_id").as("dst"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val oldUpdated = topKPerSrc(
+      gBase.unionByName(scoreCands(candOldNew, allVecs)), k)
+    val newEdges = rerankTopK(candNew, allVecs, k)
+    oldUpdated.unionByName(newEdges)
+      .select(col("src"), col("dst"), round(col("s"), 6).as("score"))
+      .orderBy(col("src").asc, col("score").desc, col("dst").asc)
+  }
 
   /** EDGE-RECALL EVAL (n34r) — the n28/n6z convention for the
     * approximate tiers: an in-suite, oracle-gated query that measures

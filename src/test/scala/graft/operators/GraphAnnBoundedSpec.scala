@@ -163,4 +163,25 @@ class GraphAnnBoundedSpec extends SparkSpec {
     assert((walk & exact).size >= 8,
       s"adversarial-entry recall ${(walk & exact).size}/10")
   }
+
+  test("incremental graph append == frozen-codebook rebuild, " +
+      "row for row (top-k(top-k(A) u B) = top-k(A u B))") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val base = emb.filter(col("vec_id") % 4 =!= 3)
+    val inc = emb.filter(col("vec_id") % 4 === 3)
+    val gBase = graft.RegistryFixtures
+      .baseKnnGraphFixture(spark, sfSmoke)
+    val incremental = SimilarityOps.knnGraphAppend(gBase, base, inc,
+      k = 8, stride = 50, nProbe = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    val rebuild = SimilarityOps.knnGraphBoundedRaw(emb,
+        SimilarityOps.ivfCodebook(base, stride = 50),
+        k = 8, nProbe = 2)
+      .select(col("src"), col("dst"), round(col("s"), 6).as("score"))
+      .orderBy(col("src").asc, col("score").desc, col("dst").asc)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(incremental.nonEmpty)
+    assert(incremental == rebuild,
+      "incremental append diverged from the frozen-codebook rebuild")
+  }
 }
