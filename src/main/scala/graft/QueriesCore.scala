@@ -152,8 +152,11 @@ object QueriesCore {
     "q6_forecast_revenue" -> ((s, dir) =>
       StarSchemaOps.forecastRevenue(s, dir)),
 
+    // q10/w3/a11 (+ e4/e5 in QueriesPipeline) run in the AQE-off
+    // narrow-shuffle child (smallSession): sub-second report plans
+    // whose cost was the per-exchange job floor, not compute.
     "q10_returned_revenue" -> ((s, dir) =>
-      StarSchemaOps.returnedRevenue(s, dir)),
+      StarSchemaOps.returnedRevenue(smallSession(s), dir)),
 
     "a8_rollup" -> ((s, dir) =>
       ReferenceOps.rollupCounts(Tables.documents(s, dir),
@@ -288,7 +291,7 @@ object QueriesCore {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.orders(s, dir)
+      Tables.orders(smallSession(s), dir)
         .select(col("o_orderpriority"), col("o_orderkey"),
           col("o_totalprice"),
           dense_rank().over(w).as("drank"),
@@ -329,7 +332,7 @@ object QueriesCore {
     // conversion; per-step anchors are earliest qualifying
     // occurrences, join inputs shrink monotonically.
     "a11_funnel" -> ((s, dir) =>
-      AnalyticsOps.funnel(Tables.events(s, dir),
+      AnalyticsOps.funnel(Tables.events(smallSession(s), dir),
         userCol = "user_id", tsCol = "ts", typeCol = "event_type",
         steps = Seq("signup", "click", "purchase"))),
 

@@ -45,6 +45,30 @@ private[graft] object RegistryFixtures {
     * knob goes UP, not down). Results are partitioning-independent —
     * the integer grid guarantees it, GraphSpec proves it.
     */
+  /** AQE-off, narrow-shuffle child session for the SMALL-RELATION
+    * report tier (a11/e4/e5/q10/w3 — the round-11 perf audit's
+    * "2-wave floor" entries): their plans are 3–11 tiny exchanges
+    * over relations thousands of times smaller than the session
+    * default is sized for, and adaptive execution turns EVERY
+    * exchange into its own job (driver re-plan + submit ≈ 50–70 ms —
+    * the whole cost of these sub-second queries). The h6c/h8 lesson
+    * generalized: size the session to the relation; at production
+    * scale the knob flips back on. Results are
+    * partitioning-independent (total orders + integer-grid
+    * aggregates; ScaleShapeSpec re-checks under a degraded session).
+    */
+  private[graft] val smallSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      SparkSession]()
+
+  private[graft] def smallSession(s: SparkSession): SparkSession =
+    smallSessions.computeIfAbsent(s, _ => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      ss
+    })
+
   private[graft] val pageGraphs =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       GraphOps.PreparedGraph]()
