@@ -232,6 +232,35 @@ object ScaleTrend {
       .prefixCandidates(shCand, "doc_id", 4, 5).count()
     println(s"[scale] n33 candidates x$factor " +
       s"prefix=$prefCand all_shared=$allCand")
+    // n34b (bounded kNN-graph build) over id-offset embedding
+    // replicas: the codebook is every 50th id of the UNION, so the
+    // centroid count grows with N and cell populations stay ~constant
+    // — per-src candidate work is flat and total time must track N
+    // linearly (the structural claim that replaced n34's quadratic
+    // crossJoin). The exact build would be N² here.
+    // Each replica's vectors are ROTATED by k dims (a permutation =
+    // isometry: per-replica geometry intact, cross-replica cosines
+    // scrambled) — plain duplication would tie every copy to the same
+    // base cells (6-dp-equal centroid scores break on centroid id)
+    // and measure the f² pile-up instead of the linear build.
+    val embG = Tables.embeddings(spark, sfDir)
+    val bigEmbG = (0 until factor)
+      .map(k => embG
+        .withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, ${k % 64 + 1}, ${64 - k % 64}), " +
+            s"slice(embedding, 1, ${k % 64}))")))
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+    val qn34b = () => operators.SimilarityOps.knnGraphBounded(
+      bigEmbG, k = 8, stride = 50, nProbe = 2, nndRounds = 2)
+    val n34bTimes = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      qn34b().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] n34b x$factor min=${n34bTimes.min}%.3f " +
+      s"all=${n34bTimes.map(t => f"$t%.3f").mkString(",")}")
     spark.stop()
   }
 }
