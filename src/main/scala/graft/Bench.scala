@@ -26,39 +26,26 @@ import org.apache.spark.sql.DataFrame
 object Bench {
 
   /** DuckDB total at sf0.1 (tools/duckdb_baseline.py, 32 threads,
-    * warm, min-of-3 runs) — the round-11 FULL SINGLE-SESSION re-bake
-    * of all 212 oracle queries (2026-08-15, freshly-booted host,
-    * load avg 0.40 at start): **37.4814 s**. This replaces the
-    * round-6→10 multi-host patch chain the round-10 verdict flagged
-    * (item 1a: "the chain arithmetic is now the least trustworthy
-    * number in the repo") — one measurement, one host, one session,
-    * the final round-11 oracle set (zipf NULLIF guard, unrounded
-    * jaccard thresholds, AS MATERIALIZED graph rounds, + h6c).
-    * Cross-checks: a same-morning 211-query single-session bake on
-    * the pre-round-11 oracle text read 36.9381; +0.54 to this one ≈
-    * h6c's own 0.6514 — consistent within load noise. The retired
-    * chain's 35.5314 @211 sits 3.9% below the same queries here —
-    * the size of the error the chain had accumulated. Ledger:
-    * BASELINE.md round-11.
+    * warm, min-of-3 runs) — the round-12 FULL SINGLE-SESSION bake of
+    * all 218 oracle queries (2026-08-15, quiet window: load avg 0.00
+    * /0.54 at start; tools/duckdb_bake_r12.json): **52.8846 s** —
+    * the LOWEST of four same-day bakes (72.94 / 54.76 / 52.88 /
+    * 54.21; the loaded ones would flatter the ratio and were
+    * rejected, the round-6/11 discipline). Quality check against the
+    * round-11 quiet bake on the 147 oracles unchanged between
+    * rounds: median per-query inflation 1.03× (p25 0.96, p75 1.13) —
+    * same-window-class measurement. The +14.2 s over round-11's
+    * 38.65 decomposes as: new graph-tier oracles (n34b 1.04 +
+    * n34r 6.53 + n36 3.69 + n37 0.70 = 11.96 — real work DuckDB now
+    * must do too) + ~2 s residual window noise on the long tail.
     * Valid ONLY for the oracle-suite size it was measured against:
-    * [[RecordedDuckdbQueries]] fingerprints the suite, and the default
-    * is dropped when the current suite no longer matches, so a stale
-    * baked-in baseline can never silently shape the reported ratio.
-    *
-    * Late-round addendum: the graph-ANN tier (n34/n35) grew the
-    * oracle suite to 214 AFTER the quiet-window close bake. Three
-    * further full single-session 214-query bakes all landed on
-    * loaded windows (43.10 / 44.32 / 45.94 — median per-query
-    * inflation 1.08–1.11× vs the quiet close bake on unchanged
-    * oracles; recording any of them would FLATTER the ratio by
-    * ~12%). Recorded instead: the quiet 212 close bake + the two
-    * additions at their min across the three bakes (n34 0.5323 +
-    * n35 0.6374) = **38.6511** — one same-day, same-host splice,
-    * chosen against our own interest; all four bakes are ledgered
-    * in BASELINE.md round-11.
+    * [[RecordedDuckdbQueries]] fingerprints the suite, and the
+    * default is dropped when the current suite no longer matches, so
+    * a stale baked-in baseline can never silently shape the reported
+    * ratio. Ledger: BASELINE.md round-12.
     */
-  val RecordedDuckdbSf01: Double = 38.6511
-  val RecordedDuckdbQueries: Int = 214
+  val RecordedDuckdbSf01: Double = 52.8846
+  val RecordedDuckdbQueries: Int = 218
 
   /** SYMMETRIC-accounting correction (round-11 verdict item 3): the
     * Spark side SERVES ~12 queries from prepared artifacts (FTS
@@ -70,9 +57,11 @@ object Bench {
     * validated cell-for-cell); this is Σ(recompute − served) over
     * those queries, and `symmetric_ratio` divides by the baseline
     * with the correction applied — duck served where Spark serves.
-    * Ledger: BASELINE.md round-12 (tools/duckdb_bake_r12.json).
+    * Quiet-window bake 2026-08-15: recompute 6.897, served 0.548
+    * (tools/duckdb_bake_served_r12.json). Ledger: BASELINE.md
+    * round-12.
     */
-  val RecordedServedDeltaSf01: Double = 6.674
+  val RecordedServedDeltaSf01: Double = 6.3492
 
   /** Quiet-host calibration floor (seconds for the fixed-work probe):
     * the builder's historic quiet reads 0.029–0.031 across rounds 6–9
