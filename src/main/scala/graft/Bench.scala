@@ -57,11 +57,13 @@ object Bench {
     * validated cell-for-cell); this is Σ(recompute − served) over
     * those queries, and `symmetric_ratio` divides by the baseline
     * with the correction applied — duck served where Spark serves.
-    * Quiet-window bake 2026-08-15: recompute 6.897, served 0.548
-    * (tools/duckdb_bake_served_r12.json). Ledger: BASELINE.md
+    * 14 twins (the 12 round-11 serving conversions + the graph
+    * walks n35/n36, whose Spark side reads a prepared navigation
+    * graph). Quiet-window bake 2026-08-15: recompute 10.145, served
+    * 0.557 (tools/duckdb_bake_served_r12.json). Ledger: BASELINE.md
     * round-12.
     */
-  val RecordedServedDeltaSf01: Double = 6.3492
+  val RecordedServedDeltaSf01: Double = 9.5888
 
   /** Quiet-host calibration floor (seconds for the fixed-work probe):
     * the builder's historic quiet reads 0.029–0.031 across rounds 6–9

@@ -26,12 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object ServedTwins {
 
-  /** Query names with a served twin — keep in sync with [[sql]]. */
+  /** Query names with a served twin — keep in sync with [[sql]].
+    * The graph-serving queries n35/n36 are included for the same
+    * reason as the FTS family: their Spark side walks a PREPARED
+    * navigation graph while the recompute oracle re-derives it, so
+    * the symmetric twin reads the exported graph. n37 is NOT here:
+    * its Spark side recomputes the codebook and both assignments
+    * inline (only the base edge list is a fixture), so recompute vs
+    * served differ by ~nothing (duck 0.70 vs Spark 0.71 measured) —
+    * already symmetric.
+    */
   val Names: Seq[String] = Seq(
     "l2_fts_search", "l6_fts_ranked", "l7_fts_bm25", "l15_bm25f",
     "l13_query_expansion", "l14_spell_search",
     "n9_dup_clusters", "n11_cluster_sizes", "n24_keep_best",
-    "c18_leakage_audit", "t24_bpe_apply", "t25_bpe_tokens")
+    "c18_leakage_audit", "t24_bpe_apply", "t25_bpe_tokens",
+    "n35_graph_ann", "n36_graph_ann_batch")
 
   /** Export every artifact the served queries read, as plain parquet
     * under `root` (the bucketed catalog layout is a Spark-side
@@ -58,6 +68,10 @@ object ServedTwins {
       .toDF("rank", "pa", "pb")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$root/bpe_merges")
+    RegistryFixtures.annGraphFixture(spark, sfDir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/nsw_exact")
+    RegistryFixtures.boundedNswFixture(spark, sfDir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/nsw_bounded")
   }
 
   /** DuckDB served-twin SQL per query, reading artifacts under
@@ -271,13 +285,90 @@ object ServedTwins {
          |FROM d5
          |ORDER BY doc_id ASC""".stripMargin
 
+    // Graph-ANN serving: the walk CTEs verbatim from the recompute
+    // oracles (graphBeamSearchSql / graphBeamSearchBatchSql), with
+    // the graph-DERIVATION CTEs replaced by a read of the exported
+    // navigation graph — exactly what the Spark fixture serves.
+    val n35 = {
+      val (beam, rounds, k) = (16, 8, 10)
+      val roundCtes = (1 to rounds).map { i =>
+        s"""b$i AS (SELECT vec_id FROM v${i - 1}
+           |  ORDER BY s DESC, vec_id ASC LIMIT $beam),
+           |x$i AS (SELECT DISTINCT g.dst AS vec_id
+           |  FROM g JOIN b$i ON g.src = b$i.vec_id),
+           |v$i AS MATERIALIZED (
+           |  SELECT * FROM v${i - 1}
+           |  UNION
+           |  SELECT sc.vec_id, sc.label, sc.s
+           |  FROM sc JOIN x$i USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |n AS MATERIALIZED (SELECT vec_id, label, v,
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |g AS (SELECT src, dst FROM ${p("nsw_exact")}),
+         |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+         |sc AS MATERIALIZED (SELECT vec_id, label,
+         |    list_dot_product(v, qv) / (nrm * qn) AS s
+         |  FROM n, q WHERE vec_id <> 0),
+         |v0 AS (SELECT vec_id, label, s FROM sc
+         |  WHERE vec_id = (SELECT vec_id FROM sc
+         |                  WHERE vec_id % 50 = 0
+         |                  ORDER BY s DESC, vec_id ASC LIMIT 1)),
+         |$roundCtes
+         |SELECT vec_id, label, round(s, 6) AS score FROM v$rounds
+         |ORDER BY s DESC, vec_id ASC LIMIT $k""".stripMargin
+    }
+
+    val n36 = {
+      val (queryMod, beam, rounds, k, stride) = (199, 16, 8, 10, 50)
+      val roundCtes = (1 to rounds).map { i =>
+        s"""b$i AS (SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (
+           |        PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
+           |      AS rn FROM v${i - 1}) WHERE rn <= $beam),
+           |x$i AS (SELECT DISTINCT b.query_id, g.dst AS vec_id
+           |  FROM g JOIN b$i b ON g.src = b.vec_id
+           |  WHERE g.dst <> b.query_id),
+           |v$i AS MATERIALIZED (
+           |  SELECT * FROM v${i - 1}
+           |  UNION
+           |  SELECT sc.query_id, sc.vec_id, sc.label, sc.s
+           |  FROM sc JOIN x$i USING (query_id, vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |n AS MATERIALIZED (SELECT vec_id, label, v,
+         |  sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |g AS (SELECT src, dst FROM ${p("nsw_bounded")}),
+         |qrel AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+         |  FROM n WHERE vec_id % $queryMod = 0),
+         |sc AS MATERIALIZED (SELECT qrel.query_id, n.vec_id, n.label,
+         |    list_dot_product(n.v, qrel.qv) / (n.nrm * qrel.qn) AS s
+         |  FROM qrel, n WHERE n.vec_id <> qrel.query_id),
+         |v0 AS (SELECT query_id, vec_id, label, s FROM (
+         |    SELECT query_id, vec_id, label, s, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
+         |      AS rn
+         |    FROM sc WHERE vec_id % $stride = 0) WHERE rn = 1),
+         |$roundCtes
+         |SELECT query_id, vec_id, label, round(s, 6) AS score FROM (
+         |  SELECT query_id, vec_id, label, s, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY s DESC, vec_id ASC) AS rn
+         |  FROM v$rounds) WHERE rn <= $k
+         |ORDER BY query_id ASC, s DESC, vec_id ASC""".stripMargin
+    }
+
     Map(
       "l2_fts_search" -> l2, "l6_fts_ranked" -> l6,
       "l7_fts_bm25" -> l7, "l15_bm25f" -> l15,
       "l13_query_expansion" -> l13, "l14_spell_search" -> l14,
       "n9_dup_clusters" -> n9, "n11_cluster_sizes" -> n11,
       "n24_keep_best" -> n24, "c18_leakage_audit" -> c18,
-      "t24_bpe_apply" -> t24, "t25_bpe_tokens" -> t25)
+      "t24_bpe_apply" -> t24, "t25_bpe_tokens" -> t25,
+      "n35_graph_ann" -> n35, "n36_graph_ann_batch" -> n36)
   }
 }
 
