@@ -132,7 +132,17 @@ object Bench {
     var waited = 0
     var probe = math.min(calibProbe(spark), calibProbe(spark))
     attempts += probe
-    while (probe > gate && waited < maxWaitSec) {
+    // PLATEAU cutoff: on a VM whose probe floor sits ABOVE the gate
+    // (this box reads 0.065+ all day while the historic quiet floor
+    // is 0.030 — a noisy-neighbor effect no amount of waiting
+    // undoes), waiting the full budget buys nothing and triples the
+    // run. Stop early once ≥ 8 probes show no improving trend (the
+    // recent minimum is within 5% of the best seen); the attempts
+    // list still records the whole story.
+    def plateaued: Boolean =
+      attempts.size >= 8 &&
+        attempts.takeRight(4).min > 0.95 * attempts.min
+    while (probe > gate && waited < maxWaitSec && !plateaued) {
       Thread.sleep(30000L); waited += 30
       probe = math.min(calibProbe(spark), calibProbe(spark))
       attempts += probe
