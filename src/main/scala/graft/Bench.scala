@@ -47,6 +47,18 @@ object Bench {
   val RecordedDuckdbSf01: Double = 52.8846
   val RecordedDuckdbQueries: Int = 218
 
+  /** Composition fingerprint of the oracle suite the baseline was
+    * baked against — a count alone is too weak (round 13 swapped
+    * n34/n34r/n6 for n34s/e3 and the count landed back on 218 by
+    * coincidence; the count check alone would have silently kept a
+    * stale denominator). Java's String.hashCode is deterministic
+    * across JVMs, so the constant is stable.
+    */
+  val RecordedDuckdbSuiteHash: Int = -1428847673
+
+  def suiteHash(names: Iterable[String]): Int =
+    names.toSeq.sorted.mkString(",").hashCode
+
   /** SYMMETRIC-accounting correction (round-11 verdict item 3): the
     * Spark side SERVES ~12 queries from prepared artifacts (FTS
     * postings, dup pair/cluster fixture, trained BPE merges) whose
@@ -64,6 +76,22 @@ object Bench {
     * round-12.
     */
   val RecordedServedDeltaSf01: Double = 9.5888
+
+  /** Twin set the served delta above was baked against. The
+    * symmetric pair is emitted only when BOTH (a) the baseline in
+    * use is the fingerprint-guarded recorded default (an external
+    * SPARK_GRAFT_DUCKDB_TOTAL_SEC for a different sf/suite must not
+    * be corrected by an sf0.1 delta — it could even go negative) and
+    * (b) the current [[ServedTwins.Names]] still equals this list —
+    * so a twin added/removed after the bake drops the stale delta
+    * instead of silently mis-correcting.
+    */
+  val RecordedServedTwins: Seq[String] = Seq(
+    "l2_fts_search", "l6_fts_ranked", "l7_fts_bm25", "l15_bm25f",
+    "l13_query_expansion", "l14_spell_search",
+    "n9_dup_clusters", "n11_cluster_sizes", "n24_keep_best",
+    "c18_leakage_audit", "t24_bpe_apply", "t25_bpe_tokens",
+    "n35_graph_ann", "n36_graph_ann_batch")
 
   /** Quiet-host calibration floor (seconds for the fixed-work probe):
     * the builder's historic quiet reads 0.029–0.031 across rounds 6–9
@@ -136,12 +164,15 @@ object Bench {
     // (this box reads 0.065+ all day while the historic quiet floor
     // is 0.030 — a noisy-neighbor effect no amount of waiting
     // undoes), waiting the full budget buys nothing and triples the
-    // run. Stop early once ≥ 8 probes show no improving trend (the
-    // recent minimum is within 5% of the best seen); the attempts
-    // list still records the whole story.
+    // run. Stop early once ≥ 8 probes show no improving trend: the
+    // recent 4-probe window's best is no better than 95% of the best
+    // of the EARLIER attempts (comparing the window against the
+    // global min is vacuous — the window is a subset of it, so the
+    // predicate would fire after 8 probes unconditionally; round-12
+    // advice). The attempts list still records the whole story.
     def plateaued: Boolean =
       attempts.size >= 8 &&
-        attempts.takeRight(4).min > 0.95 * attempts.min
+        attempts.takeRight(4).min > 0.95 * attempts.dropRight(4).min
     while (probe > gate && waited < maxWaitSec && !plateaued) {
       Thread.sleep(30000L); waited += 30
       probe = math.min(calibProbe(spark), calibProbe(spark))
@@ -195,12 +226,21 @@ object Bench {
     // failed, its time is missing from `total`, so dividing by the
     // full-suite baseline would flatter the ratio — report the
     // baseline but omit the ratio in that case.
-    val baseline = sys.env.get("SPARK_GRAFT_DUCKDB_TOTAL_SEC")
-      .map(_.toDouble)
-      .orElse(if (sfDir.endsWith("sf0.1") &&
-                  SparkEntry.oracleSql.size == Bench.RecordedDuckdbQueries)
-                Some(Bench.RecordedDuckdbSf01)
+    val envBaseline = sys.env.get("SPARK_GRAFT_DUCKDB_TOTAL_SEC").map(_.toDouble)
+    val recordedBaselineApplies = sfDir.endsWith("sf0.1") &&
+      SparkEntry.oracleSql.size == Bench.RecordedDuckdbQueries &&
+      Bench.suiteHash(SparkEntry.oracleSql.keys) ==
+        Bench.RecordedDuckdbSuiteHash
+    val baseline = envBaseline
+      .orElse(if (recordedBaselineApplies) Some(Bench.RecordedDuckdbSf01)
               else None)
+    // The served-delta correction is valid only for the recorded
+    // default baseline (same sf, same suite) AND only while the twin
+    // set it was baked against is unchanged (round-12 advice: an env
+    // baseline for another sf corrected by an sf0.1 delta can go
+    // negative; a changed twin set makes the delta silently stale).
+    val symDeltaApplies = envBaseline.isEmpty && recordedBaselineApplies &&
+      ServedTwins.Names == Bench.RecordedServedTwins
     // Machine-readable host normalization (round-10 verdict item 1b):
     // a degraded-host run carries its own discount — `host_factor`
     // from the calib probe via the BASELINE.md calib-vs-ratio table,
@@ -208,13 +248,21 @@ object Bench {
     // ratio stays the headline; the normalized one bounds what a
     // quiet host would measure.
     val hf = hostFactor(calib)
+    // Full attempt trace goes in the LONG line only; the short line
+    // keeps just gate + wait so its always-survives-a-tail size
+    // guarantee holds (round-12 advice: ~21 attempts add hundreds of
+    // bytes).
+    val gateJson = s""","calib_gate":$gate,"calib_wait_sec":$waited"""
     val attemptsJson = attempts.map(a => f"$a%.4f").mkString(
-      s""","calib_gate":$gate,"calib_wait_sec":$waited,"calib_attempts":[""",
-      ",", "]")
+      s"""$gateJson,"calib_attempts":[""", ",", "]")
     val baseJson = baseline.map { b =>
       if (failed.isEmpty) {
-        val sym = b - RecordedServedDeltaSf01
-        f""","oracle_total_sec":$oracleTotal%.4f,"duckdb_baseline_sec":$b%.4f,"ratio":${oracleTotal / b}%.2f,"duckdb_symmetric_baseline_sec":$sym%.4f,"symmetric_ratio":${oracleTotal / sym}%.2f,"host_factor":$hf%.2f,"host_normalized_ratio":${oracleTotal / b / hf}%.2f"""
+        val symJson =
+          if (symDeltaApplies) {
+            val sym = b - RecordedServedDeltaSf01
+            f""","duckdb_symmetric_baseline_sec":$sym%.4f,"symmetric_ratio":${oracleTotal / sym}%.2f"""
+          } else ""
+        f""","oracle_total_sec":$oracleTotal%.4f,"duckdb_baseline_sec":$b%.4f,"ratio":${oracleTotal / b}%.2f$symJson,"host_factor":$hf%.2f,"host_normalized_ratio":${oracleTotal / b / hf}%.2f"""
       } else f""","duckdb_baseline_sec":$b%.4f"""
     }.getOrElse("")
     println(
@@ -225,7 +273,7 @@ object Bench {
     // with nothing parseable. This line is ~120 bytes and always
     // survives a tail.
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","calib_sec":$calib%.4f$attemptsJson,"n_queries":${names.size - failed.size}$baseJson}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sfDir","calib_sec":$calib%.4f$gateJson,"n_queries":${names.size - failed.size}$baseJson}""")
     spark.stop()
   }
 }

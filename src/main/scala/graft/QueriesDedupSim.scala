@@ -29,8 +29,11 @@ object QueriesDedupSim {
     "n5_label_top_pairs" -> ((s, dir) =>
       SimilarityOps.labelTopPairs(Tables.embeddings(s, dir), 20)),
 
-    "n6_ann_lsh_topk" -> ((s, dir) =>  // approximate → rows-only gate
-      SimilarityOps.annTopK(Tables.embeddings(s, dir), 0L, 10)),
+    // n6 (random-hyperplane LSH probe) retired from the registry in
+    // round 13: it was the suite's last rows-only row; its oracle-
+    // gated successors n6x/n6y/n6z carry the LSH tier through the
+    // full hash gate, and the randomized probe itself stays covered
+    // by DedupSimilaritySpec's overlap-vs-brute-force test.
 
     // n6x: n6's LSH derandomized through the FULL hash gate (the n29
     // recipe): md5-seeded hyperplanes + fixed-point quantization make
@@ -288,14 +291,13 @@ object QueriesDedupSim {
       DedupOps.keepBestPerCluster(dupPairsClusters(s, dir)._2,
         Tables.documents(s, dir), "doc_id", "n_chars")),
 
-    // n34: the EXACT k-NN neighbor graph — retained as the
-    // fixture-scale GROUND TRUTH the recall eval (n34r) reads, the
-    // same role n1's brute-force scan plays for the ANN serving
-    // tier. The production build is n34b (IVF-candidate +
-    // NN-Descent, equi-joins only); this one is all-pairs and
-    // quadratic by definition — it certifies, it does not scale.
-    "n34_knn_graph" -> ((s, dir) =>
-      SimilarityOps.knnGraph(Tables.embeddings(s, dir), k = 8)),
+    // n34 (exact all-pairs graph) and n34r (full-graph recall) left
+    // the registry in round 13 (round-12 verdict item 1): both put a
+    // quadratic build on the bench's critical path, which is exactly
+    // what cannot run at 100×. The exact build stays as ground truth
+    // in GraphAnnBoundedSpec (which also adjudicates n34s ≍ n34r);
+    // the in-suite recall certificate is now n34s — sampled ground
+    // truth, linear at any corpus size.
 
     // n35: graph-ANN BEAM SEARCH over the prepared NSW graph
     // (n34's directed top-24 edges symmetrized — reverse edges make
@@ -319,22 +321,27 @@ object QueriesDedupSim {
     // (2-hop expansion + re-rank — per-src work constant, corpus
     // linear). Every stage is an equi-join: no cross join anywhere
     // in the plan. Deterministic → oracle-gated despite being
-    // approximate RELATIVE TO the exact n34 graph; n34r pins the
-    // recall.
+    // approximate RELATIVE TO the exact graph; n34s pins the
+    // recall (sampled ground truth — itself linear at any N).
     "n34b_knn_graph_bounded" -> ((s, dir) =>
       SimilarityOps.knnGraphBounded(Tables.embeddings(s, dir),
         k = 8, stride = 50, nProbe = 2, nndRounds = 2)),
 
-    // n34r: the edge-recall CERTIFICATE for n34b (the n28/n6z
-    // convention — approximate tiers carry an in-suite eval):
-    // bounded-vs-exact top-8 edge overlap, one row. The fixture
+    // n34s: the SAMPLED edge-recall CERTIFICATE for n34b (the
+    // n28/n6z convention — approximate tiers carry an in-suite
+    // eval), round-13 successor to n34r: the exact side is computed
+    // only for the 1000 smallest-md5(vec_id) srcs (fixed |S| as the
+    // corpus grows — |S|·N broadcast scoring, never all-pairs), so
+    // the recall gate itself survives 100×. At sf ≤ 0.01 the sample
+    // covers the corpus and n34s equals n34r exactly; the fixture
     // embeddings are isotropic-random (no neighborhood structure —
-    // see GraphAnnBoundedSpec), so this pins the noise-floor
-    // number; the spec's clustered corpus shows ≥ 95% where
-    // structure exists.
-    "n34r_knn_graph_recall" -> ((s, dir) =>
-      SimilarityOps.knnGraphEdgeRecall(Tables.embeddings(s, dir),
-        k = 8, stride = 50, nProbe = 2, nndRounds = 2)),
+    // see GraphAnnBoundedSpec), so this pins the noise-floor number;
+    // the spec's clustered corpus shows ≥ 95% where structure
+    // exists.
+    "n34s_knn_sampled_recall" -> ((s, dir) =>
+      SimilarityOps.knnGraphSampledRecall(Tables.embeddings(s, dir),
+        k = 8, stride = 50, nProbe = 2, nndRounds = 2,
+        sampleN = 1000)),
 
     // n36: BATCHED graph-ANN serving over the BOUNDED graph — the
     // full production pairing (bounded build → batched walk), and
@@ -368,9 +375,6 @@ object QueriesDedupSim {
     // n26: serve-after-delete ≡ serve-with-exclusion.
     "n26_index_delete" -> IndexDeleteOracleSql,
 
-    "n34_knn_graph" ->
-      operators.SimilarityOps.knnGraphSql("embeddings", k = 8),
-
     // n35: the beam walk unrolled — same symmetrized-graph
     // definition, same entry rule, same (s desc, id asc) beam cuts,
     // fixed 8 rounds.
@@ -382,9 +386,10 @@ object QueriesDedupSim {
       operators.SimilarityOps.knnGraphBoundedSql("embeddings",
         k = 8, stride = 50, nProbe = 2, nndRounds = 2),
 
-    "n34r_knn_graph_recall" ->
-      operators.SimilarityOps.knnGraphEdgeRecallSql("embeddings",
-        k = 8, stride = 50, nProbe = 2, nndRounds = 2),
+    "n34s_knn_sampled_recall" ->
+      operators.SimilarityOps.knnGraphSampledRecallSql("embeddings",
+        k = 8, stride = 50, nProbe = 2, nndRounds = 2,
+        sampleN = 1000),
 
     "n36_graph_ann_batch" ->
       operators.SimilarityOps.graphBeamSearchBatchSql("embeddings",

@@ -261,7 +261,8 @@ object QueriesPipeline {
         "text", "n_chars")),
 
 
-    // ---- sketch tier (approximate → rows-only gate + ε-tests) ----
+    // ---- sketch tier (exact sub-components oracle-gated; sketch
+    // fields ride as band witnesses — see sketchProfile scaladoc) ----
     "e3_sketch_profile" -> ((s, dir) =>
       AnalyticsOps.sketchProfile(Tables.events(s, dir),
         key = "event_type", idCol = "user_id", valueCol = "value")),
@@ -341,6 +342,19 @@ object QueriesPipeline {
         key = "event_type", idCol = "event_id", valueCol = "value")))
 
   def oracleSql: Map[String, String] = Map(
+    // e3: the exact sub-components are value-gated; the sketch fields
+    // ride as integer band WITNESSES the twin asserts as 1 — computed
+    // Spark-side from the actual HLL/t-digest vs the actual exact
+    // value, so a sketch regression past the band flips the witness
+    // and fails the hash gate (round-12 verdict item 6).
+    "e3_sketch_profile" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id)::BIGINT AS exact_distinct,
+        |  round(quantile_cont(value::DOUBLE, 0.5), 6) AS exact_p50,
+        |  1 AS hll_within_15pct, 1 AS p50_within_1pct
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
+
     "r1_salted_counts" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, event_type ASC""".stripMargin,

@@ -105,16 +105,19 @@ object QueriesSearch {
     // identity, so the early-exited result equals the 48-round
     // unrolled oracle verbatim — a data-derived stopping rule that
     // is still hash-gateable. (Observed: every scale converges at
-    // 32 rounds; GraphSpec asserts the certificate.) Block size 8,
-    // not 16: the per-block cost that matters on this graph is plan
-    // ANALYSIS of the chained-round tree (superlinear in depth —
-    // measured 5.5 s min at depth 16 vs 3.2 s at depth 8, same
-    // window), while the extra convergence probes a shorter block
-    // buys are one cheap job each; the result is block-size
-    // independent (integer fixed point + idempotent tail).
+    // 32 rounds; GraphSpec asserts the certificate.) Block size 4:
+    // the per-block cost that matters on this graph is Catalyst's
+    // construction-time ANALYSIS of the chained-round tree
+    // (superlinear in depth — every Dataset op re-analyzes the
+    // accumulated block; measured same-window 5.5 s at depth 16,
+    // 2.8 s at 8, 1.9 s at 4; a per-round lazy localCheckpoint was
+    // tried and is ~1.7× SLOWER — see pageRankConverged's scaladoc),
+    // while the extra convergence probes a shorter block buys are
+    // one cheap job each; the result is block-size independent
+    // (integer fixed point + idempotent tail, GraphSpec-proven).
     "h6c_pagerank_converged" -> ((s, dir) =>
       GraphOps.pageRankConverged(pageGraph(s, dir), maxIters = 48,
-        k = 20, blockIters = 8)._1),
+        k = 20, blockIters = 4)._1),
 
     // h7: FOCUSED-crawl prioritization — personalized PageRank with
     // the teleport mass pinned to three seed pages (a plan-time

@@ -395,9 +395,12 @@ private[graft] object RegistryFixtures {
       read: String => DataFrame): DataFrame =
     read(buildMergedDocs(s, dir))
 
-  private[graft] def buildMergedDocs(s: SparkSession, dir: String): String = {
+  private[graft] def buildMergedDocs(s: SparkSession, dir: String): String =
+    buildMergedDocsAt(s, dir, tempTableRoot("graft_versioned") + "/docs")
+
+  private[graft] def buildMergedDocsAt(s: SparkSession, dir: String,
+      root: String): String = {
     val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
-    val root = tempTableRoot("graft_versioned") + "/docs"
     Versioned.init(docs.filter(col("doc_id") % 3 =!= 0), root)
     Versioned.mergeUpsert(
       docs.filter(col("doc_id") % 2 === 0)

@@ -195,6 +195,47 @@ object ScaleTrend {
     }
     println(f"[scale] c16 x$factor min=${c16Times.min}%.3f " +
       s"all=${c16Times.map(t => f"$t%.3f").mkString(",")}")
+    // c3 (banded-LSH decontamination) over the same asymmetric shape:
+    // fixed bench side (replica 0's %7 slice), N×-grown corpus side.
+    // Time must track the corpus-side signature pass; the probe also
+    // PRINTS the banded candidate-pair count (the (band, sig)
+    // equi-join's distinct output — the quantity round-12 verdict
+    // item 8 asks to see grow ~linearly with the df-cap engaged):
+    // replicas occupy disjoint shingle spaces, so cross-corpus
+    // collisions stay those of the 1× problem and candidates scale
+    // with true near-dups, never with |bench|·|corpus|.
+    val qc3parts = () => {
+      val hx = operators.DedupOps.hashedShingles(
+        bigDisjoint.select(col("doc_id"), col("text")),
+        "doc_id", "text").cache()
+      val sa = hx.filter(col("doc_id") % 7 === 0 &&
+          col("doc_id") < 10000000L)
+        .select(col("doc_id").as("bench_id"), col("x"))
+      val sb = hx.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("x"))
+      (sa, sb)
+    }
+    val c3Times = (1 to reps).map { _ =>
+      val (sa, sb) = qc3parts()
+      val t0 = System.nanoTime()
+      operators.DedupOps.crossCorpusOverlapBandedHashed(sa, sb,
+          minShared = 3, maxDf = SparkEntry.ShingleMaxDf * factor)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[scale] c3 x$factor min=${c3Times.min}%.3f " +
+      s"all=${c3Times.map(t => f"$t%.3f").mkString(",")}")
+    val (c3sa, c3sb) = qc3parts()
+    val c3Cand = operators.DedupOps.bandRelation(
+        operators.DedupOps.minhashSignatures(c3sa, "bench_id"),
+        "bench_id")
+      .join(operators.DedupOps.bandRelation(
+        operators.DedupOps.minhashSignatures(
+          operators.DedupOps.capShingleDf(c3sb,
+            SparkEntry.ShingleMaxDf * factor), "corpus_id"),
+        "corpus_id"), Seq("band", "sig"))
+      .select("bench_id", "corpus_id").distinct().count()
+    println(s"[scale] c3-candidates x$factor n=$c3Cand")
     // n3 vs n33 (exact Jaccard: all-shared-shingle vs prefix-filtered
     // candidates) over the disjoint-shingle replicas — N independent
     // copies of the 1× dedup problem, so BOTH must scale linearly;

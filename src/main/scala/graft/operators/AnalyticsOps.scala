@@ -544,8 +544,21 @@ object AnalyticsOps {
   /** Sketch tier of [[profile]]/[[groupPercentiles]]: HyperLogLog
     * distinct counts and t-digest percentiles next to their exact
     * twins. THIS is what d1/e2 become at 100 TB — fixed-size mergeable
-    * state instead of exact buffers; approximate → rows-only gate
-    * (ScalaTest bounds the error against the exact values instead).
+    * state instead of exact buffers.
+    *
+    * Oracle shape (round-12 verdict item 6): the raw sketch values
+    * are engine-internal (Spark's HLL++/t-digest have no DuckDB
+    * twin), so the output carries the EXACT sub-components (fully
+    * value-gated) plus integer BAND WITNESSES for the sketch fields
+    * — `hll_within_15pct` / `p50_within_1pct` computed from the
+    * actual sketch vs the actual exact value. The DuckDB twin
+    * asserts the witnesses as the constant 1: a sketch regression
+    * past the band flips the Spark-side witness to 0 and fails the
+    * hash gate, so the approximation is data-checked at verify time
+    * (HLL++ default rsd = 5%; percentile_approx at accuracy 10000 is
+    * sub-0.1% here — both bands hold with margin at every tested
+    * SF). AnalyticsSpec keeps the tighter ε-assertions on the raw
+    * sketch values.
     */
   def sketchProfile(df: DataFrame, key: String, idCol: String,
       valueCol: String): DataFrame = {
@@ -554,6 +567,30 @@ object AnalyticsOps {
     // aggregates in ONE agg measured 7× slower (4.8 s → 0.7 s at
     // sf0.1) — the expand doubles the row stream every percentile
     // buffer then consumes.
+    val distincts = df.groupBy(col(key))
+      .agg(countDistinct(col(idCol)).as("exact_distinct"),
+        approx_count_distinct(col(idCol)).as("approx_distinct"))
+    val pcts = df.groupBy(col(key))
+      .agg(round(percentile(col(valueCol), lit(0.5)), 6).as("exact_p50"),
+        round(percentile_approx(col(valueCol), lit(0.5), lit(10000)), 6)
+          .as("approx_p50"))
+    distincts.join(pcts, Seq(key))
+      .select(col(key), col("exact_distinct"), col("exact_p50"),
+        (abs(col("approx_distinct") - col("exact_distinct"))
+          .cast("double") / col("exact_distinct") <= 0.15)
+          .cast("int").as("hll_within_15pct"),
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          abs(col("exact_p50")) * 0.01 + 1e-9)
+          .cast("int").as("p50_within_1pct"))
+      .resultSorted(col(key).asc)
+  }
+
+  /** The raw-sketch-value variant of [[sketchProfile]] — what the
+    * ε-band ScalaTest assertions inspect (the registry query carries
+    * the band witnesses instead; see sketchProfile's scaladoc).
+    */
+  def sketchProfileRaw(df: DataFrame, key: String, idCol: String,
+      valueCol: String): DataFrame = {
     val distincts = df.groupBy(col(key))
       .agg(countDistinct(col(idCol)).as("exact_distinct"),
         approx_count_distinct(col(idCol)).as("approx_distinct"))

@@ -375,7 +375,7 @@ object DedupOps {
   /** (idCol, band, sig) LSH bucket relation from [[minhashSignatures]]
     * output — the equi-join key space candidates come from.
     */
-  private def bandRelation(sigs: DataFrame, idCol: String): DataFrame =
+  private[graft] def bandRelation(sigs: DataFrame, idCol: String): DataFrame =
     sigs.select(
       col(idCol),
       explode(array((0 until NumBands).map { k =>

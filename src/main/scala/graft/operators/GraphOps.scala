@@ -125,7 +125,12 @@ object GraphOps {
     * boundary `localCheckpoint`s and pays ONE tiny probe job — the
     * max-|delta| convergence certificate, read on the driver. Per
     * round that amortizes to 1/blockIters probe actions; lineage
-    * stays O(blockIters) deep.
+    * stays O(blockIters) deep. Block size trades Catalyst's
+    * incremental construction-time analysis of the chained tree
+    * (superlinear in depth — every Dataset op re-analyzes the
+    * accumulated block) against one extra probe job per boundary;
+    * a per-round lazy checkpoint was measured ~1.7× slower (see
+    * the block-boundary note below).
     *
     * Returns (top-k result, rounds actually executed, converged) —
     * the (rounds, converged) pair is the convergence certificate
@@ -163,10 +168,13 @@ object GraphOps {
     while (!converged && rounds < maxIters) {
       var next = ranks
       (1 to blockIters).foreach(_ => next = round(next))
-      // LAZY localCheckpoint: the delta probe below is the first
-      // action, so the one job that reads the convergence
-      // certificate also materializes the block boundary and
-      // truncates its lineage.
+      // LAZY localCheckpoint at the BLOCK boundary: the delta probe
+      // below is the first action, so the one job that reads the
+      // convergence certificate also materializes the block and
+      // truncates its lineage. (A per-round lazy checkpoint was
+      // TRIED in round 13 and measured ~1.7× SLOWER same-host: 8
+      // per-block RDD persists + per-round physical planning cost
+      // more than the chained tree's incremental analysis saves.)
       next = next.localCheckpoint(false)
       rounds += blockIters
       val delta = next

@@ -322,7 +322,7 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("sketchProfile: approx distinct and p50 within tolerance of exact") {
-    val rows = AnalyticsOps.sketchProfile(Tables.events(spark, sfSmoke),
+    val rows = AnalyticsOps.sketchProfileRaw(Tables.events(spark, sfSmoke),
       "event_type", "user_id", "value").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -333,6 +333,20 @@ class AnalyticsSpec extends SparkSpec {
       val (exactP, approxP) = (r.getDouble(3), r.getDouble(4))
       assert(math.abs(approxP - exactP) <= math.max(1.0, exactP * 0.05),
         s"t-digest p50 off: exact=$exactP approx=$approxP")
+    }
+  }
+
+  test("sketchProfile: oracle shape carries exact cols + band witnesses") {
+    val rows = AnalyticsOps.sketchProfile(Tables.events(spark, sfSmoke),
+      "event_type", "user_id", "value")
+    assert(rows.columns.toSeq == Seq("event_type", "exact_distinct",
+      "exact_p50", "hll_within_15pct", "p50_within_1pct"))
+    rows.collect().foreach { r =>
+      // the witnesses must actually HOLD (they are what the DuckDB
+      // twin asserts as the constant 1) — a failure here means the
+      // oracle gate would fail too
+      assert(r.getInt(3) == 1, s"HLL witness broken on ${r.get(0)}")
+      assert(r.getInt(4) == 1, s"p50 witness broken on ${r.get(0)}")
     }
   }
 

@@ -164,6 +164,43 @@ class GraphAnnBoundedSpec extends SparkSpec {
       s"adversarial-entry recall ${(walk & exact).size}/10")
   }
 
+  test("n34s == n34r exactly when the sample covers the corpus " +
+      "(sampleN >= N): the sampled eval loses nothing at small N)") {
+    val emb = Tables.embeddings(spark, sfSmoke) // 500 vecs < 1000
+    val s = SimilarityOps.knnGraphSampledRecall(emb, k = 8,
+      stride = 50, nProbe = 2, nndRounds = 2, sampleN = 1000).head
+    val f = SimilarityOps.knnGraphEdgeRecall(emb, k = 8, stride = 50,
+      nProbe = 2, nndRounds = 2).head
+    assert(s.getLong(1) == f.getLong(0), "n_exact differs")
+    assert(s.getLong(2) == f.getLong(1), "n_hit differs")
+    assert(s.getDouble(3) == f.getDouble(2), "recall differs")
+  }
+
+  test("n34s adjudicated by n34r on a PROPER sample (|S| < N, " +
+      "clustered corpus): sampled recall tracks full-graph recall") {
+    val emb = clusteredCorpus(n = 2000, d = 64, c = 10)
+      .localCheckpoint()
+    val s = SimilarityOps.knnGraphSampledRecall(emb, k = 8,
+      stride = 50, nProbe = 2, nndRounds = 2, sampleN = 500).head
+    val f = SimilarityOps.knnGraphEdgeRecall(emb, k = 8, stride = 50,
+      nProbe = 2, nndRounds = 2).head
+    assert(s.getLong(0) == 500L, s"sample size ${s.getLong(0)}")
+    assert(math.abs(s.getDouble(3) - f.getDouble(2)) <= 0.05,
+      s"sampled recall ${s.getDouble(3)} vs full ${f.getDouble(2)}")
+  }
+
+  test("n34s plan is BNLJ- and cartesian-free (the sampled exact " +
+      "side is a broadcast-query-set scan, not an all-pairs cross)") {
+    val df = graft.SparkEntry.queries("n34s_knn_sampled_recall")(
+      spark, sfSmoke)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"n34s planned a BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"n34s planned a cartesian:\n$p")
+  }
+
   test("incremental graph append == frozen-codebook rebuild, " +
       "row for row (top-k(top-k(A) u B) = top-k(A u B))") {
     val emb = Tables.embeddings(spark, sfSmoke)

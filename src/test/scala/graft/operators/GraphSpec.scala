@@ -147,5 +147,12 @@ class GraphSpec extends SparkSpec {
     assert(rows(top) == rows(GraphOps.pageRank(edges, rounds, 20)))
     // one more block past the fixed point changes nothing
     assert(rows(top) == rows(GraphOps.pageRank(edges, rounds + 8, 20)))
+    // BLOCK-SIZE independence (the registry runs blockIters = 4):
+    // the integer fixed point + idempotent tail make the result the
+    // same wherever the probe happens to land
+    val (top4, _, conv4) = GraphOps.pageRankConverged(edges,
+      maxIters = 48, k = 20, blockIters = 4)
+    assert(conv4, "blockIters=4 did not converge")
+    assert(rows(top4) == rows(top), "result depends on block size")
   }
 }

@@ -74,8 +74,8 @@ class ScaleShapeSpec extends SparkSpec {
       "c18_leakage_audit", "c19_domain_cap", "l13_query_expansion",
       "l14_spell_search", "l15_bm25f", "t28_zipf_slope",
       "n33_prefix_jaccard", "d4_k_anonymity", "k25_scd2",
-      "h6c_pagerank_converged", "n34_knn_graph", "n35_graph_ann",
-      "n34b_knn_graph_bounded", "n34r_knn_graph_recall",
+      "h6c_pagerank_converged", "n35_graph_ann",
+      "n34b_knn_graph_bounded", "n34s_knn_sampled_recall",
       "n36_graph_ann_batch")
     queries.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
