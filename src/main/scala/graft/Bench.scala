@@ -26,25 +26,31 @@ import org.apache.spark.sql.DataFrame
 object Bench {
 
   /** DuckDB total at sf0.1 (tools/duckdb_baseline.py, 32 threads,
-    * warm, min-of-3 runs) — the round-12 FULL SINGLE-SESSION bake of
-    * all 218 oracle queries (2026-08-15, quiet window: load avg 0.00
-    * /0.54 at start; tools/duckdb_bake_r12.json): **52.8846 s** —
-    * the LOWEST of four same-day bakes (72.94 / 54.76 / 52.88 /
-    * 54.21; the loaded ones would flatter the ratio and were
-    * rejected, the round-6/11 discipline). Quality check against the
-    * round-11 quiet bake on the 147 oracles unchanged between
-    * rounds: median per-query inflation 1.03× (p25 0.96, p75 1.13) —
-    * same-window-class measurement. The +14.2 s over round-11's
-    * 38.65 decomposes as: new graph-tier oracles (n34b 1.04 +
-    * n34r 6.53 + n36 3.69 + n37 0.70 = 11.96 — real work DuckDB now
-    * must do too) + ~2 s residual window noise on the long tail.
-    * Valid ONLY for the oracle-suite size it was measured against:
-    * [[RecordedDuckdbQueries]] fingerprints the suite, and the
-    * default is dropped when the current suite no longer matches, so
-    * a stale baked-in baseline can never silently shape the reported
-    * ratio. Ledger: BASELINE.md round-12.
+    * warm, min-of-3 runs) — the round-13 FULL SINGLE-SESSION bake of
+    * all 218 oracle queries (2026-08-16, load avg ≤ 2.5 at start;
+    * tools/duckdb_bake_r13.json): **45.8472 s** — the LOWEST of
+    * three same-day bakes (46.34 / 45.85 / 45.89; tight band, the
+    * round-6/11 discipline of taking the number least favorable to
+    * the builder). The −7.0 s vs round-12's 52.88 decomposes as:
+    * n34/n34r retired (−1.04 − 6.53, the quadratic tier leaving the
+    * critical path), n34s added (+5.55 — sampled exact ground truth
+    * + bounded build), e3 added (+0.02), the n34b/n36/n37 CTEs
+    * re-timed under the round-13 reverse-neighbor cap (−0.9: the cap
+    * shrinks DuckDB's NN-descent candidate mass too — a
+    * shared-semantics fix helps both engines), and ~4 s of
+    * across-the-board window variance vs the r12 bake (r13's three
+    * runs agree within 0.5 s, so the new window is the stable one).
+    * Valid ONLY for
+    * the oracle suite it was measured against:
+    * [[RecordedDuckdbQueries]] AND [[RecordedDuckdbSuiteHash]]
+    * fingerprint the suite (count + sorted-name hash — round 13
+    * proved a count alone is too weak: the suite composition changed
+    * while the count landed back on 218), and the default is dropped
+    * on any mismatch, so a stale baked-in baseline can never
+    * silently shape the reported ratio. Ledger: BASELINE.md
+    * round-13.
     */
-  val RecordedDuckdbSf01: Double = 52.8846
+  val RecordedDuckdbSf01: Double = 45.8472
   val RecordedDuckdbQueries: Int = 218
 
   /** Composition fingerprint of the oracle suite the baseline was
@@ -71,11 +77,12 @@ object Bench {
     * with the correction applied — duck served where Spark serves.
     * 14 twins (the 12 round-11 serving conversions + the graph
     * walks n35/n36, whose Spark side reads a prepared navigation
-    * graph). Quiet-window bake 2026-08-15: recompute 10.145, served
-    * 0.557 (tools/duckdb_bake_served_r12.json). Ledger: BASELINE.md
-    * round-12.
+    * graph). Round-13 bake 2026-08-16 (n36's recompute side re-timed
+    * under the reverse-neighbor-capped CTEs): recompute 9.454,
+    * served 0.481 (tools/duckdb_bake_served_r13.json). Ledger:
+    * BASELINE.md round-13.
     */
-  val RecordedServedDeltaSf01: Double = 9.5888
+  val RecordedServedDeltaSf01: Double = 8.9734
 
   /** Twin set the served delta above was baked against. The
     * symmetric pair is emitted only when BOTH (a) the baseline in
