@@ -151,10 +151,15 @@ object GraphOps {
     require(maxIters % blockIters == 0,
       "cap must align to block boundaries so the capped run equals " +
         "the unrolled oracle exactly")
+    // 4 Dataset ops per round, not 5: the per-edge contribution is
+    // aggregated directly inside agg() instead of through a separate
+    // projection — with ~83% of this query's wall time being
+    // construction-time analysis (H6cAnalysisProbe), each op REMOVED
+    // from the round is ~1/5 of the analyzer-invocation count.
     def round(ranks: DataFrame): DataFrame = {
       val inc = g.ewd.join(ranks, g.ewd("src") === ranks("url"))
-        .select(g.ewd("dst").as("url"), expr("pr div od").as("c"))
-        .groupBy(col("url")).agg(sum(col("c")).as("inc"))
+        .groupBy(g.ewd("dst").as("url"))
+        .agg(sum(expr("pr div od")).as("inc"))
       g.nodes.join(inc, Seq("url"), "left")
         .select(col("url"),
           (lit(TeleportMicro) +
