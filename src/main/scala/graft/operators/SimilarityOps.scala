@@ -1466,6 +1466,17 @@ object SimilarityOps {
     * ([[knnGraphBoundedCtes]]) so the build stays oracle-gated.
     */
   private def nnDescentRound(g: DataFrame, vecs: DataFrame,
+      k: Int): DataFrame =
+    rerankTopK(nnDescentCandidates(g, k), vecs, k)
+
+  /** The candidate relation of one NN-Descent round — exposed
+    * private[graft] so GraphAnnBoundedSpec can GATE the
+    * reverse-cap's cost claim directly: on a hub-skewed graph the
+    * distinct candidate count must stay ≤ |V|·(k + (2k)²), which the
+    * uncapped 2-hop join violates by a factor of the hub's
+    * in-degree.
+    */
+  private[graft] def nnDescentCandidates(g: DataFrame,
       k: Int): DataFrame = {
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst").asc)
@@ -1480,8 +1491,7 @@ object SimilarityOps {
       .join(u.select(col("src").as("mid"), col("dst")), Seq("mid"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
-    val cand = g.select("src", "dst").unionByName(twoHop).distinct()
-    rerankTopK(cand, vecs, k)
+    g.select("src", "dst").unionByName(twoHop).distinct()
   }
 
   /** The full bounded build (n34b): IVF-cell candidates seeded from

@@ -201,6 +201,32 @@ class GraphAnnBoundedSpec extends SparkSpec {
       s"n34s planned a cartesian:\n$p")
   }
 
+  test("reverse-neighbor cap bounds NN-Descent candidate mass on a " +
+      "hub graph (round-12 advice: in-degree is unbounded, the cap " +
+      "is what keeps the 2-hop join linear)") {
+    // adversarial edge list: every node's top-k list CONTAINS the
+    // hub (node 0) — in-degree(0) = n−1 while out-degrees stay ≤ k.
+    // Uncapped, the 2-hop join explodes through the hub:
+    // every node reaches every other node via 0 → ~n² candidates.
+    // Capped, per-node degree in the join graph is ≤ 2k, so the
+    // distinct candidate count must stay ≤ n·(k + (2k)²).
+    val n = 400; val k = 8
+    val edges = (1L until n.toLong).flatMap { src =>
+      (0L until k.toLong).map { j =>
+        (src, if (j == 0) 0L else (src + j) % n, 0.5)
+      }.filter { case (s, d, _) => s != d }
+    }
+    val g = edges.toDF("src", "dst", "s").localCheckpoint()
+    val cand = SimilarityOps.nnDescentCandidates(g, k).count()
+    val bound = n.toLong * (k + (2 * k) * (2 * k))
+    assert(cand <= bound,
+      s"capped candidate mass $cand exceeds n*(k+(2k)^2) = $bound")
+    // and the uncapped shape really would have exploded: the hub's
+    // reverse fan-out alone yields ~n^2 two-hop pairs
+    assert(cand < n.toLong * n / 2,
+      s"candidate mass $cand is hub-quadratic — cap not engaged")
+  }
+
   test("incremental graph append == frozen-codebook rebuild, " +
       "row for row (top-k(top-k(A) u B) = top-k(A u B))") {
     val emb = Tables.embeddings(spark, sfSmoke)
