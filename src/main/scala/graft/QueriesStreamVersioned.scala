@@ -50,14 +50,23 @@ object QueriesStreamVersioned {
     // oracle gate — MERGE whole-row upsert (k10: the merged current
     // snapshot) and time travel (k11: v0 unchanged after the commit,
     // both versions read back side by side).
-    "k10_merge_upsert" -> ((s, dir) =>
-      mergedDocsTable(s, dir) { root =>
-        Versioned.current(s, root)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars")).cast("long").as("total_chars"))
-          .resultSorted(col("source").asc)
-      }),
+    // v0 comes from a hardlink-copied template (round 13, the k19
+    // convention): the timed work is the CoW MERGE commit + merged
+    // read — the operator — not the fixture's init write.
+    "k10_merge_upsert" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      val root = copiedDocsV0(s, dir, range6 = false)
+      Versioned.mergeUpsert(
+        docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1000L)),
+        root, Seq("doc_id"))
+      Versioned.current(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .resultSorted(col("source").asc)
+    }),
 
     "k11_time_travel" -> ((s, dir) =>
       mergedDocsTableCached(s, dir) { root =>
@@ -85,12 +94,12 @@ object QueriesStreamVersioned {
     // batch supersedes the first where keys overlap (doc_id % 10 = 0),
     // so the oracle's CASE order IS the log precedence. Write-path
     // query (k10/k18 convention): fresh table + both commits timed.
+    // v0 template-copied (k19 convention): timed work = the two MoR
+    // log commits + the merge-on-read scan.
     "k20_mor_upsert" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select("doc_id", "source", "n_chars")
-      val root = tempTableRoot("graft_mor") + "/docs"
-      Versioned.init(docs.filter(col("doc_id") % 3 =!= 0)
-        .repartitionByRange(6, col("doc_id")), root)
+      val root = copiedDocsV0(s, dir, range6 = true)
       Versioned.mergeUpsertMoR(docs.filter(col("doc_id") % 2 === 0)
         .withColumn("n_chars", col("n_chars") + lit(1000L)),
         root, Seq("doc_id"))
@@ -105,12 +114,12 @@ object QueriesStreamVersioned {
     // null-fill it, scored rows keep it, and the per-source rollup
     // separates n_docs from n_scored so the null-fill is visible to
     // the oracle. Write-path query (fresh table per invocation).
+    // v0 template-copied (k19 convention): timed work = the
+    // schema-widening CoW merge + the mixed-schema read.
     "k22_schema_evolution" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select("doc_id", "source", "n_chars")
-      val root = tempTableRoot("graft_evo") + "/docs"
-      Versioned.init(docs.filter(col("doc_id") % 3 =!= 0)
-        .repartitionByRange(6, col("doc_id")), root)
+      val root = copiedDocsV0(s, dir, range6 = true)
       Versioned.mergeUpsert(docs.filter(col("doc_id") % 2 === 0)
         .withColumn("quality", (col("n_chars") % 7).cast("long")),
         root, Seq("doc_id"))
@@ -128,12 +137,12 @@ object QueriesStreamVersioned {
     // (overriding the first log's +1000 for those keys); readers
     // suppress tombstoned keys, so the oracle is a CASE plus an
     // exclusion. Write-path query (fresh table per invocation).
+    // v0 template-copied (k19 convention): timed work = the two MoR
+    // commits (second carries tombstones) + the merge-on-read scan.
     "k21_mor_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .select("doc_id", "source", "n_chars")
-      val root = tempTableRoot("graft_mor_del") + "/docs"
-      Versioned.init(docs.filter(col("doc_id") % 3 =!= 0)
-        .repartitionByRange(6, col("doc_id")), root)
+      val root = copiedDocsV0(s, dir, range6 = true)
       Versioned.mergeUpsertMoR(docs.filter(col("doc_id") % 2 === 0)
         .withColumn("n_chars", col("n_chars") + lit(1000L)),
         root, Seq("doc_id"))

@@ -126,13 +126,6 @@ private[graft] object RegistryFixtures {
       |FROM numbered GROUP BY user_id, session_id
       |ORDER BY user_id ASC, session_start ASC""".stripMargin
 
-  /** k10/k11 shared fixture: initialize a fresh versioned table from
-    * the doc_id%3≠0 slice, MERGE-upsert the doc_id%2=0 slice with
-    * n_chars bumped by 1000 (overlapping keys update, even-and-%3
-    * keys insert), then hand the table root to `read`. A new temp
-    * root per invocation — each bench rep measures the full
-    * init+merge+read cycle, never a leftover table.
-    */
   /** Fresh temp root per invocation, reclaimed at JVM exit (each
     * bench rep measures a full init+merge+read cycle without leaking
     * a table copy per rep — round-5 advice).
@@ -391,12 +384,34 @@ private[graft] object RegistryFixtures {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String,
       String), String]()
 
-  private[graft] def mergedDocsTable(s: SparkSession, dir: String)(
-      read: String => DataFrame): DataFrame =
-    read(buildMergedDocs(s, dir))
-
   private[graft] def buildMergedDocs(s: SparkSession, dir: String): String =
     buildMergedDocsAt(s, dir, tempTableRoot("graft_versioned") + "/docs")
+
+  /** A fresh mutable copy of the v0 docs table (init slice only) —
+    * the write-path queries' common fixture (k10/k20/k21/k22, round
+    * 13): the init parquet write is deterministic INPUT state, built
+    * once as an immutable template and hardlink-copied per run, so
+    * the timed work is the MERGE/MoR/evolution COMMIT the query
+    * exists to measure, not the fixture's v0 write. `range6` lays v0
+    * out as 6 range-partitioned files (the file-granular CoW shape);
+    * plain keeps init's natural layout.
+    */
+  private[graft] def copiedDocsV0(s: SparkSession, dir: String,
+      range6: Boolean): String = {
+    val tag = if (range6) "versk_r6" else "versk_plain"
+    val fix = cachedStreamInput(s, dir, tag) { root =>
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+        .filter(col("doc_id") % 3 =!= 0)
+      Versioned.init(
+        if (range6) docs.repartitionByRange(6, col("doc_id")) else docs,
+        root + "/tmpl")
+      ()
+    }
+    val run = tempTableRoot(s"graft_${tag}_run") + "/docs"
+    copyDir(fix + "/tmpl", run)
+    run
+  }
 
   private[graft] def buildMergedDocsAt(s: SparkSession, dir: String,
       root: String): String = {
