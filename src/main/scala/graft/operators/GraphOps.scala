@@ -151,28 +151,52 @@ object GraphOps {
     require(maxIters % blockIters == 0,
       "cap must align to block boundaries so the capped run equals " +
         "the unrolled oracle exactly")
-    // 4 Dataset ops per round, not 5: the per-edge contribution is
-    // aggregated directly inside agg() instead of through a separate
-    // projection — with ~83% of this query's wall time being
-    // construction-time analysis (H6cAnalysisProbe), each op REMOVED
-    // from the round is ~1/5 of the analyzer-invocation count.
-    def round(ranks: DataFrame): DataFrame = {
-      val inc = g.ewd.join(ranks, g.ewd("src") === ranks("url"))
+    // TWO Dataset ops per round, not four (round 13, second cut):
+    // the iterated relation is the IN-EDGE AGGREGATE `inc` (url,
+    // inc) — the affine rank map pr = T + (85·inc) div 100 is folded
+    // INTO the next round's contribution expression, and a src with
+    // no in-edges (absent from `inc`) coalesces to exactly pr = T
+    // inside the same expression, so the per-round nodes left-join
+    // and teleport projection disappear from the loop entirely (they
+    // run ONCE, in the final top-k read). Integer arithmetic is
+    // bit-identical to the unrolled [[pageRank]]: the same
+    // floor-division ladder evaluates per (src, edge), just composed
+    // in one expression instead of two plan nodes. With ~83% of this
+    // query's wall time being construction-time Catalyst analysis
+    // (H6cAnalysisProbe), halving the ops per round halves the
+    // analyzer-invocation count.
+    val contrib = expr(
+      s"(($TeleportMicro + ($DampingPct * " +
+        "coalesce(inc, CAST(0 AS BIGINT))) div 100)) div od")
+    def round(inc: DataFrame): DataFrame =
+      g.ewd.join(inc, g.ewd("src") === inc("url"), "left")
         .groupBy(g.ewd("dst").as("url"))
-        .agg(sum(expr("pr div od")).as("inc"))
-      g.nodes.join(inc, Seq("url"), "left")
-        .select(col("url"),
-          (lit(TeleportMicro) +
-            expr(s"($DampingPct * coalesce(inc, CAST(0 AS BIGINT)))" +
-              " div 100")).as("pr"))
+        .agg(sum(contrib).as("inc"))
+    if (g.nodes.isEmpty) {
+      // vacuously converged at 0 rounds (the probe would read NULL
+      // forever and burn all maxIters rounds for an empty relation)
+      val top = g.nodes.select(col("url"), lit(0L).as("n_in"),
+        lit(InitMicro).as("pr")).limit(k)
+      return (top, 0, true)
     }
-    var ranks = g.nodes.select(col("url"), lit(InitMicro).as("pr"))
-      .localCheckpoint()
-    var rounds = 0
-    var converged = ranks.isEmpty
+    // round 1 stands alone: pr_0 = InitMicro for every node is a
+    // CONSTANT, so the first in-edge aggregate needs no join at all
+    var inc = g.ewd.groupBy(g.ewd("dst").as("url"))
+      .agg(sum(expr(s"$InitMicro div od")).as("inc"))
+      .localCheckpoint(false)
+    var rounds = 1
+    var converged = false
+    var prev: Option[DataFrame] = None
     while (!converged && rounds < maxIters) {
-      var next = ranks
-      (1 to blockIters).foreach(_ => next = round(next))
+      var next = inc
+      // the standalone round 1 above means the FIRST block runs
+      // blockIters − 1 rounds, so every boundary (and therefore the
+      // reported `rounds`) stays a multiple of blockIters
+      val toBoundary =
+        if (rounds % blockIters == 0) blockIters
+        else blockIters - (rounds % blockIters)
+      val step = math.min(toBoundary, maxIters - rounds)
+      (1 to step).foreach(_ => next = round(next))
       // LAZY localCheckpoint at the BLOCK boundary: the delta probe
       // below is the first action, so the one job that reads the
       // convergence certificate also materializes the block and
@@ -181,16 +205,30 @@ object GraphOps {
       // per-block RDD persists + per-round physical planning cost
       // more than the chained tree's incremental analysis saves.)
       next = next.localCheckpoint(false)
-      rounds += blockIters
-      val delta = next
-        .join(ranks.withColumnRenamed("pr", "pr0"), Seq("url"))
-        .agg(max(abs(col("pr") - col("pr0")))).head
-      converged = !delta.isNullAt(0) && delta.getLong(0) == 0L
-      ranks = next
+      rounds += step
+      // boundary-to-boundary certificate on the inc relation — the
+      // same key set every round (the dst side of ewd), and pr is a
+      // per-node function of inc, so inc fixed ⇒ pr fixed; the first
+      // boundary has no prior boundary to compare against (the old
+      // shape compared against the Init vector there, which never
+      // matches a post-teleport boundary)
+      converged = prev.exists { p =>
+        val delta = next
+          .join(p.withColumnRenamed("inc", "inc0"), Seq("url"))
+          .agg(max(abs(col("inc") - col("inc0")))).head
+        !delta.isNullAt(0) && delta.getLong(0) == 0L
+      }
+      prev = Some(next)
+      inc = next
     }
-    val top = ranks
-      .join(g.indeg, ranks("url") === g.indeg("dst"), "left")
-      .select(ranks("url"),
+    // the affine map + node set + in-degree run ONCE, on the way out
+    val top = g.nodes.join(inc, Seq("url"), "left")
+      .select(col("url"),
+        (lit(TeleportMicro) +
+          expr(s"($DampingPct * coalesce(inc, CAST(0 AS BIGINT)))" +
+            " div 100")).as("pr"))
+      .join(g.indeg, col("url") === g.indeg("dst"), "left")
+      .select(col("url"),
         coalesce(col("n_in"), lit(0L)).as("n_in"), col("pr"))
       .orderBy(col("pr").desc, col("url").asc)
       .limit(k)
