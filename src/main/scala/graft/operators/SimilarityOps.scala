@@ -1191,22 +1191,9 @@ object SimilarityOps {
       .distinct()
   }
 
-  /** Oracle twin of [[knnGraph]]. */
-  def knnGraphSql(table: String, k: Int): String =
-    s"""WITH e AS (SELECT vec_id,
-       |    list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM $table),
-       |n AS MATERIALIZED (SELECT vec_id, v,
-       |  sqrt(list_dot_product(v, v)) AS nrm FROM e)
-       |SELECT src, dst, round(s, 6) AS score FROM (
-       |  SELECT src, dst, s, row_number() OVER (
-       |      PARTITION BY src ORDER BY s DESC, dst ASC) AS rn
-       |  FROM (
-       |    SELECT a.vec_id AS src, b.vec_id AS dst,
-       |      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS s
-       |    FROM n a JOIN n b ON a.vec_id <> b.vec_id))
-       |WHERE rn <= $k
-       |ORDER BY src ASC, score DESC, dst ASC""".stripMargin
+  // (knnGraphSql — n34's DuckDB twin — left with n34 in round 13:
+  // the exact build is spec-only ground truth now; git history keeps
+  // the SQL if the registry ever wants the exact build back.)
 
   /** GRAPH-ANN BEAM SEARCH (n35) — the HNSW/NSW-class SERVING query
     * over a prepared [[knnGraph]] relation: start at the entry node
@@ -1675,24 +1662,10 @@ object SimilarityOps {
         round(col("n_hit") / col("n_exact"), 4).as("recall"))
   }
 
-  /** Oracle twin of [[knnGraphEdgeRecall]]. */
-  def knnGraphEdgeRecallSql(table: String, k: Int, stride: Int,
-      nProbe: Int, nndRounds: Int): String =
-    s"""WITH ${knnGraphBoundedCtes(table, k, stride, nProbe, nndRounds)},
-       |exact AS (SELECT src, dst FROM (
-       |    SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (
-       |        PARTITION BY a.vec_id
-       |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
-       |          DESC, b.vec_id ASC) AS rn
-       |    FROM n a JOIN n b ON a.vec_id <> b.vec_id)
-       |  WHERE rn <= $k)
-       |SELECT count(*) AS n_exact,
-       |  CAST(sum(CASE WHEN bg.src IS NULL THEN 0 ELSE 1 END)
-       |    AS BIGINT) AS n_hit,
-       |  round(CAST(sum(CASE WHEN bg.src IS NULL THEN 0 ELSE 1 END)
-       |    AS DOUBLE) / count(*), 4) AS recall
-       |FROM exact LEFT JOIN bg
-       |  ON exact.src = bg.src AND exact.dst = bg.dst""".stripMargin
+  // (knnGraphEdgeRecallSql — n34r's DuckDB twin — left with n34r in
+  // round 13: the full-graph recall eval is spec-only now, and the
+  // spec adjudicates through the Scala sides; git history keeps the
+  // SQL if the registry ever wants the full eval back.)
 
   /** HIERARCHICAL entry tier for the graph-ANN walk (round-12
     * verdict item 5) — the coarse-routing layer HNSW gets from its
