@@ -304,14 +304,17 @@ object QueriesDedupSim {
     // the graph navigable) — the HNSW-class serving query: o(1)
     // coordinator-held beam state, two bucket-prunable point reads
     // per round, cost independent of corpus size. Deterministic
-    // (sequential-fold double scores, (s desc, id asc) selection,
-    // entry = min non-query id), so the fixed-round unrolled SQL
-    // twin replays it exactly; recall@10 = 10/10 vs n1's exact
-    // ground truth at sf0.1 (spec-pinned ≥ 8).
+    // (sequential-fold double scores, (s desc, id asc) selection),
+    // so the fixed-round unrolled SQL twin replays it exactly;
+    // recall@10 = 10/10 vs n1's exact ground truth at sf0.1
+    // (spec-pinned ≥ 8). Round 14: entry is the HIERARCHICAL
+    // two-level routing (entryFan = 4 — coarse √-tier over the
+    // stride-50 codebook), the documented 100 TB entry rule, now on
+    // the oracle-gated serving path (round-13 verdict item 1).
     "n35_graph_ann" -> ((s, dir) =>
       SimilarityOps.graphBeamSearch(annGraphFixture(s, dir),
         Tables.embeddings(s, dir), queryId = 0L, beam = 16,
-        rounds = 8, k = 10)),
+        rounds = 8, k = 10, entryFan = 4)),
 
     // n34b: the BOUNDED kNN-graph build — the 100 TB path n34's
     // scaladoc promised (round-11 verdict item 2): candidates from
@@ -348,12 +351,14 @@ object QueriesDedupSim {
     // the batched twin every other serving tier already has
     // (l8/n10/n15 convention): all queries' beams expand in the
     // same two jobs per round, so a batch pays `rounds` round-trips
-    // total, not rounds × |queries|. Entries centroid-seeded per
-    // query.
+    // total, not rounds × |queries|. Round 14: entries are
+    // HIERARCHICALLY routed per query (entryFan = 4) in ONE
+    // declarative plan for the whole batch — zero per-query driver
+    // actions on the serving path (round-13 verdict item 1).
     "n36_graph_ann_batch" -> ((s, dir) =>
       SimilarityOps.graphBeamSearchBatch(boundedNswFixture(s, dir),
         Tables.embeddings(s, dir), queryMod = 199, beam = 16,
-        rounds = 8, k = 10)),
+        rounds = 8, k = 10, entryFan = 4)),
 
     // n37: INCREMENTAL graph maintenance (k18/n22 convention) —
     // appended vectors (vec_id % 4 == 3) join the prepared base
@@ -380,7 +385,8 @@ object QueriesDedupSim {
     // fixed 8 rounds.
     "n35_graph_ann" ->
       operators.SimilarityOps.graphBeamSearchSql("embeddings",
-        queryId = 0L, graphK = 24, beam = 16, rounds = 8, k = 10),
+        queryId = 0L, graphK = 24, beam = 16, rounds = 8, k = 10,
+        entryFan = 4),
 
     "n34b_knn_graph_bounded" ->
       operators.SimilarityOps.knnGraphBoundedSql("embeddings",
@@ -394,7 +400,7 @@ object QueriesDedupSim {
     "n36_graph_ann_batch" ->
       operators.SimilarityOps.graphBeamSearchBatchSql("embeddings",
         queryMod = 199, graphK = 24, beam = 16, rounds = 8, k = 10,
-        stride = 50, nProbe = 2, nndRounds = 2),
+        stride = 50, nProbe = 2, nndRounds = 2, entryFan = 4),
 
     "n37_graph_append" ->
       operators.SimilarityOps.knnGraphBoundedSql("embeddings",

@@ -312,10 +312,10 @@ object ServedTwins {
          |sc AS MATERIALIZED (SELECT vec_id, label,
          |    list_dot_product(v, qv) / (nrm * qn) AS s
          |  FROM n, q WHERE vec_id <> 0),
+         |${operators.SimilarityOps.hierEntryCtes(50, 4,
+             batched = false)},
          |v0 AS (SELECT vec_id, label, s FROM sc
-         |  WHERE vec_id = (SELECT vec_id FROM sc
-         |                  WHERE vec_id % 50 = 0
-         |                  ORDER BY s DESC, vec_id ASC LIMIT 1)),
+         |  WHERE vec_id = (SELECT vec_id FROM hent)),
          |$roundCtes
          |SELECT vec_id, label, round(s, 6) AS score FROM v$rounds
          |ORDER BY s DESC, vec_id ASC LIMIT $k""".stripMargin
@@ -348,11 +348,11 @@ object ServedTwins {
          |sc AS MATERIALIZED (SELECT qrel.query_id, n.vec_id, n.label,
          |    list_dot_product(n.v, qrel.qv) / (n.nrm * qrel.qn) AS s
          |  FROM qrel, n WHERE n.vec_id <> qrel.query_id),
-         |v0 AS (SELECT query_id, vec_id, label, s FROM (
-         |    SELECT query_id, vec_id, label, s, row_number() OVER (
-         |        PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
-         |      AS rn
-         |    FROM sc WHERE vec_id % $stride = 0) WHERE rn = 1),
+         |${operators.SimilarityOps.hierEntryCtes(stride, 4,
+             batched = true)},
+         |v0 AS (SELECT sc.query_id, sc.vec_id, sc.label, sc.s
+         |  FROM sc JOIN hent ON sc.query_id = hent.query_id
+         |    AND sc.vec_id = hent.vec_id),
          |$roundCtes
          |SELECT query_id, vec_id, label, round(s, 6) AS score FROM (
          |  SELECT query_id, vec_id, label, s, row_number() OVER (

@@ -1214,7 +1214,8 @@ object SimilarityOps {
   def graphBeamSearch(graph: DataFrame, embeddings: DataFrame,
       queryId: Long, beam: Int, rounds: Int, k: Int,
       entryStride: Int = 50,
-      entryOverride: Option[Long] = None): DataFrame = {
+      entryOverride: Option[Long] = None,
+      entryFan: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
@@ -1231,14 +1232,22 @@ object SimilarityOps {
     // recall rides on at 100 TB, and ranking |C| seeds is one tiny
     // point read. Deterministic: raw-score desc, id asc. An explicit
     // `entryOverride` exists for the adversarial-entry spec (prove
-    // the walk escapes a wrong-cluster start).
+    // the walk escapes a wrong-cluster start). `entryFan > 0`
+    // switches to the HIERARCHICAL two-level routing ([[hierEntry]])
+    // — the 100 TB entry rule, one declarative plan (round-13
+    // verdict item 1); 0 keeps the flat full-codebook rank.
     val entry = entryOverride.getOrElse {
-      val seedIds = e
-        .filter(col("vec_id") % entryStride === 0 &&
-          col("vec_id") =!= queryId)
-        .select("vec_id").collect().map(_.getLong(0)).toSeq
-      scoreOf(seedIds).toSeq
-        .sortBy { case (id, s) => (-s, id) }.head._1
+      if (entryFan > 0)
+        hierEntryBatch(embeddings, col("vec_id") === queryId,
+          entryStride, entryFan).collect()(0).getLong(1)
+      else {
+        val seedIds = e
+          .filter(col("vec_id") % entryStride === 0 &&
+            col("vec_id") =!= queryId)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        scoreOf(seedIds).toSeq
+          .sortBy { case (id, s) => (-s, id) }.head._1
+      }
     }
     var visited = scoreOf(Seq(entry))
     (1 to rounds).foreach { _ =>
@@ -1274,7 +1283,22 @@ object SimilarityOps {
     * side's map.
     */
   def graphBeamSearchSql(table: String, queryId: Long, graphK: Int,
-      beam: Int, rounds: Int, k: Int, entryStride: Int = 50): String = {
+      beam: Int, rounds: Int, k: Int, entryStride: Int = 50,
+      entryFan: Int = 0): String = {
+    val entryCtes =
+      if (entryFan > 0) hierEntryCtes(entryStride, entryFan,
+        batched = false) + ",\n"
+      else ""
+    val v0 =
+      if (entryFan > 0)
+        """v0 AS (SELECT vec_id, label, s FROM sc
+          |  WHERE vec_id = (SELECT vec_id FROM hent)),""".stripMargin
+      else
+        s"""v0 AS (SELECT vec_id, label, s FROM sc
+           |  WHERE vec_id = (SELECT vec_id FROM sc
+           |                  WHERE vec_id % $entryStride = 0
+           |                  ORDER BY s DESC, vec_id ASC LIMIT 1)),"""
+          .stripMargin
     val roundCtes = (1 to rounds).map { i =>
       s"""b$i AS (SELECT vec_id FROM v${i - 1}
          |  ORDER BY s DESC, vec_id ASC LIMIT $beam),
@@ -1308,10 +1332,7 @@ object SimilarityOps {
        |sc AS MATERIALIZED (SELECT vec_id, label,
        |    list_dot_product(v, qv) / (nrm * qn) AS s
        |  FROM n, q WHERE vec_id <> $queryId),
-       |v0 AS (SELECT vec_id, label, s FROM sc
-       |  WHERE vec_id = (SELECT vec_id FROM sc
-       |                  WHERE vec_id % $entryStride = 0
-       |                  ORDER BY s DESC, vec_id ASC LIMIT 1)),
+       |$entryCtes$v0
        |$roundCtes
        |SELECT vec_id, label, round(s, 6) AS score FROM v$rounds
        |ORDER BY s DESC, vec_id ASC LIMIT $k""".stripMargin
@@ -1687,40 +1708,128 @@ object SimilarityOps {
     * so hop count stays flat as the corpus grows where a fixed entry
     * pays diameter (GraphAnnHierEntrySpec measures exactly this at
     * ×10 replica scale). Deterministic at every tier (raw score
-    * desc, id asc) — a SQL twin could unroll it, but n35/n36's
-    * registry semantics are unchanged (their flat-ranked entry is
-    * already centroid-quality at fixture scale); this tier is the
-    * documented 100 TB routing path, gated by spec.
+    * desc, id asc), so the SQL twins unroll it exactly — as of
+    * round 14 this IS n35/n36's registry entry rule
+    * ([[graphBeamSearch]]/[[graphBeamSearchBatch]] with
+    * `entryFan > 0`): the documented 100 TB routing path sits on the
+    * oracle-gated serving path, batched via [[hierEntryBatch]] (one
+    * declarative plan for the whole query set — zero per-query
+    * driver actions, the round-13 verdict item 1).
     */
   def hierEntry(embeddings: DataFrame, queryId: Long,
-      stride: Int = 50, fan: Int = 8): Long = {
+      stride: Int = 50, fan: Int = 8): Long =
+    hierEntryBatch(embeddings, col("vec_id") === queryId, stride, fan)
+      .collect()(0).getLong(1)
+
+  /** BATCHED hierarchical entry — [[hierEntry]]'s two-level routing
+    * for a whole query SET as ONE declarative plan (query_id,
+    * entry_id, s), no driver actions at all (the caller collects the
+    * |Q|-row result once for the walk's coordinator state):
+    *
+    *   1. best COARSE seed per query: queries stream through a
+    *      broadcast of the tiny coarse codebook (|C|/fan rows; the
+    *      constant-pmod key keeps the scan a BroadcastHashJoin, the
+    *      [[ivfMultiAssign]] convention) and row_number picks each
+    *      query's winner — |Q|·|C|/fan scoring, one stage;
+    *   2. fine→coarse cell assignment is QUERY-INDEPENDENT — one
+    *      best-of-one [[ivfMultiAssign]] pass over the fine seeds,
+    *      shared by every query in the batch;
+    *   3. entry per query = best of {fine seeds assigned to the
+    *      query's winning cell} ∪ {the coarse winner itself} —
+    *      an equi-join of the per-query winner with the assignment
+    *      relation (~fan candidates per query), raw score desc /
+    *      id asc, the empty-cell case degrading to the coarse seed
+    *      exactly as the single-query rule does.
+    *
+    * The query itself is excluded as a candidate at both tiers (it
+    * may still serve as an assignment centroid, matching the
+    * single-query semantics).
+    */
+  def hierEntryBatch(embeddings: DataFrame, queryPred: Column,
+      stride: Int = 50, fan: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val e = normedVecs(embeddings)
-    val q = e.filter(col("vec_id") === queryId)
-      .select(col("v").as("qv"), col("nrm").as("qn"))
-    def best(pred: org.apache.spark.sql.Column): Long =
-      e.filter(pred && col("vec_id") =!= queryId)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qn"))
-            .as("s"))
-        .orderBy(col("s").desc, col("vec_id").asc)
-        .limit(1).collect()(0).getLong(0)
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
     val coarseStride = stride.toLong * fan
-    val coarse = best(col("vec_id") % coarseStride === 0)
     val cents = e.filter(col("vec_id") % coarseStride === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("centroid_id").asc)
+    val bestCoarse = q.withColumn("__k", pmod(col("query_id"), lit(1)))
+      .join(broadcast(cents.withColumn("__k",
+        pmod(col("centroid_id"), lit(1)))), Seq("__k"))
+      .filter(col("centroid_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"),
+        cosinePrenormed(col("cv"), col("qv"), col("cnrm"), col("qn"))
+          .as("s"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("centroid_id").as("coarse_id"), col("s").as("coarse_s"))
     val fine = e.filter(col("vec_id") % stride === 0 &&
       col("vec_id") % coarseStride =!= 0)
-    val cellIds = ivfMultiAssign(fine, cents, 1)
-      .filter(col("centroid_id") === coarse)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    if (cellIds.isEmpty) coarse
-    else {
-      val fineBest = best(col("vec_id").isInCollection(cellIds) ||
-        col("vec_id") === coarse)
-      fineBest
-    }
+    val fineCell = ivfMultiAssign(fine, cents, 1)
+      .withColumnRenamed("centroid_id", "coarse_id")
+      .join(fine.select(col("vec_id"), col("v"), col("nrm")),
+        Seq("vec_id"))
+    val candFine = fineCell.join(broadcast(bestCoarse), Seq("coarse_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosinePrenormed(col("v"), col("qv"), col("nrm"), col("qn"))
+          .as("s"))
+    val candCoarse = bestCoarse.select(col("query_id"),
+      col("coarse_id").as("vec_id"), col("coarse_s").as("s"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("vec_id").asc)
+    candFine.unionByName(candCoarse)
+      .withColumn("__rn", row_number().over(we))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("vec_id").as("entry_id"), col("s"))
+  }
+
+  /** Hier-entry CTE block shared by the n35/n36 oracle twins (both
+    * recompute and served variants): given `n` (vec_id, label, v,
+    * nrm) and `sc` (per-query scores of every non-query vector —
+    * single-query: (vec_id, label, s); batched: keyed by query_id),
+    * produce `hent` — the routed entry id(s), replaying
+    * [[hierEntryBatch]]'s three stages with the identical rounding
+    * (assignment cosine at 6 dp, selection on RAW scores) and tie
+    * rules (score desc, id asc).
+    */
+  private[graft] def hierEntryCtes(stride: Int, fan: Int,
+      batched: Boolean): String = {
+    val coarseStride = stride.toLong * fan
+    val qCols = if (batched) "query_id, " else ""
+    val part = if (batched) "PARTITION BY query_id " else ""
+    s"""hc AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+       |  FROM n WHERE vec_id % $coarseStride = 0),
+       |hasg AS (SELECT vec_id, centroid_id FROM (
+       |    SELECT f.vec_id, hc.centroid_id, row_number() OVER (
+       |        PARTITION BY f.vec_id
+       |        ORDER BY round(list_dot_product(f.v, hc.cv)
+       |          / (f.nrm * hc.cnrm), 6) DESC, hc.centroid_id ASC)
+       |      AS rn
+       |    FROM (SELECT vec_id, v, nrm FROM n
+       |      WHERE vec_id % $stride = 0
+       |        AND vec_id % $coarseStride <> 0) f, hc)
+       |  WHERE rn = 1),
+       |hbc AS (SELECT ${qCols}vec_id, s FROM (
+       |    SELECT ${qCols}vec_id, s, row_number() OVER (
+       |        ${part}ORDER BY s DESC, vec_id ASC) AS rn
+       |    FROM sc WHERE vec_id % $coarseStride = 0) WHERE rn = 1),
+       |hcand AS (
+       |  SELECT ${if (batched) "sc.query_id, " else ""}sc.vec_id, sc.s
+       |  FROM sc JOIN hasg USING (vec_id)
+       |  JOIN hbc ON hasg.centroid_id = hbc.vec_id${
+        if (batched) " AND sc.query_id = hbc.query_id" else ""}
+       |  UNION ALL SELECT ${qCols}vec_id, s FROM hbc),
+       |hent AS (SELECT ${qCols}vec_id FROM (
+       |    SELECT ${qCols}vec_id, row_number() OVER (
+       |        ${part}ORDER BY s DESC, vec_id ASC) AS rn
+       |    FROM hcand) WHERE rn = 1)""".stripMargin
   }
 
   /** SAMPLED edge-recall eval (n34s) — the recall gate that SURVIVES
@@ -1829,7 +1938,7 @@ object SimilarityOps {
     */
   def graphBeamSearchBatch(graph: DataFrame, embeddings: DataFrame,
       queryMod: Int, beam: Int, rounds: Int, k: Int,
-      entryStride: Int = 50): DataFrame = {
+      entryStride: Int = 50, entryFan: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = normedVecs(embeddings)
@@ -1851,21 +1960,39 @@ object SimilarityOps {
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
         .toMap
     }
-    val qIds = q.select("query_id").collect().map(_.getLong(0))
-      .toSeq.sorted
-    val seedIds = e.filter(col("vec_id") % entryStride === 0)
-      .select("vec_id").collect().map(_.getLong(0)).toSeq
-    val seedScores = scoreOf(for {
-      qid <- qIds; sid <- seedIds if sid != qid
-    } yield (qid, sid))
     // visited: per query, id -> raw score
     val visited = scala.collection.mutable.Map[Long,
       scala.collection.mutable.Map[Long, Double]]()
-    qIds.foreach { qid =>
-      val (entry, s0) = seedScores.collect {
-        case ((`qid`, sid), s) => (sid, s)
-      }.toSeq.sortBy { case (id, s) => (-s, id) }.head
-      visited(qid) = scala.collection.mutable.Map(entry -> s0)
+    // Entry seeding: ONE job for the whole batch either way. With
+    // `entryFan > 0` the entries are hierarchically ROUTED
+    // ([[hierEntryBatch]] — the 100 TB rule, a single declarative
+    // plan whose |Q|-row result is the only thing collected); with 0
+    // every query ranks the full flat codebook (|Q|·|C| pairs in one
+    // scoring job).
+    val qIds: Seq[Long] = if (entryFan > 0) {
+      val entries = hierEntryBatch(embeddings,
+          col("vec_id") % queryMod === 0, entryStride, entryFan)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      entries.foreach { case (qid, eid, s0) =>
+        visited(qid) = scala.collection.mutable.Map(eid -> s0)
+      }
+      entries.map(_._1).toSeq.sorted
+    } else {
+      val ids = q.select("query_id").collect().map(_.getLong(0))
+        .toSeq.sorted
+      val seedIds = e.filter(col("vec_id") % entryStride === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val seedScores = scoreOf(for {
+        qid <- ids; sid <- seedIds if sid != qid
+      } yield (qid, sid))
+      ids.foreach { qid =>
+        val (entry, s0) = seedScores.collect {
+          case ((`qid`, sid), s) => (sid, s)
+        }.toSeq.sortBy { case (id, s) => (-s, id) }.head
+        visited(qid) = scala.collection.mutable.Map(entry -> s0)
+      }
+      ids
     }
     (1 to rounds).foreach { _ =>
       val frontier = qIds.flatMap { qid =>
@@ -1904,7 +2031,23 @@ object SimilarityOps {
     */
   def graphBeamSearchBatchSql(table: String, queryMod: Int,
       graphK: Int, beam: Int, rounds: Int, k: Int, stride: Int,
-      nProbe: Int, nndRounds: Int): String = {
+      nProbe: Int, nndRounds: Int, entryFan: Int = 0): String = {
+    val entryCtes =
+      if (entryFan > 0) hierEntryCtes(stride, entryFan,
+        batched = true) + ",\n"
+      else ""
+    val v0 =
+      if (entryFan > 0)
+        """v0 AS (SELECT sc.query_id, sc.vec_id, sc.label, sc.s
+          |  FROM sc JOIN hent ON sc.query_id = hent.query_id
+          |    AND sc.vec_id = hent.vec_id),""".stripMargin
+      else
+        s"""v0 AS (SELECT query_id, vec_id, label, s FROM (
+           |    SELECT query_id, vec_id, label, s, row_number() OVER (
+           |        PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
+           |      AS rn
+           |    FROM sc WHERE vec_id % $stride = 0) WHERE rn = 1),"""
+          .stripMargin
     val roundCtes = (1 to rounds).map { i =>
       s"""b$i AS (SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id, row_number() OVER (
@@ -1930,11 +2073,7 @@ object SimilarityOps {
        |sc AS MATERIALIZED (SELECT qrel.query_id, n.vec_id, n.label,
        |    list_dot_product(n.v, qrel.qv) / (n.nrm * qrel.qn) AS s
        |  FROM qrel, n WHERE n.vec_id <> qrel.query_id),
-       |v0 AS (SELECT query_id, vec_id, label, s FROM (
-       |    SELECT query_id, vec_id, label, s, row_number() OVER (
-       |        PARTITION BY query_id ORDER BY s DESC, vec_id ASC)
-       |      AS rn
-       |    FROM sc WHERE vec_id % $stride = 0) WHERE rn = 1),
+       |$entryCtes$v0
        |$roundCtes
        |SELECT query_id, vec_id, label, round(s, 6) AS score FROM (
        |  SELECT query_id, vec_id, label, s, row_number() OVER (

@@ -121,15 +121,17 @@ class GraphAnnBoundedSpec extends SparkSpec {
       "(n36 is a batching, not a new semantics)") {
     val emb = Tables.embeddings(spark, sfSmoke)
     val nsw = graft.RegistryFixtures.boundedNswFixture(spark, sfSmoke)
+    // entryFan = 4 — the registry's hier-routed config: the gate
+    // covers the batching of BOTH the walk and the entry tier
     val batch = SimilarityOps.graphBeamSearchBatch(nsw, emb,
-      queryMod = 199, beam = 16, rounds = 8, k = 10)
+      queryMod = 199, beam = 16, rounds = 8, k = 10, entryFan = 4)
       .select("query_id", "vec_id", "label", "score")
       .as[(Long, Long, Int, Double)].collect().toSeq
     val qIds = batch.map(_._1).distinct.sorted
     assert(qIds == Seq(0L, 199L, 398L))
     qIds.foreach { qid =>
       val single = SimilarityOps.graphBeamSearch(nsw, emb, qid,
-        beam = 16, rounds = 8, k = 10)
+        beam = 16, rounds = 8, k = 10, entryFan = 4)
         .as[(Long, Int, Double)].collect().toSeq
         .map { case (v, l, s) => (qid, v, l, s) }
       assert(batch.filter(_._1 == qid) == single,

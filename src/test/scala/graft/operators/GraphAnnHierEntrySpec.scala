@@ -114,6 +114,26 @@ class GraphAnnHierEntrySpec extends SparkSpec {
       s"hier needs more hops than flat at x10: $hier10 > $flat10")
   }
 
+  test("hierEntryBatch == per-query hierEntry over a whole query " +
+      "set (the batch is a batching, not a new entry rule)") {
+    val emb = clusteredCorpus(n = 2000, d = 32, c = 10)
+      .localCheckpoint()
+    val batch = SimilarityOps.hierEntryBatch(emb,
+        col("vec_id") % 163 === 0, stride = EntryStride,
+        fan = EntryFan)
+      .select("query_id", "entry_id")
+      .as[(Long, Long)].collect().toMap
+    val qids = (0L until 2000L).filter(_ % 163 == 0)
+    assert(batch.keySet == qids.toSet,
+      s"batch must route every query: got ${batch.keySet}")
+    qids.foreach { qid =>
+      val single = SimilarityOps.hierEntry(emb, qid,
+        stride = EntryStride, fan = EntryFan)
+      assert(batch(qid) == single,
+        s"batch entry ${batch(qid)} != single $single for query $qid")
+    }
+  }
+
   test("hierEntry routes into the query's own cluster (the entry is " +
       "a same-label medoid) and is deterministic") {
     val emb = clusteredCorpus(n = 2000, d = 32, c = 10)
