@@ -210,6 +210,16 @@ object Bench {
         } catch { case _: Throwable => failed += name }
       }
     }
+    // EXIT calibration (round-13 verdict item 2): the entry gate
+    // bounds only the conditions the run STARTED under — round 13's
+    // recorded close entered quiet and degraded mid-run (1.78 raw
+    // recorded vs 1.57–1.59 on quiet closes, all plans unchanged).
+    // Re-probe after measurement with the same min-of-2; the close is
+    // marked `loaded` unless BOTH entry and exit probes sit under the
+    // gate, so a storm that arrives mid-run shows on the artifact's
+    // face instead of reading as a code regression.
+    val exitCalib = math.min(calibProbe(spark), calibProbe(spark))
+    val loaded = attempts.min > gate || exitCalib > gate
     val qs = names.map { k =>
       if (failed(k) || !times.contains(k)) "\"" + k + "\":null"
       else "\"" + k + f"""\":${times(k)}%.4f"""
@@ -259,7 +269,7 @@ object Bench {
     // keeps just gate + wait so its always-survives-a-tail size
     // guarantee holds (round-12 advice: ~21 attempts add hundreds of
     // bytes).
-    val gateJson = s""","calib_gate":$gate,"calib_wait_sec":$waited"""
+    val gateJson = f""","calib_gate":$gate,"calib_wait_sec":$waited,"calib_exit_sec":$exitCalib%.4f,"loaded":$loaded"""
     val attemptsJson = attempts.map(a => f"$a%.4f").mkString(
       s"""$gateJson,"calib_attempts":[""", ",", "]")
     val baseJson = baseline.map { b =>

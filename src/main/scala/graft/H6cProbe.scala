@@ -30,6 +30,13 @@ object H6cProbe {
         g, maxIters = 48, k = 20, blockIters = b)._1)
     }
 
+    // RDD-loop shape (round-13 verdict item 4): same semantics, zero
+    // per-round Catalyst analysis — blocks only decide probe cadence
+    Seq(8, 4).foreach { b =>
+      time(s"rdd-block$b")(operators.GraphOps.pageRankConvergedRdd(
+        g, maxIters = 48, k = 20, blockIters = b)._1)
+    }
+
     // OLD shape: 8 lazily chained rounds, lazy checkpoint at block end
     def oldShape(): DataFrame = {
       import operators.GraphOps.{InitMicro, TeleportMicro, DampingPct}

@@ -284,6 +284,15 @@ object QueriesStreamVersioned {
         graft.streaming.StreamingOps.stateWidth(rowMeta(fix)))
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
+      // Round-14 note: a per-batch PARTIAL rollup alongside the row
+      // sink (dedupSink's partialAgg — fold 3 tiny files instead of
+      // re-scanning the sink) was implemented and measured NET
+      // SLOWER at fixture scale: +0.9 s of in-stream write jobs for
+      // −0.1 s of final read (StProfile, min-of-3 same-window). The
+      // mechanism stays (StreamingSpec gates partials ≡ row rollup
+      // — it IS the right consumer shape when the row sink is
+      // 100 TB), but the registry keeps the direct read; ledger in
+      // BASELINE.md round-14.
       graft.streaming.StreamingOps.dedupSink(stream, "ts",
         Seq("event_id"), "60 days", run + "/out", run + "/ckpt")
       ss.read.parquet(run + "/out")

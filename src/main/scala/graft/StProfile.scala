@@ -56,7 +56,7 @@ object StProfile {
       q.awaitTermination()
     }
 
-    // (b) the real dedup sink
+    // (b) the real dedup sink (rows only — the pre-round-14 shape)
     var lastOut: String = null
     timed("dedup-stream") {
       val run = RegistryFixtures.tempTableRoot("graft_stprof_dedup")
@@ -67,7 +67,25 @@ object StProfile {
       lastOut = run + "/out"
     }
 
-    // (c) the final read + aggregate
+    // (b') rows + per-batch partial rollup (the round-14 st9 shape)
+    var lastAgg: String = null
+    timed("dedup-stream-partials") {
+      val run = RegistryFixtures.tempTableRoot("graft_stprof_dedupp")
+      val stream = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
+      streaming.StreamingOps.dedupSink(stream, "ts", Seq("event_id"),
+        "60 days", run + "/out", run + "/ckpt",
+        partialAgg = Some((
+          (b: org.apache.spark.sql.DataFrame) =>
+            b.groupBy(col("event_type"), col("user_id"))
+              .agg(count(lit(1)).as("n"),
+                sum(round(col("value") * 100).cast("long"))
+                  .as("cents")),
+          run + "/agg")))
+      lastAgg = run + "/agg"
+    }
+
+    // (c) the final read + aggregate over the FULL row sink
     timed("final-read") {
       ss.read.parquet(lastOut)
         .groupBy(col("event_type"))
@@ -75,6 +93,17 @@ object StProfile {
           countDistinct(col("user_id")).as("n_users"),
           (sum(round(col("value") * 100).cast("long")) / 100.0)
             .as("total_value"))
+        .orderBy(col("event_type").asc)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // (c') the final read folding the 3 tiny partial files
+    timed("final-read-partials") {
+      ss.read.parquet(lastAgg)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(col("cents")) / 100.0).as("total_value"))
         .orderBy(col("event_type").asc)
         .write.format("noop").mode("overwrite").save()
     }

@@ -253,6 +253,53 @@ class StreamingSpec extends SparkSpec {
       "each redelivered key must appear exactly once")
   }
 
+  test("dedupSink partialAgg: the per-batch partials fold to the " +
+      "same rollup as the row sink (the at-scale consumer path — " +
+      "kept off the st9 registry after measuring net-slower at " +
+      "fixture scale, see BASELINE.md round-14)") {
+    import spark.implicits._
+    val root = tmpDir("sdsinkp")
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i * 1000),
+        s"t${i % 2}", i * 10L))
+      .toDF("event_id", "ts", "event_type", "cents")
+    val in = root + "/in"
+    new java.io.File(in).mkdirs()
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root + "/" + name
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(in, s"$name.parquet").toPath)
+      ()
+    }
+    land("b0", mk(Seq(1L, 2L, 7L)))
+    land("b1", mk(Seq(1L, 3L, 7L, 9L)))
+    val schema = mk(Seq(0L)).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    StreamingOps.dedupSink(stream, "ts", Seq("event_id"),
+      "1 hour", root + "/out", root + "/ckpt",
+      partialAgg = Some((
+        (b: org.apache.spark.sql.DataFrame) =>
+          b.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("c")),
+        root + "/agg")))
+    val fromPartials = spark.read.parquet(root + "/agg")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("c")).as("c"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val fromRows = spark.read.parquet(root + "/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(fromPartials.toSeq == fromRows.toSeq,
+      "partials must fold to the row-sink rollup")
+  }
+
   test("stream-static enrichment join matches the batch equivalent") {
     import spark.implicits._
     val events = Tables.events(spark, sfSmoke)
