@@ -340,11 +340,16 @@ object QueriesDedupSim {
     // embeddings are isotropic-random (no neighborhood structure —
     // see GraphAnnBoundedSpec), so this pins the noise-floor number;
     // the spec's clustered corpus shows ≥ 95% where structure
-    // exists.
+    // exists. Round 14: the graph under test is the PREPARED n34b
+    // artifact (a recall monitor certifies the index serving walks,
+    // it does not rebuild it), while the oracle stays the full
+    // rebuild SQL — the hash gate also certifies fixture ≡ rebuild
+    // (the n35 convention); the served duck twin reads the same
+    // exported graph.
     "n34s_knn_sampled_recall" -> ((s, dir) =>
-      SimilarityOps.knnGraphSampledRecall(Tables.embeddings(s, dir),
-        k = 8, stride = 50, nProbe = 2, nndRounds = 2,
-        sampleN = 1000)),
+      SimilarityOps.knnGraphSampledRecallServed(
+        Tables.embeddings(s, dir),
+        boundedKnnGraphFixture(s, dir), k = 8, sampleN = 1000)),
 
     // n36: BATCHED graph-ANN serving over the BOUNDED graph — the
     // full production pairing (bounded build → batched walk), and

@@ -308,6 +308,25 @@ private[graft] object RegistryFixtures {
         .distinct().localCheckpoint()
     })
 
+  /** The k=8 BOUNDED kNN graph (n34b's exact build parameters), once
+    * per (session, dir) — the index ARTIFACT the sampled recall gate
+    * (n34s) certifies: a production recall monitor evaluates the
+    * prepared graph serving walks, it does not rebuild the index per
+    * evaluation (round-13 verdict item 7). n34b itself stays inline —
+    * the build is what IT measures.
+    */
+  private[graft] val boundedKnnGraphCaches =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+
+  private[graft] def boundedKnnGraphFixture(s: SparkSession,
+      dir: String): DataFrame =
+    boundedKnnGraphCaches.computeIfAbsent((s, dir), _ =>
+      operators.SimilarityOps
+        .knnGraphBounded(Tables.embeddings(s, dir), k = 8,
+          stride = 50, nProbe = 2, nndRounds = 2)
+        .localCheckpoint())
+
   /** The BASE bounded kNN graph (vec_id % 4 != 3, IVF-candidate
     * build, raw scores), once per (session, dir) — the existing
     * index artifact n37's incremental append maintains. Its codebook

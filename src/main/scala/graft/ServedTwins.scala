@@ -41,7 +41,8 @@ object ServedTwins {
     "l13_query_expansion", "l14_spell_search",
     "n9_dup_clusters", "n11_cluster_sizes", "n24_keep_best",
     "c18_leakage_audit", "t24_bpe_apply", "t25_bpe_tokens",
-    "n35_graph_ann", "n36_graph_ann_batch")
+    "n35_graph_ann", "n36_graph_ann_batch",
+    "n34s_knn_sampled_recall")
 
   /** Export every artifact the served queries read, as plain parquet
     * under `root` (the bucketed catalog layout is a Spark-side
@@ -72,6 +73,8 @@ object ServedTwins {
       .write.mode(SaveMode.Overwrite).parquet(s"$root/nsw_exact")
     RegistryFixtures.boundedNswFixture(spark, sfDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/nsw_bounded")
+    RegistryFixtures.boundedKnnGraphFixture(spark, sfDir)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/knn_bounded8")
   }
 
   /** DuckDB served-twin SQL per query, reading artifacts under
@@ -361,6 +364,11 @@ object ServedTwins {
          |ORDER BY query_id ASC, s DESC, vec_id ASC""".stripMargin
     }
 
+    // n34s: the sampled exact side recomputes on both engines (the
+    // certificate's own work); only the graph under test is served.
+    val n34s = operators.SimilarityOps.knnGraphSampledRecallServedSql(
+      "embeddings", k = 8, sampleN = 1000, graphRef = p("knn_bounded8"))
+
     Map(
       "l2_fts_search" -> l2, "l6_fts_ranked" -> l6,
       "l7_fts_bm25" -> l7, "l15_bm25f" -> l15,
@@ -368,7 +376,8 @@ object ServedTwins {
       "n9_dup_clusters" -> n9, "n11_cluster_sizes" -> n11,
       "n24_keep_best" -> n24, "c18_leakage_audit" -> c18,
       "t24_bpe_apply" -> t24, "t25_bpe_tokens" -> t25,
-      "n35_graph_ann" -> n35, "n36_graph_ann_batch" -> n36)
+      "n35_graph_ann" -> n35, "n36_graph_ann_batch" -> n36,
+      "n34s_knn_sampled_recall" -> n34s)
   }
 }
 
