@@ -26,31 +26,26 @@ import org.apache.spark.sql.DataFrame
 object Bench {
 
   /** DuckDB total at sf0.1 (tools/duckdb_baseline.py, 32 threads,
-    * warm, min-of-3 runs) — the round-13 FULL SINGLE-SESSION bake of
-    * all 218 oracle queries (2026-08-16, load avg ≤ 2.5 at start;
-    * tools/duckdb_bake_r13.json): **45.8472 s** — the LOWEST of
-    * three same-day bakes (46.34 / 45.85 / 45.89; tight band, the
-    * round-6/11 discipline of taking the number least favorable to
-    * the builder). The −7.0 s vs round-12's 52.88 decomposes as:
-    * n34/n34r retired (−1.04 − 6.53, the quadratic tier leaving the
-    * critical path), n34s added (+5.55 — sampled exact ground truth
-    * + bounded build), e3 added (+0.02), the n34b/n36/n37 CTEs
-    * re-timed under the round-13 reverse-neighbor cap (−0.9: the cap
-    * shrinks DuckDB's NN-descent candidate mass too — a
-    * shared-semantics fix helps both engines), and ~4 s of
-    * across-the-board window variance vs the r12 bake (r13's three
-    * runs agree within 0.5 s, so the new window is the stable one).
-    * Valid ONLY for
-    * the oracle suite it was measured against:
+    * warm, min-of-3 runs) — the round-14 bake of all 218 oracle
+    * queries (2026-08-16, the suite with n35/n36's hier-entry CTEs;
+    * tools/duckdb_bake_r14.json): **45.1192 s** — the PER-QUERY MIN
+    * across six same-day single-session bakes, a STRICTER discipline
+    * than round-13's lowest-single-bake-total: the six totals ranged
+    * 48.31–66.52 on a host that degraded mid-day, and recording any
+    * single loaded total would have FLATTERED the Spark ratio by
+    * inflating the denominator; the per-query min reconstructs the
+    * quiet-window cost of every query (it lands within 1.6% of
+    * round-13's 45.85 for a suite whose only SQL change was the
+    * entry CTEs — n35 −0.06, n36 +0.12, n34s −0.12 at per-query
+    * min, confirming the suite's true cost is unchanged). Valid
+    * ONLY for the oracle suite it was measured against:
     * [[RecordedDuckdbQueries]] AND [[RecordedDuckdbSuiteHash]]
-    * fingerprint the suite (count + sorted-name hash — round 13
-    * proved a count alone is too weak: the suite composition changed
-    * while the count landed back on 218), and the default is dropped
-    * on any mismatch, so a stale baked-in baseline can never
-    * silently shape the reported ratio. Ledger: BASELINE.md
-    * round-13.
+    * fingerprint the suite (count + sorted-name hash), and the
+    * default is dropped on any mismatch, so a stale baked-in
+    * baseline can never silently shape the reported ratio. Ledger:
+    * BASELINE.md round-14.
     */
-  val RecordedDuckdbSf01: Double = 45.8472
+  val RecordedDuckdbSf01: Double = 45.1192
   val RecordedDuckdbQueries: Int = 218
 
   /** Composition fingerprint of the oracle suite the baseline was
@@ -75,14 +70,17 @@ object Bench {
     * validated cell-for-cell); this is Σ(recompute − served) over
     * those queries, and `symmetric_ratio` divides by the baseline
     * with the correction applied — duck served where Spark serves.
-    * 14 twins (the 12 round-11 serving conversions + the graph
+    * 15 twins (the 12 round-11 serving conversions + the graph
     * walks n35/n36, whose Spark side reads a prepared navigation
-    * graph). Round-13 bake 2026-08-16 (n36's recompute side re-timed
-    * under the reverse-neighbor-capped CTEs): recompute 9.454,
-    * served 0.481 (tools/duckdb_bake_served_r13.json). Ledger:
-    * BASELINE.md round-13.
+    * graph, + n34s since round 14 — its Spark side certifies the
+    * prepared k=8 graph artifact, so duck reads the same exported
+    * graph; the sampled exact side recomputes on BOTH engines).
+    * Round-14 bake 2026-08-16, per-query min of both forms across
+    * three same-day bakes (the main-baseline discipline): recompute
+    * 13.511, served 3.476 (tools/duckdb_bake_served_r14.json).
+    * Ledger: BASELINE.md round-14.
     */
-  val RecordedServedDeltaSf01: Double = 8.9734
+  val RecordedServedDeltaSf01: Double = 10.0343
 
   /** Twin set the served delta above was baked against. The
     * symmetric pair is emitted only when BOTH (a) the baseline in
@@ -98,7 +96,8 @@ object Bench {
     "l13_query_expansion", "l14_spell_search",
     "n9_dup_clusters", "n11_cluster_sizes", "n24_keep_best",
     "c18_leakage_audit", "t24_bpe_apply", "t25_bpe_tokens",
-    "n35_graph_ann", "n36_graph_ann_batch")
+    "n35_graph_ann", "n36_graph_ann_batch",
+    "n34s_knn_sampled_recall")
 
   /** Quiet-host calibration floor (seconds for the fixed-work probe):
     * the builder's historic quiet reads 0.029–0.031 across rounds 6–9
@@ -215,11 +214,16 @@ object Bench {
     // recorded close entered quiet and degraded mid-run (1.78 raw
     // recorded vs 1.57–1.59 on quiet closes, all plans unchanged).
     // Re-probe after measurement with the same min-of-2; the close is
-    // marked `loaded` unless BOTH entry and exit probes sit under the
-    // gate, so a storm that arrives mid-run shows on the artifact's
-    // face instead of reading as a code regression.
+    // marked `loaded` unless the measurement window itself (the
+    // per-rep probes, which fold into `calib`, i.e. the best probe
+    // seen across entry attempts AND rep starts) AND the exit probe
+    // both sit under the gate — so a storm that arrives mid-run shows
+    // on the artifact's face instead of reading as a code regression,
+    // while a pre-run load that drained before rep 1 (first measured
+    // close: entry attempts 0.056+, rep probes 0.0299, exit 0.0334)
+    // does not falsely brand a quiet close.
     val exitCalib = math.min(calibProbe(spark), calibProbe(spark))
-    val loaded = attempts.min > gate || exitCalib > gate
+    val loaded = calib > gate || exitCalib > gate
     val qs = names.map { k =>
       if (failed(k) || !times.contains(k)) "\"" + k + "\":null"
       else "\"" + k + f"""\":${times(k)}%.4f"""

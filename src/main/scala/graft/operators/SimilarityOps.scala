@@ -1236,20 +1236,24 @@ object SimilarityOps {
     // switches to the HIERARCHICAL two-level routing ([[hierEntry]])
     // — the 100 TB entry rule, one declarative plan (round-13
     // verdict item 1); 0 keeps the flat full-codebook rank.
-    val entry = entryOverride.getOrElse {
-      if (entryFan > 0)
-        hierEntryBatch(embeddings, col("vec_id") === queryId,
-          entryStride, entryFan).collect()(0).getLong(1)
-      else {
+    // the hier plan already scored the routed entry — seed `visited`
+    // from its returned (entry_id, s) row instead of paying a second
+    // scoring job for the same number
+    var visited: Map[Long, Double] = entryOverride match {
+      case Some(e0) => scoreOf(Seq(e0))
+      case None if entryFan > 0 =>
+        val r = hierEntryBatch(embeddings, col("vec_id") === queryId,
+          entryStride, entryFan).collect()(0)
+        Map(r.getLong(1) -> r.getDouble(2))
+      case None =>
         val seedIds = e
           .filter(col("vec_id") % entryStride === 0 &&
             col("vec_id") =!= queryId)
           .select("vec_id").collect().map(_.getLong(0)).toSeq
-        scoreOf(seedIds).toSeq
+        val entry = scoreOf(seedIds).toSeq
           .sortBy { case (id, s) => (-s, id) }.head._1
-      }
+        scoreOf(Seq(entry))
     }
-    var visited = scoreOf(Seq(entry))
     (1 to rounds).foreach { _ =>
       val beamIds = visited.toSeq
         .sortBy { case (id, s) => (-s, id) }.take(beam).map(_._1)

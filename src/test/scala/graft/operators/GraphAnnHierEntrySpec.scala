@@ -134,6 +134,23 @@ class GraphAnnHierEntrySpec extends SparkSpec {
     }
   }
 
+  test("hierEntryBatch plan is BNLJ- and cartesian-free (the " +
+      "codebook scans are BroadcastHashJoins on the constant pmod " +
+      "key, the n34b convention)") {
+    val emb = clusteredCorpus(n = 2000, d = 32, c = 10)
+      .localCheckpoint()
+    val plan = SimilarityOps.hierEntryBatch(emb,
+        col("vec_id") % 163 === 0, stride = EntryStride,
+        fan = EntryFan)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "hier entry must not plan a broadcast nested loop join")
+    assert(!plan.contains("CartesianProduct"),
+      "hier entry must not plan a cartesian product")
+    assert(plan.contains("BroadcastHashJoin"),
+      "codebook scans should broadcast-hash-join")
+  }
+
   test("hierEntry routes into the query's own cluster (the entry is " +
       "a same-label medoid) and is deterministic") {
     val emb = clusteredCorpus(n = 2000, d = 32, c = 10)
