@@ -37,6 +37,16 @@ object H6cProbe {
         g, maxIters = 48, k = 20, blockIters = b)._1)
     }
 
+    // narrow-shuffle child (round 14 — the serving-width lever that
+    // bought n35/n36 ~0.9 s): per-round aggregates shuffle |nodes|
+    // rows, so 32 reduce tasks per round are scheduling overhead
+    Seq(8, 4).foreach { w =>
+      val ss = RegistryFixtures.stChild(spark, w)
+      val gN = RegistryFixtures.pageGraph(ss, sfDir)
+      time(s"block4-w$w")(operators.GraphOps.pageRankConverged(
+        gN, maxIters = 48, k = 20, blockIters = 4)._1)
+    }
+
     // OLD shape: 8 lazily chained rounds, lazy checkpoint at block end
     def oldShape(): DataFrame = {
       import operators.GraphOps.{InitMicro, TeleportMicro, DampingPct}

@@ -311,10 +311,25 @@ object QueriesDedupSim {
     // two-level routing (entryFan = 4 — coarse √-tier over the
     // stride-50 codebook), the documented 100 TB entry rule, now on
     // the oracle-gated serving path (round-13 verdict item 1).
-    "n35_graph_ann" -> ((s, dir) =>
-      SimilarityOps.graphBeamSearch(annGraphFixture(s, dir),
-        Tables.embeddings(s, dir), queryId = 0L, beam = 16,
-        rounds = 8, k = 10, entryFan = 4)),
+    // Serving-width child session (round 14 — the st9 stateWidth
+    // argument applied to the serving path): every walk round
+    // shuffles relations bounded by |Q|·beam·degree rows (≤ 16·48
+    // here), so the corpus-default 32 reduce tasks per tiny exchange
+    // are pure scheduling overhead; the width DERIVES from the
+    // frontier bound via the same stateWidth rule production sizes
+    // streaming state by. Measured −10% on each walk under the
+    // rep-INTERLEAVED GraphWalkWidthProbe (n35 1.49→1.35, n36
+    // 2.12→1.90; a first sequential-order probe claimed 45% and was
+    // a JIT-warmup artifact — ledgered in BASELINE.md round-14).
+    // AQE's coalescePartitions only merges the reduce side — the
+    // map-wave task count is what the narrow session removes.
+    "n35_graph_ann" -> ((s, dir) => {
+      val ss = stChild(s,
+        graft.streaming.StreamingOps.stateWidth(16L * 48))
+      SimilarityOps.graphBeamSearch(annGraphFixture(ss, dir),
+        Tables.embeddings(ss, dir), queryId = 0L, beam = 16,
+        rounds = 8, k = 10, entryFan = 4)
+    }),
 
     // n34b: the BOUNDED kNN-graph build — the 100 TB path n34's
     // scaladoc promised (round-11 verdict item 2): candidates from
@@ -360,10 +375,15 @@ object QueriesDedupSim {
     // HIERARCHICALLY routed per query (entryFan = 4) in ONE
     // declarative plan for the whole batch — zero per-query driver
     // actions on the serving path (round-13 verdict item 1).
-    "n36_graph_ann_batch" -> ((s, dir) =>
-      SimilarityOps.graphBeamSearchBatch(boundedNswFixture(s, dir),
-        Tables.embeddings(s, dir), queryMod = 199, beam = 16,
-        rounds = 8, k = 10, entryFan = 4)),
+    "n36_graph_ann_batch" -> ((s, dir) => {
+      // frontier bound |Q|·beam·degree — |Q| = N/199 ≈ 11 at sf0.1
+      // (n35's serving-width note above)
+      val ss = stChild(s,
+        graft.streaming.StreamingOps.stateWidth(11L * 16 * 48))
+      SimilarityOps.graphBeamSearchBatch(boundedNswFixture(ss, dir),
+        Tables.embeddings(ss, dir), queryMod = 199, beam = 16,
+        rounds = 8, k = 10, entryFan = 4)
+    }),
 
     // n37: INCREMENTAL graph maintenance (k18/n22 convention) —
     // appended vectors (vec_id % 4 == 3) join the prepared base
