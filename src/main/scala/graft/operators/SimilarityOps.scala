@@ -1254,15 +1254,28 @@ object SimilarityOps {
           .sortBy { case (id, s) => (-s, id) }.head._1
         scoreOf(Seq(entry))
     }
+    // ONE job per round (round 14 — halve the serving round-trips):
+    // the beam's expansion AND its scoring run in the same plan (the
+    // expansion subtree broadcasts into the vector equi-join), and
+    // the driver filters already-visited ids from the scored result.
+    // Re-scoring a visited id computes the IDENTICAL double (same
+    // expression, same fold), and the expansion set is bounded by
+    // beam·degree, so the fused plan does at most that much extra
+    // scoring work in exchange for one driver barrier per round
+    // instead of two.
     (1 to rounds).foreach { _ =>
       val beamIds = visited.toSeq
         .sortBy { case (id, s) => (-s, id) }.take(beam).map(_._1)
-      val fresh = graph
+      val exp = graph
         .filter(col("src").isInCollection(beamIds))
-        .select(col("dst")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-        .filterNot(visited.contains).filter(_ != queryId)
-      if (fresh.nonEmpty) visited = visited ++ scoreOf(fresh)
+        .select(col("dst").as("vec_id")).distinct()
+      val scored = e.join(broadcast(exp), Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      val fresh = scored.filter { case (id, _) =>
+        id != queryId && !visited.contains(id) }
+      if (fresh.nonEmpty) visited = visited ++ fresh
     }
     val top = visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
     import spark.implicits._
@@ -2037,6 +2050,15 @@ object SimilarityOps {
       }
       ids
     }
+    // Two jobs per round for the batch — a FUSED single-plan round
+    // (expansion subtree broadcast into the scoring joins, the n35
+    // shape) was tried in round 14 and measured ~30% SLOWER here:
+    // n36's expansion is a join+distinct, and executing that shuffle
+    // INSIDE a per-round BroadcastExchange costs more than collecting
+    // the pair list and re-broadcasting it as a literal (n35's
+    // expansion is a bare filter+distinct, where the fusion wins —
+    // see BASELINE.md round-14). The batch still pays 2·rounds
+    // barriers TOTAL for the whole query set.
     (1 to rounds).foreach { _ =>
       val frontier = qIds.flatMap { qid =>
         visited(qid).toSeq.sortBy { case (id, s) => (-s, id) }
