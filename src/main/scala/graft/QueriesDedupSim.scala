@@ -14,6 +14,24 @@ import graft.RegistryFixtures._
   * oracle twins are verbatim, SparkEntry concatenates the families.
   */
 object QueriesDedupSim {
+
+  /** Serving-width child sessions for the graph walks (n35/n36) —
+    * the st9 stateWidth argument on the serving path: every walk
+    * round shuffles ≤ |Q|·beam·degree rows (n35: 1·16·48; n36:
+    * |Q| = N/199 ≈ 11 at sf0.1), so the width DERIVES from the
+    * frontier bound. Factored out so ServedTwins.exportArtifacts
+    * fetches the graph fixtures through the SAME (session, dir)
+    * cache key the registry closures use — the round-14 advice
+    * found the parent-session export building (and
+    * localCheckpoint'ing) each heavy graph fixture a second time
+    * per process.
+    */
+  private[graft] def servingChild(s: SparkSession): SparkSession =
+    stChild(s, graft.streaming.StreamingOps.stateWidth(16L * 48))
+
+  private[graft] def servingBatchChild(s: SparkSession): SparkSession =
+    stChild(s, graft.streaming.StreamingOps.stateWidth(11L * 16 * 48))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- north-star: similarity search over embeddings (L1) ----
     "n1_cosine_topk" -> ((s, dir) =>
@@ -324,8 +342,7 @@ object QueriesDedupSim {
     // AQE's coalescePartitions only merges the reduce side — the
     // map-wave task count is what the narrow session removes.
     "n35_graph_ann" -> ((s, dir) => {
-      val ss = stChild(s,
-        graft.streaming.StreamingOps.stateWidth(16L * 48))
+      val ss = servingChild(s)
       SimilarityOps.graphBeamSearch(annGraphFixture(ss, dir),
         Tables.embeddings(ss, dir), queryId = 0L, beam = 16,
         rounds = 8, k = 10, entryFan = 4)
@@ -376,10 +393,7 @@ object QueriesDedupSim {
     // declarative plan for the whole batch — zero per-query driver
     // actions on the serving path (round-13 verdict item 1).
     "n36_graph_ann_batch" -> ((s, dir) => {
-      // frontier bound |Q|·beam·degree — |Q| = N/199 ≈ 11 at sf0.1
-      // (n35's serving-width note above)
-      val ss = stChild(s,
-        graft.streaming.StreamingOps.stateWidth(11L * 16 * 48))
+      val ss = servingBatchChild(s)
       SimilarityOps.graphBeamSearchBatch(boundedNswFixture(ss, dir),
         Tables.embeddings(ss, dir), queryMod = 199, beam = 16,
         rounds = 8, k = 10, entryFan = 4)

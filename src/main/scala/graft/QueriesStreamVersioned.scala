@@ -182,7 +182,7 @@ object QueriesStreamVersioned {
       val stream = ss.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
       graft.streaming.StreamingOps.morUpsertSink(stream, ss, table,
-        Seq("doc_id"), None, run + "/ckpt", foldEvery = 2)
+        Seq("doc_id"), None, ckptRoot("graft_ckpt_mor"), foldEvery = 2)
       Versioned.current(ss, table).resultSorted(col("doc_id").asc)
     }),
 
@@ -205,7 +205,7 @@ object QueriesStreamVersioned {
         .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
       val store = run + "/regs"
       graft.streaming.StreamingOps.hllRegisterSink(stream, ss,
-        "event_type", "user_id", store, run + "/ckpt")
+        "event_type", "user_id", store, ckptRoot("graft_ckpt_hll"))
       val est = AnalyticsOps.hllEstimate(
         graft.streaming.StreamingOps.mergedHllRegisters(
           Catalog.load(ss, store)))
@@ -239,7 +239,7 @@ object QueriesStreamVersioned {
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
       graft.streaming.StreamingOps.cmsRegisterSink(stream, ss,
-        "user_id", run + "/regs", run + "/ckpt")
+        "user_id", run + "/regs", ckptRoot("graft_ckpt_cms"))
       val cands = Tables.events(ss, dir)
         .select("event_id", "user_id")
         .groupBy(col("user_id"))
@@ -294,7 +294,7 @@ object QueriesStreamVersioned {
       // 100 TB), but the registry keeps the direct read; ledger in
       // BASELINE.md round-14.
       graft.streaming.StreamingOps.dedupSink(stream, "ts",
-        Seq("event_id"), "60 days", run + "/out", run + "/ckpt")
+        Seq("event_id"), "60 days", run + "/out", ckptRoot("graft_ckpt_dedup"))
       ss.read.parquet(run + "/out")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -340,7 +340,7 @@ object QueriesStreamVersioned {
       graft.streaming.StreamingOps.intervalJoinSink(vStream, pStream,
         "v_user", "p_user", "view_ts", "p_ts",
         window = "30 minutes", watermarkDelay = "60 days",
-        run + "/out", run + "/ckpt")
+        run + "/out", ckptRoot("graft_ckpt_join"))
       ss.read.parquet(run + "/out")
         .select(col("view_id"), col("purchase_id"),
           col("v_user").as("user_id"),
@@ -383,7 +383,7 @@ object QueriesStreamVersioned {
       ssClicks.persist()
       try graft.streaming.StreamingOps.asofSink(stream, ssClicks,
         "user_id", "ts", "ts", Seq("click_id", "click_ts"),
-        "click_id", out, run + "/ckpt")
+        "click_id", out, ckptRoot("graft_ckpt_asof"))
       finally { ssClicks.unpersist(); () }
       ss.read.parquet(out)
         .withColumn("gap_us",

@@ -69,9 +69,15 @@ object ServedTwins {
       .toDF("rank", "pa", "pb")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$root/bpe_merges")
-    RegistryFixtures.annGraphFixture(spark, sfDir)
+    // the graph fixtures are cached per (session, dir) and the
+    // registry closures request them under the serving-width child
+    // sessions — export through the SAME children so each fixture is
+    // built exactly once per process (round-14 advice)
+    RegistryFixtures.annGraphFixture(
+        QueriesDedupSim.servingChild(spark), sfDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/nsw_exact")
-    RegistryFixtures.boundedNswFixture(spark, sfDir)
+    RegistryFixtures.boundedNswFixture(
+        QueriesDedupSim.servingBatchChild(spark), sfDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/nsw_bounded")
     RegistryFixtures.boundedKnnGraphFixture(spark, sfDir)
       .write.mode(SaveMode.Overwrite).parquet(s"$root/knn_bounded8")

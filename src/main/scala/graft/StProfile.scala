@@ -49,7 +49,8 @@ object StProfile {
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
       val q = stream.writeStream
-        .option("checkpointLocation", run + "/ckpt")
+        .option("checkpointLocation",
+          RegistryFixtures.ckptRoot("graft_stprof_ckpt"))
         .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -63,7 +64,8 @@ object StProfile {
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
       streaming.StreamingOps.dedupSink(stream, "ts", Seq("event_id"),
-        "60 days", run + "/out", run + "/ckpt")
+        "60 days", run + "/out",
+        RegistryFixtures.ckptRoot("graft_stprof_ckpt"))
       lastOut = run + "/out"
     }
 
@@ -74,7 +76,8 @@ object StProfile {
       val stream = ss.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(fix + "/in")
       streaming.StreamingOps.dedupSink(stream, "ts", Seq("event_id"),
-        "60 days", run + "/out", run + "/ckpt",
+        "60 days", run + "/out",
+        RegistryFixtures.ckptRoot("graft_stprof_ckpt"),
         partialAgg = Some((
           (b: org.apache.spark.sql.DataFrame) =>
             b.groupBy(col("event_type"), col("user_id"))

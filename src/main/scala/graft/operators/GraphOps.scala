@@ -289,6 +289,7 @@ object GraphOps {
       .map { case (_, (dst, od)) => (dst, InitMicro / od) }
       .reduceByKey(part, _ + _)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val round1 = inc
     def round(cur: RDD[(String, Long)]): RDD[(String, Long)] =
       ewd.leftOuterJoin(cur, part)
         .map { case (_, ((dst, od), incOpt)) =>
@@ -333,6 +334,16 @@ object GraphOps {
         coalesce(col("n_in"), lit(0L)).as("n_in"), col("pr"))
       .orderBy(col("pr").desc, col("url").asc)
       .limit(k)
+      // materialize the k-row result NOW (localCheckpoint is eager),
+      // then drop every persisted intermediate — repeated calls in
+      // one session must not accumulate MEMORY_AND_DISK blocks
+      // (round-14 advice: ewd, the round-1 block, and the final
+      // boundary all outlived the call; only interior boundaries
+      // were unpersisted). Mirrors the Dataset loop's hygiene.
+      .localCheckpoint()
+    ewd.unpersist(blocking = false)
+    round1.unpersist(blocking = false)
+    if (inc ne round1) inc.unpersist(blocking = false)
     (top, rounds, converged)
   }
 
