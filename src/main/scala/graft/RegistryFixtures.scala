@@ -257,12 +257,27 @@ private[graft] object RegistryFixtures {
     * On a real cluster the same derivation sizes reducer counts from
     * table statistics. Returns the parent unchanged when the derived
     * width is not narrower.
+    *
+    * AQE is OFF in the narrow child (the measured bigger half of the
+    * win — WidthSweepProbe round 15: w4na/w8na beat w4/w8 on 20/24
+    * floor queries, −20…−50% vs main): on a bounded-input query
+    * AQE's runtime re-planning has nothing left to decide — the
+    * static planner already broadcasts every dim at this size and
+    * the narrow width already fixes the reduce count — while its
+    * stage-by-stage execution pays one extra driver job barrier per
+    * exchange, which at 0.1 s scale IS the query. At corpus scale
+    * the derivation hands back the parent session, where AQE stays
+    * on (skew splitting and runtime join planning matter exactly
+    * there). Correctness is untouched either way — width and AQE
+    * are physical-only; every registry query ends in a total-order
+    * sort and the oracle hash gate replays both arms.
     */
   private[graft] def reportChild(s: SparkSession, dir: String,
       tables: String*): SparkSession = {
     val bound = tables.map(t => tableRows(s, dir, t)).max
     val w = graft.streaming.StreamingOps.stateWidth(bound)
-    if (w >= s.sparkContext.defaultParallelism) s else stChild(s, w)
+    if (w >= s.sparkContext.defaultParallelism) s
+    else stChild(s, w, aqe = false)
   }
 
   /** Fixture metadata: the observed input-row volume, written once at

@@ -1,0 +1,200 @@
+package graft
+
+/** REPORT-TIER registry wrap (round-14 verdict item 2): the central,
+  * auditable list of queries whose execution sessions derive a
+  * NARROW shuffle width (+ AQE off) from their input-table row
+  * bounds via [[RegistryFixtures.reportChild]].
+  *
+  * WHY: at local fixture scale (17 MB corpus) the ~150 report-tier
+  * queries run 32 reduce tasks per kilobyte exchange and pay one AQE
+  * stage barrier per shuffle — pure scheduling overhead that at
+  * 0.1 s/query IS the query. The width DERIVES from the max input
+  * table's parquet-footer row count through the SAME stateWidth rule
+  * streaming state and the graph walks are sized by (documents 5k→4,
+  * events 100k→8, lineitem 600k→32 = wrap is a no-op), so at
+  * production data sizes every entry hands back the full-width
+  * AQE-on parent session — nothing here is tuned to one scale
+  * factor.
+  *
+  * MEASURED (WidthSweepProbe, rep-interleaved min-of-4, 72 of the
+  * 146 entries across three batches — every family shape covered):
+  * narrow+noAQE beat the parent on 72/72, −13% median, up to −63%
+  * (n4 minhash 1.16→0.43, r4 salted window 0.75→0.30, st1 0.25→
+  * 0.12); the worst observed delta was −1.9% (n7), i.e. never a
+  * regression. Ledger: BASELINE.md round-15.
+  *
+  * MEMBERSHIP is mechanical, not curated: every registry query whose
+  * closure reads only base tables (no session-keyed served fixture,
+  * no versioned/streaming run root, no explicit child session) —
+  * extracted from the closure sources; the exclusions keep their own
+  * sessions (streaming st6–st11, graph walks n35/n36) or share
+  * process-wide fixture caches keyed by session (FTS served tier,
+  * dup clusters, BPE, k-family table templates), where a second
+  * session would double the fixture build.
+  */
+object ReportTier {
+  /** query name -> the input tables whose max row count bounds its
+    * exchanges (the stateWidth derivation input).
+    */
+  val Tables: Map[String, Seq[String]] = Map(
+    "a10_grouping_sets" -> Seq("documents"),
+    "a11_funnel" -> Seq("events"),
+    "a1_source_stats" -> Seq("documents"),
+    "a2_type_counts" -> Seq("events"),
+    "a3_two_key_stats" -> Seq("documents"),
+    "a5_filtered_agg" -> Seq("documents"),
+    "a7_totals" -> Seq("documents"),
+    "a8_rollup" -> Seq("documents"),
+    "a9_cube" -> Seq("documents"),
+    "c10_weighted_sample" -> Seq("documents"),
+    "c11_chunk_split" -> Seq("documents"),
+    "c12_pipeline_e2e" -> Seq("documents"),
+    "c13_epoch_shuffle" -> Seq("documents"),
+    "c14_split_pack" -> Seq("documents"),
+    "c15_target_mixture" -> Seq("documents"),
+    "c16_bloom_decontaminate" -> Seq("documents"),
+    "c19_domain_cap" -> Seq("documents"),
+    "c1_corpus_prep" -> Seq("documents"),
+    "c2_decontamination" -> Seq("documents"),
+    "c3_decontamination_lsh" -> Seq("documents"),
+    "c4_mixture_sample" -> Seq("documents"),
+    "c5_sequence_pack" -> Seq("documents"),
+    "c6_global_pack" -> Seq("documents"),
+    "c7_split_assign" -> Seq("documents"),
+    "c8_mixture_weights" -> Seq("documents"),
+    "c9_curriculum_pack" -> Seq("documents"),
+    "d1_profile" -> Seq("orders"),
+    "d2_dataset_card" -> Seq("documents"),
+    "d4_k_anonymity" -> Seq("customer"),
+    "e10_cms_exact" -> Seq("events"),
+    "e2_percentiles" -> Seq("lineitem"),
+    "e3_sketch_profile" -> Seq("events"),
+    "e4_kmv_distinct" -> Seq("events"),
+    "e5_kmv_union" -> Seq("events"),
+    "e6_quantile_sketch" -> Seq("events"),
+    "e7_heavy_hitters" -> Seq("events"),
+    "e8_kmv_intersect" -> Seq("events"),
+    "e9_hll_exact" -> Seq("events"),
+    "f4_json_extract" -> Seq("events"),
+    "f5_ship_latency" -> Seq("lineitem", "orders"),
+    "h1_html_extract" -> Seq("documents"),
+    "h2_html_boilerplate" -> Seq("documents"),
+    "h3_link_harvest" -> Seq("documents"),
+    "h4_web_pipeline" -> Seq("documents"),
+    "h5_frontier" -> Seq("documents"),
+    "j1_latest_per_key" -> Seq("events"),
+    "j2_asof_join" -> Seq("events"),
+    "k25_scd2" -> Seq("events"),
+    "k5_dedup_append" -> Seq("documents"),
+    "k9_incremental_rollup" -> Seq("documents"),
+    "l10_phrase_search" -> Seq("documents"),
+    "l11_rerank" -> Seq("documents", "embeddings"),
+    "l12_snippets" -> Seq("documents"),
+    "l3_popular_tags" -> Seq("documents"),
+    "l4_temporal_activity" -> Seq("events"),
+    "l5_license_distribution" -> Seq("documents"),
+    "l8_fts_batch" -> Seq("documents"),
+    "l9_hybrid_rrf" -> Seq("documents", "embeddings"),
+    "m2_media_histogram" -> Seq("documents"),
+    "m3_frame_sample" -> Seq("documents"),
+    "m4_asset_dedup" -> Seq("documents"),
+    "m5_mm_pack" -> Seq("documents"),
+    "n10_ivf_batch" -> Seq("embeddings"),
+    "n12_multiprobe_neardup" -> Seq("embeddings"),
+    "n13_kmeans_refine" -> Seq("embeddings"),
+    "n14_pq_topk" -> Seq("embeddings"),
+    "n15_ivfpq_batch" -> Seq("embeddings"),
+    "n16_centroid_outliers" -> Seq("embeddings"),
+    "n18_semantic_dedup" -> Seq("embeddings"),
+    "n19_hashed_embed" -> Seq("documents"),
+    "n1_cosine_topk" -> Seq("embeddings"),
+    "n20_trained_ivf" -> Seq("embeddings"),
+    "n21_stored_ivfpq" -> Seq("embeddings"),
+    "n23_hard_negatives" -> Seq("embeddings"),
+    "n25_substring_pairs" -> Seq("documents"),
+    "n26_index_delete" -> Seq("embeddings"),
+    "n27_contained_docs" -> Seq("documents"),
+    "n28_ivf_recall" -> Seq("embeddings"),
+    "n29_quantized_topk" -> Seq("embeddings"),
+    "n2_exact_dedup" -> Seq("documents"),
+    "n30_simhash_pairs" -> Seq("documents"),
+    "n31_fuzzy_match" -> Seq("documents"),
+    "n33_prefix_jaccard" -> Seq("documents"),
+    "n34b_knn_graph_bounded" -> Seq("embeddings"),
+    "n3_ngram_jaccard" -> Seq("documents"),
+    "n4_minhash_lsh" -> Seq("documents"),
+    "n5_label_top_pairs" -> Seq("embeddings"),
+    "n6x_lsh_seeded_topk" -> Seq("embeddings"),
+    "n6y_lsh_batch_topk" -> Seq("embeddings"),
+    "n6z_lsh_recall" -> Seq("embeddings"),
+    "n7_embedding_neardup" -> Seq("embeddings"),
+    "n8_ivf_topk" -> Seq("embeddings"),
+    "o4_truncate" -> Seq("documents"),
+    "o5_pagination" -> Seq("orders"),
+    "o6_keyset_page" -> Seq("orders"),
+    "p3_search_ilike" -> Seq("documents"),
+    "p4_search_filters" -> Seq("events"),
+    "p6_where_passthrough" -> Seq("events"),
+    "p7_array_contains" -> Seq("documents"),
+    "p8_ts_filter" -> Seq("events"),
+    "p9_distinct_sources" -> Seq("documents"),
+    "r1_salted_counts" -> Seq("events"),
+    "r2_range_join" -> Seq("events"),
+    "r3_asof_join" -> Seq("events"),
+    "r4_salted_window" -> Seq("events"),
+    "s1_hash_sample" -> Seq("documents"),
+    "s2_subset_algebra" -> Seq("documents"),
+    "st1_tumbling_counts" -> Seq("events"),
+    "st2_sliding_counts" -> Seq("events"),
+    "st3_sessions" -> Seq("events"),
+    "st4_native_sessions" -> Seq("events"),
+    "st5_stream_pack" -> Seq("documents"),
+    "status_rollup" -> Seq("documents"),
+    "t10_rare_tokens" -> Seq("documents"),
+    "t11_lm_score" -> Seq("documents"),
+    "t12_bigram_lm" -> Seq("documents"),
+    "t13_boilerplate" -> Seq("documents"),
+    "t14_gopher_gate" -> Seq("documents"),
+    "t15_pair_counts" -> Seq("documents"),
+    "t16_classifier_gate" -> Seq("documents"),
+    "t17_dsir_weights" -> Seq("documents"),
+    "t18_quantile_gate" -> Seq("documents"),
+    "t19_bpe_loop" -> Seq("documents"),
+    "t1_token_stats" -> Seq("documents"),
+    "t21_ngram_diversity" -> Seq("documents"),
+    "t22_blocklist_gate" -> Seq("documents"),
+    "t23_langid_eval" -> Seq("documents"),
+    "t26_threshold_sweep" -> Seq("documents"),
+    "t27_pii_scrub" -> Seq("documents"),
+    "t28_zipf_slope" -> Seq("documents"),
+    "t2_quality_score" -> Seq("documents"),
+    "t3_langid" -> Seq("documents"),
+    "t4_simhash" -> Seq("documents"),
+    "t5_fingerprints" -> Seq("documents"),
+    "t6_regex_token_stats" -> Seq("documents"),
+    "t7_rolling_fingerprints" -> Seq("documents"),
+    "t8_redaction_stats" -> Seq("events"),
+    "t9_repetition" -> Seq("documents"),
+    "u1_url_canonical" -> Seq("documents"),
+    "w2_running_totals" -> Seq("events"),
+    "w3_order_rank_stats" -> Seq("orders"),
+    "w4_time_range_avg" -> Seq("events"),
+    "w5_sessionize" -> Seq("events"),
+    "w6_cohort_retention" -> Seq("events"),
+    "w7_gapfill" -> Seq("events"),
+    "x1_xml_extract" -> Seq("documents"))
+
+  /** Wrap a registry closure: execute under the derived report-tier
+    * child when the query is listed, untouched otherwise.
+    */
+  def wrap(name: String,
+      fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame =
+    Tables.get(name) match {
+      case Some(ts) => (s, dir) =>
+        fn(RegistryFixtures.reportChild(s, dir, ts: _*), dir)
+      case None => fn
+    }
+}

@@ -48,6 +48,9 @@ object SparkEntry {
       QueriesCore.queries, QueriesDedupSim.queries,
       QueriesText.queries, QueriesPipeline.queries,
       QueriesSearch.queries, QueriesStreamVersioned.queries))
+      // report-tier narrow-session wrap (ReportTier scaladoc): width
+      // derived from input bounds, identity for everything unlisted
+      .map { case (n, fn) => n -> ReportTier.wrap(n, fn) }
 
   def oracleSql: Map[String, String] =
     disjointUnion("oracleSql", Seq(
