@@ -16,12 +16,13 @@ package graft
   * AQE-on parent session — nothing here is tuned to one scale
   * factor.
   *
-  * MEASURED (WidthSweepProbe, rep-interleaved min-of-4, 72 of the
-  * 146 entries across three batches — every family shape covered):
-  * narrow+noAQE beat the parent on 72/72, −13% median, up to −63%
-  * (n4 minhash 1.16→0.43, r4 salted window 0.75→0.30, st1 0.25→
-  * 0.12); the worst observed delta was −1.9% (n7), i.e. never a
-  * regression. Ledger: BASELINE.md round-15.
+  * MEASURED (WidthSweepProbe, rep-interleaved min-of-4, 87 queries
+  * across four batches — every family shape covered): SOME narrow
+  * arm beat the parent on 87/87, −13% median, up to −63% (n4
+  * minhash 1.16→0.43, r4 salted window 0.75→0.30, st1 0.25→0.12);
+  * the DERIVED arm (narrow + noAQE) regressed on exactly four
+  * (m2/n7/n19/t15, +3…+7%), which are excluded below. Ledger:
+  * BASELINE.md round-15.
   *
   * MEMBERSHIP is mechanical, not curated: every registry query whose
   * closure reads only base tables (no session-keyed served fixture,
@@ -30,7 +31,13 @@ package graft
   * sessions (streaming st6–st11, graph walks n35/n36) or share
   * process-wide fixture caches keyed by session (FTS served tier,
   * dup clusters, BPE, k-family table templates), where a second
-  * session would double the fixture build.
+  * session would double the fixture build. Measured exceptions
+  * excluded (WidthSweepProbe: worse at their derived arm): m2/n7/
+  * n19/t15 (+3…+7% at w4na — their best arm was a different
+  * width/AQE combination, and a per-query override table would be a
+  * literal tuned to one scale factor). The k write family joined by
+  * measurement in batch 4 (−6…−36%); k11 measured neutral and stays
+  * out.
   */
 object ReportTier {
   /** query name -> the input tables whose max row count bounds its
@@ -83,6 +90,28 @@ object ReportTier {
     "h4_web_pipeline" -> Seq("documents"),
     "h5_frontier" -> Seq("documents"),
     "j1_latest_per_key" -> Seq("events"),
+    // k write family (round-15 sweep batch 4: −6…−36%, k18 1.58→
+    // 1.01; k11 measured neutral and stays unwrapped — its fixture
+    // has no other user). Bounds are the tables their versioned
+    // fixtures derive from. k12..k14/k23 share the pruned-merge
+    // fixture lineage and MUST stay on one session together (the
+    // (session, dir)-keyed template caches), as must k20/k21/k22
+    // (copiedDocsV0 range6=true); all derive the same documents
+    // bound, so they do.
+    "k10_merge_upsert" -> Seq("documents"),
+    "k12_merge_pruned" -> Seq("documents"),
+    "k13_change_feed" -> Seq("documents"),
+    "k14_pruned_scan" -> Seq("documents"),
+    "k15_compacted_read" -> Seq("documents"),
+    "k16_zorder_scan" -> Seq("orders"),
+    "k17_shallow_clone" -> Seq("documents"),
+    "k18_signature_store" -> Seq("documents"),
+    "k19_restore" -> Seq("documents"),
+    "k20_mor_upsert" -> Seq("documents"),
+    "k21_mor_delete" -> Seq("documents"),
+    "k22_schema_evolution" -> Seq("documents"),
+    "k23_cdc_rollup" -> Seq("documents"),
+    "k24_delete_where" -> Seq("documents"),
     "j2_asof_join" -> Seq("events"),
     "k25_scd2" -> Seq("events"),
     "k5_dedup_append" -> Seq("documents"),
@@ -95,7 +124,6 @@ object ReportTier {
     "l5_license_distribution" -> Seq("documents"),
     "l8_fts_batch" -> Seq("documents"),
     "l9_hybrid_rrf" -> Seq("documents", "embeddings"),
-    "m2_media_histogram" -> Seq("documents"),
     "m3_frame_sample" -> Seq("documents"),
     "m4_asset_dedup" -> Seq("documents"),
     "m5_mm_pack" -> Seq("documents"),
@@ -106,7 +134,6 @@ object ReportTier {
     "n15_ivfpq_batch" -> Seq("embeddings"),
     "n16_centroid_outliers" -> Seq("embeddings"),
     "n18_semantic_dedup" -> Seq("embeddings"),
-    "n19_hashed_embed" -> Seq("documents"),
     "n1_cosine_topk" -> Seq("embeddings"),
     "n20_trained_ivf" -> Seq("embeddings"),
     "n21_stored_ivfpq" -> Seq("embeddings"),
@@ -127,7 +154,6 @@ object ReportTier {
     "n6x_lsh_seeded_topk" -> Seq("embeddings"),
     "n6y_lsh_batch_topk" -> Seq("embeddings"),
     "n6z_lsh_recall" -> Seq("embeddings"),
-    "n7_embedding_neardup" -> Seq("embeddings"),
     "n8_ivf_topk" -> Seq("embeddings"),
     "o4_truncate" -> Seq("documents"),
     "o5_pagination" -> Seq("orders"),
@@ -155,7 +181,6 @@ object ReportTier {
     "t12_bigram_lm" -> Seq("documents"),
     "t13_boilerplate" -> Seq("documents"),
     "t14_gopher_gate" -> Seq("documents"),
-    "t15_pair_counts" -> Seq("documents"),
     "t16_classifier_gate" -> Seq("documents"),
     "t17_dsir_weights" -> Seq("documents"),
     "t18_quantile_gate" -> Seq("documents"),
