@@ -90,6 +90,21 @@ object ReportTier {
     "h4_web_pipeline" -> Seq("documents"),
     "h5_frontier" -> Seq("documents"),
     "j1_latest_per_key" -> Seq("events"),
+    // dimension-bounded star-schema tier (sweep batch 5: q2 −44%,
+    // w1 −62%, q13/q16 ~−30%): their largest exchanges carry
+    // dim-table-scale rows; the lineitem-joining q's stay unwrapped —
+    // their 600k-row bound derives the full width, which is the
+    // scale-honest outcome even though a narrow arm also measured
+    // faster at sf0.1. h6c/h7/h8 measured neutral-or-worse at the
+    // derived arm and stay out (h6c's ledger remains closed).
+    "q2_min_cost_supplier" -> Seq("part", "supplier"),
+    "q11_nation_balance" -> Seq("supplier", "nation"),
+    "q13_order_distribution" -> Seq("customer", "orders"),
+    "q16_supplier_diversity" -> Seq("part", "supplier"),
+    "q22_lost_customers" -> Seq("customer", "orders"),
+    "w1_top_orders_per_customer" -> Seq("customer", "orders"),
+    "o1_top_orders" -> Seq("orders"),
+    "h6_pagerank" -> Seq("documents"),
     // k write family (round-15 sweep batch 4: −6…−36%, k18 1.58→
     // 1.01; k11 measured neutral and stays unwrapped — its fixture
     // has no other user). Bounds are the tables their versioned
