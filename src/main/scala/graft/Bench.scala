@@ -45,20 +45,22 @@ import org.apache.spark.sql.DataFrame
 object Bench {
 
   /** DuckDB total at sf0.1 (tools/duckdb_baseline.py, 32 threads,
-    * warm, min-of-3 runs) — the round-15 bake of all 218 oracle
-    * queries. Discipline: per-query MIN across same-day single-session
-    * bakes (round-14's stricter denominator — single loaded totals
-    * ranged 48.3–66.5 on a degrading host, and recording any one
-    * would FLATTER the Spark ratio), cross-checked against the best
-    * measured single-session total (the round-14 advice asks the
-    * synthetic min to stay close to a real session; both are in
-    * BASELINE.md round-15). Valid ONLY for the oracle suite it was
-    * measured against: [[RecordedDuckdbSuiteHash]] fingerprints the
-    * suite over name=SQL-BODY pairs — a count + name hash alone let a
-    * twin-SQL edit keep a stale baseline (round-14 advice: the
-    * hier-entry CTE rewrite changed n35/n36's SQL under unchanged
-    * names) — and the default is dropped on any mismatch. Ledger:
-    * BASELINE.md round-15.
+    * warm, min-of-3 runs): the round-14 per-query-min bake, KEPT in
+    * round 15 after re-baking on its (noisier) day — three round-15
+    * single-session bakes read 60.75 / 50.90 / 47.76 as the host
+    * quieted, and their per-query min is 46.68, within 3.5% of this
+    * constant: the SQL suite is unchanged and the stricter (smaller,
+    * Spark-disfavoring) number stays (the round-14 advice to swap in
+    * a measured single-session total is answered by the
+    * cross-validation — today's best single session is 47.76, and
+    * recording it would INFLATE our denominator). Valid ONLY for the
+    * oracle suite it was measured against: [[RecordedDuckdbSuiteHash]]
+    * fingerprints the suite over name=SQL-BODY pairs — a count +
+    * name hash alone let a twin-SQL edit keep a stale baseline
+    * (round-14 advice: the hier-entry CTE rewrite changed n35/n36's
+    * SQL under unchanged names) — and the default is dropped on any
+    * mismatch. Ledger: BASELINE.md rounds 14–15;
+    * tools/duckdb_bake_r15.json.
     */
   val RecordedDuckdbSf01: Double = 45.1192
   val RecordedDuckdbQueries: Int = 218
