@@ -165,11 +165,39 @@ private[graft] object RegistryFixtures {
     * semantics, micro-batch boundaries, and every oracle hash are
     * identical (StreamingSpec + the st-family gates run on both).
     */
+  /** One process-scoped scratch BASE per resolved substrate path,
+    * with a single shutdown hook each; ckptRoot hands out plain
+    * subdirectories under it. Before round 16 every invocation
+    * created its own temp dir PLUS its own hook thread — a bench run
+    * (reps × closes × retries) or a long sweep accumulated
+    * state-store deltas in tmpfs RAM and hook threads until process
+    * exit (round-15 advice).
+    */
+  private val ckptBases =
+    new java.util.concurrent.ConcurrentHashMap[java.nio.file.Path,
+      java.nio.file.Path]()
+
+  /** Last-issued checkpoint dir per prefix: reclaimed eagerly when
+    * the NEXT dir for the same prefix is issued. Safe because every
+    * streaming op in this repo runs its query to completion
+    * (`awaitTermination`) inside the registry closure, prefixes are
+    * unique per query, and closures for one query run serially in
+    * Bench/Verify/sbt-test — by the time a prefix repeats, its
+    * previous checkpoint is dead state from a finished run.
+    */
+  private val lastCkpt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRec))
+    f.delete(); ()
+  }
+
   private[graft] def ckptRoot(prefix: String): String = {
     // system property first (runtime-flippable — the interleaved
     // substrate A/B in CkptSubstrateProbe needs per-rep switching
     // inside one JVM), env second, tmpfs default.
-    val base = sys.props.get("graft.ckpt.base")
+    val substrate = sys.props.get("graft.ckpt.base")
       .orElse(sys.env.get("SPARK_GRAFT_CKPT_BASE"))
       .map(java.nio.file.Paths.get(_))
       .orElse {
@@ -179,7 +207,13 @@ private[graft] object RegistryFixtures {
         else None
       }
       .getOrElse(java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
-    scratchDir(base, prefix)
+    val base = ckptBases.computeIfAbsent(substrate,
+      p => java.nio.file.Paths.get(scratchDir(p, "graft_ckpt_base")))
+    val fresh =
+      java.nio.file.Files.createTempDirectory(base, prefix).toString
+    Option(lastCkpt.put(prefix, fresh))
+      .foreach(old => deleteRec(new java.io.File(old)))
+    fresh
   }
 
   /** Process-scoped cache for IMMUTABLE streaming INPUT fixtures —

@@ -44,13 +44,25 @@ object SparkEntry {
     * disjoint by the family prefix routing, so ++ is a pure union).
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    // report-tier narrow-session wrap (ReportTier scaladoc): width
+    // derived from input bounds, identity for everything unlisted
+    rawQueries.map { case (n, fn) => n -> ReportTier.wrap(n, fn) }
+
+  /** The UNWRAPPED registry — closures that execute under whatever
+    * session the caller passes, with no ReportTier derivation
+    * applied. Arm-based probes (WidthSweepProbe and kin) MUST resolve
+    * through this map: via `queries`, every listed closure re-derives
+    * its narrow child from the arm session handed in, so all arms
+    * measure the same configuration and a future sweep could neither
+    * re-validate nor falsify the narrow-session rule (round-15
+    * advice). Bench/Verify stay on `queries` — the wrapped closures
+    * are the shipped configuration the oracle gate replays.
+    */
+  def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     disjointUnion("queries", Seq(
       QueriesCore.queries, QueriesDedupSim.queries,
       QueriesText.queries, QueriesPipeline.queries,
       QueriesSearch.queries, QueriesStreamVersioned.queries))
-      // report-tier narrow-session wrap (ReportTier scaladoc): width
-      // derived from input bounds, identity for everything unlisted
-      .map { case (n, fn) => n -> ReportTier.wrap(n, fn) }
 
   def oracleSql: Map[String, String] =
     disjointUnion("oracleSql", Seq(

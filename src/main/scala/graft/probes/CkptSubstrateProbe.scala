@@ -1,4 +1,5 @@
 package graft
+package probes
 
 /** Interleaved A/B for the streaming-checkpoint SUBSTRATE (round-14
   * verdict item 3): the same st-family registry closures, reps

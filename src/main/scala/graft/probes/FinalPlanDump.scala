@@ -1,4 +1,5 @@
 package graft
+package probes
 
 /** Executes a query and prints the FINAL adaptive plan — the AQE
   * companion to [[PlanDump]], which prints the pre-execution plan and

@@ -1,4 +1,5 @@
 package graft
+package probes
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._

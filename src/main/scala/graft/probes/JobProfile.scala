@@ -1,4 +1,5 @@
 package graft
+package probes
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 

@@ -1,4 +1,5 @@
 package graft
+package probes
 
 import java.nio.file.{Files, Paths}
 

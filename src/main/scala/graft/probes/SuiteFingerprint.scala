@@ -1,4 +1,5 @@
 package graft
+package probes
 
 /** Prints the oracle-suite composition fingerprint Bench guards its
   * baked-in DuckDB baseline with (count + hash over sorted name=SQL

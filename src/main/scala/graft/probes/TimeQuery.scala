@@ -1,4 +1,5 @@
 package graft
+package probes
 
 /** Times individual queries (noop-write action, same as Bench) —
   * the per-query A/B harness for plan experiments.
