@@ -27,7 +27,16 @@ object QueriesDedupSim {
     * per process.
     */
   private[graft] def servingChild(s: SparkSession): SparkSession =
-    stChild(s, graft.streaming.StreamingOps.stateWidth(16L * 48))
+    // AQE OFF (round-16 N35AqeProbe, rep-interleaved min-of-5 with
+    // equality witness: 1.25 vs 1.59 s, −21%): the single-query walk
+    // is ~37 driver-barriered jobs whose exchanges are all bounded by
+    // beam·degree — AQE's per-exchange stage materialization is pure
+    // barrier cost here, with nothing left for it to re-plan. The
+    // batch walk (servingBatchChild/n36) KEEPS AQE: it already beats
+    // its oracle 2× and its larger per-round relations are where
+    // runtime re-planning could still matter.
+    stChild(s, graft.streaming.StreamingOps.stateWidth(16L * 48),
+      aqe = false)
 
   private[graft] def servingBatchChild(s: SparkSession): SparkSession =
     stChild(s, graft.streaming.StreamingOps.stateWidth(11L * 16 * 48))

@@ -604,11 +604,34 @@ object FtsOps {
     require(seedTerms.nonEmpty, "at least one seed term")
     val norm = seedTerms.map(_.toLowerCase).distinct
     val postingsAll = spark.table(ix.postings)
-    val nDocs = spark.table(ix.stats).select(col("n_docs"))
-    val fbIds = searchRanked(postingsAll, nDocs, idCol, norm, kFb)
+    // Corpus cardinality and the harvested expansion terms are
+    // metadata-scale COORDINATOR state (one long; ≤ nExp strings) —
+    // the round-trips a served retrieval system already makes.
+    // Round-16 rework (JobProfile: 13 jobs, gapSum ≈ 0.49 s of the
+    // 0.95 s wall — broadcast-materialization barriers around 1-row/
+    // 3-row relations): both search passes now take n_docs and the
+    // term set as PLAN LITERALS, per-term df comes from a window
+    // count over the token-bucketed postings (bucketing satisfies
+    // the partition spec — no exchange), and the literal IN-list
+    // statically prunes token buckets where the former broadcast
+    // semi-join read them all. Scores are the identical expression
+    // on identical integers; only the plan shape changed.
+    val nDocsD = spark.table(ix.stats).select(col("n_docs"))
+      .collect()(0).getAs[Number](0).doubleValue
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    def tfIdfRanked(terms: Seq[String], kk: Int): DataFrame =
+      postingsAll.filter(col("token").isInCollection(terms))
+        .withColumn("df", count(lit(1)).over(wTok))
+        .groupBy(col(idCol))
+        .agg(round(
+          sum(col("tf") * log(lit(nDocsD) / col("df"))), 6).as("score"))
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(kk)
+    val fbIds = tfIdfRanked(norm, kFb)
       .select(col(idCol)).collect().map(_.getLong(0)).toSeq
     val stop = Seq("the", "a", "of", "and", "is", "in") ++ norm
-    val cand = spark.table(ix.forward)
+    val expTerms = spark.table(ix.forward)
       .filter(col("dbkt").isInCollection(
           fbIds.map(i => (i % DocBuckets).toInt).distinct) &&
         col(idCol).isInCollection(fbIds))
@@ -616,27 +639,10 @@ object FtsOps {
       .groupBy(col("token")).agg(sum(col("tf")).as("fb_tf"))
       .orderBy(col("fb_tf").desc, col("token").asc)
       .limit(nExp)
-      .cache()
-    val seedDf = spark
-      .createDataset(norm)(org.apache.spark.sql.Encoders.STRING)
-      .toDF("token")
-    val terms = cand.select(col("token")).unionByName(seedDf)
-      .distinct()
-    val postings = postingsAll.join(broadcast(terms), Seq("token"))
-    val dfs = postings.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
-    val expandedWith = cand
-      .agg(array_join(sort_array(collect_list(col("token"))), " ")
-        .as("expanded_with"))
-    postings.join(broadcast(dfs), Seq("token"))
-      .crossJoin(broadcast(nDocs))
-      .groupBy(col(idCol))
-      .agg(round(
-        sum(col("tf") * log(col("n_docs").cast("double") / col("df"))),
-        6).as("score"))
-      .crossJoin(broadcast(expandedWith))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
+      .select(col("token")).collect().map(_.getString(0)).toSeq
+    val expandedWith = expTerms.sorted.mkString(" ")
+    tfIdfRanked((norm ++ expTerms).distinct, k)
+      .withColumn("expanded_with", lit(expandedWith))
   }
 
   /** [[spellCorrectedSearch]] (l14) over a [[ServedFtsIndex]]: the

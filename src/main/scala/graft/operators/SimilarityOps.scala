@@ -991,21 +991,32 @@ object SimilarityOps {
       : DataFrame = {
     val approx = seededLshTopKBatch(embeddings, queryMod, k, nTables,
       bucketLen, probe, scale, dim, coefRange)
+    // Quantized coordinates stay DOUBLE (integral values — floor
+    // already returns one) so the squared distance can run through
+    // the codegen graft_dot expression via the polarization identity
+    //   Σ(a−b)² = a·a + q·q − 2·a·q
+    // instead of the interpreted zip_with/aggregate lambda pair —
+    // JobProfile round-16 put 0.35 s of n6z's 0.45 s jobSum in this
+    // one brute-force stage. EXACT: every term is an integer with
+    // |coord| ≤ scale, so dot ≤ dim·scale² = 2¹⁸ ≪ 2⁵³ — the doubles
+    // are exact integers and the (d2 asc, vec_id asc) rank order is
+    // identical to the integer form the DuckDB twin keeps.
     val quant = (c: Column) =>
-      transform(toDoubleArray(c), x => floor(x * scale).cast("long"))
+      transform(toDoubleArray(c), x => floor(x * scale))
     val v = embeddings.select(col("vec_id"),
-      quant(col("embedding")).as("vq"))
+        quant(col("embedding")).as("vq"))
+      .withColumn("nn", dot(col("vq"), col("vq")))
     val qVecs = v.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("vq").as("qq"))
+      .select(col("vec_id").as("query_id"), col("vq").as("qq"),
+        col("nn").as("qnn"))
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("vec_id").asc)
     val exact = v.crossJoin(broadcast(qVecs))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("vq"), col("qq"),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        (col("nn") + col("qnn") -
+          lit(2.0) * dot(col("vq"), col("qq"))).as("d2"))
       .withColumn("__rn", row_number().over(wk))
       .filter(col("__rn") <= k)
       .select("query_id", "vec_id")
@@ -1219,12 +1230,18 @@ object SimilarityOps {
     val spark = embeddings.sparkSession
     val e = embeddings.select(col("vec_id"),
       toDoubleArray(col("embedding")).as("v"))
-    val qv = e.filter(col("vec_id") === queryId)
-      .select(col("v").as("qv"))
+    // The query vector is COORDINATOR state (one dim-length array —
+    // the o(1) the serving design already holds): fetch it once and
+    // inline it as a literal. Before round 16 every round's plan
+    // re-ran a broadcast(qv) subtree — one 1-task job + an AQE stage
+    // barrier per round, ~1/3 of the walk's 44 jobs (JobProfile
+    // round-16); the cosine doubles are bit-identical either way
+    // (same fold over the same operands).
+    val qvLit = typedLit(e.filter(col("vec_id") === queryId)
+      .select(col("v")).collect()(0).getSeq[Double](0))
     def scoreOf(ids: Seq[Long]): Map[Long, Double] =
       e.filter(col("vec_id").isInCollection(ids))
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"), cosine(col("v"), col("qv")).as("s"))
+        .select(col("vec_id"), cosine(col("v"), qvLit).as("s"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // CENTROID-SEEDED entry (round-11 verdict item 5): start from the
     // best-scoring codebook seed (the strided vectors ARE corpus
@@ -1270,8 +1287,7 @@ object SimilarityOps {
         .filter(col("src").isInCollection(beamIds))
         .select(col("dst").as("vec_id")).distinct()
       val scored = e.join(broadcast(exp), Seq("vec_id"))
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"), cosine(col("v"), col("qv")).as("s"))
+        .select(col("vec_id"), cosine(col("v"), qvLit).as("s"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1))
       val fresh = scored.filter { case (id, _) =>
         id != queryId && !visited.contains(id) }

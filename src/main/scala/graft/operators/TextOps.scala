@@ -442,10 +442,13 @@ object TextOps {
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val w = tokens(col(textCol))
+    // same zip_with-over-slices build as [[ngramDiversity]] (T21Probe
+    // round-16: −55% on the bigram scan stage vs indexing the array
+    // per element; identical pair stream)
     val pairs = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => struct(element_at(w, i).as("a"),
-          element_at(w, i + 1).as("b"))))
+      zip_with(slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))))
       .otherwise(array().cast("array<struct<a:string,b:string>>"))
     // The bigram stream feeds the model build AND the probe — cached
     // so the explode runs once (building it twice was measured worse:
@@ -1238,10 +1241,19 @@ object TextOps {
       : DataFrame = {
     import graft.Sorting.ResultSortOps
     val w = tokens(col(textCol))
+    // zip_with over two slices, struct key (round-16 T21Probe,
+    // rep-interleaved min-of-5: 0.34 vs 0.75 s for the shipped
+    // transform(sequence)+element_at+concat_ws form, outputs equal
+    // cell-for-cell): slicing shifts the array once instead of
+    // indexing it per element, and the struct group key drops the
+    // per-bigram string allocation — the distinct-type count is
+    // unchanged because tokens are space-split, so (a,b) ↔ "a b" is
+    // injective.
     val pairs = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
+      zip_with(slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
     df.select(col(srcCol), explode(pairs).as("bg"))
       .groupBy(col(srcCol), col("bg"))
       .agg(count(lit(1)).as("c"))
