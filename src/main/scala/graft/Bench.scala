@@ -84,8 +84,8 @@ object Bench {
     * long as it is the SMALLER (Spark-disfavoring) of the two; this
     * field is the evidence. Update both fields per re-bake.
     */
-  val RecordedDuckdbBakeRoundSec: Double = 47.7577
-  val RecordedDuckdbBakeRound: Int = 15
+  val RecordedDuckdbBakeRoundSec: Double = 48.4359
+  val RecordedDuckdbBakeRound: Int = 16
 
   def suiteHash(suite: Map[String, String]): Int =
     suite.toSeq.map { case (n, q) => n + "=" + q }
