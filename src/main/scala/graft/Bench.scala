@@ -223,7 +223,7 @@ object Bench {
   /** One full measurement close: interleaved reps over the whole
     * suite, bracketed by entry/exit probes, one probe per rep.
     */
-  private case class Close(
+  private[graft] case class Close(
       times: Map[String, Double],
       failed: Seq[String],
       entryCalib: Double,
