@@ -282,8 +282,12 @@ object Bench {
       }
     }
     val exit = math.min(calibProbe(spark), calibProbe(spark))
+    // median-rel over the same query set the close reports: a stale
+    // time for a query that failed in another rep must not feed the
+    // primary selection key (round-16 review)
+    val ok = times.filterNot { case (n, _) => failed.contains(n) }
     Close(times.toMap, failed.toSeq, entry, probes.toSeq, exit,
-      medianRel(times), gate, mrelGate)
+      medianRel(ok), gate, mrelGate)
   }
 
   def main(args: Array[String]): Unit = {
@@ -351,8 +355,15 @@ object Bench {
       quietFound = !c.loaded
       k += 1
     }
+    // Selection order: quiet first, then FEWEST FAILURES — without
+    // this, a close whose 4 s query failed in both reps beats a
+    // fully-successful close on total whenever the pin is absent
+    // (round-16 review: Close.total excluding failures turned failed
+    // queries into a selection advantage) — then median-rel, then
+    // total.
     val chosen = closes.minBy(c =>
-      (c.loaded, c.mrel.getOrElse(Double.MaxValue), c.total))
+      (c.loaded, c.failed.size, c.mrel.getOrElse(Double.MaxValue),
+        c.total))
     val names = SparkEntry.queries.keys.toSeq
     val times = chosen.times
     val failed = chosen.failed.toSet

@@ -640,7 +640,15 @@ object FtsOps {
       .orderBy(col("fb_tf").desc, col("token").asc)
       .limit(nExp)
       .select(col("token")).collect().map(_.getString(0)).toSeq
-    val expandedWith = expTerms.sorted.mkString(" ")
+    // UTF-8 byte order ≡ code-point order — matches the twin's
+    // ORDER BY token (and the old in-plan sort_array); Scala's
+    // default String ordering compares UTF-16 code units, which
+    // ranks supplementary-plane characters below U+E000..U+FFFF
+    // (round-16 review; latent on the ASCII fixtures, wrong in
+    // general)
+    val expandedWith = expTerms.sortWith((a, b) =>
+      java.util.Arrays.compare(a.getBytes("UTF-8"),
+        b.getBytes("UTF-8")) < 0).mkString(" ")
     tfIdfRanked((norm ++ expTerms).distinct, k)
       .withColumn("expanded_with", lit(expandedWith))
   }

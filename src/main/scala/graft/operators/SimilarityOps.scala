@@ -1001,8 +1001,11 @@ object SimilarityOps {
     // |coord| ≤ scale, so dot ≤ dim·scale² = 2¹⁸ ≪ 2⁵³ — the doubles
     // are exact integers and the (d2 asc, vec_id asc) rank order is
     // identical to the integer form the DuckDB twin keeps.
+    // floor() returns BIGINT — cast back to double HERE (once per
+    // row) or graft_dot's implicit input cast re-materializes a
+    // double array per PAIR in the cross stage (round-16 review)
     val quant = (c: Column) =>
-      transform(toDoubleArray(c), x => floor(x * scale))
+      transform(toDoubleArray(c), x => floor(x * scale).cast("double"))
     val v = embeddings.select(col("vec_id"),
         quant(col("embedding")).as("vq"))
       .withColumn("nn", dot(col("vq"), col("vq")))

@@ -10,7 +10,7 @@ package probes
   * width win that was JIT warm-up ordering) applied to substrates.
   * Each invocation gets a fresh checkpoint dir either way, so reps
   * are independent; `min` per arm is the comparable number.
-  * Usage: `runMain graft.CkptSubstrateProbe <sfDir> [reps] [q1,q2,..]`
+  * Usage: `runMain graft.probes.CkptSubstrateProbe <sfDir> [reps] [q1,q2,..]`
   */
 object CkptSubstrateProbe {
   def main(args: Array[String]): Unit = {

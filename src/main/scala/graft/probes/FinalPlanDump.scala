@@ -6,7 +6,7 @@ package probes
   * therefore hides runtime join-strategy changes, coalesced reads and
   * exchange/stage reuse (`ReusedExchange` only materializes during
   * execution).
-  * Usage: `runMain graft.FinalPlanDump <sfDir> <query>`
+  * Usage: `runMain graft.probes.FinalPlanDump <sfDir> <query>`
   */
 object FinalPlanDump {
   def main(args: Array[String]): Unit = {

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * rows), so 32 reduce tasks per tiny exchange is pure scheduling
   * overhead at fixture scale. AQE's coalescePartitions already
   * merges the reduce side; this probe measures what is left.
-  * Usage: `runMain graft.GraphWalkWidthProbe <sfDir> [reps]`
+  * Usage: `runMain graft.probes.GraphWalkWidthProbe <sfDir> [reps]`
   */
 object GraphWalkWidthProbe {
   def main(args: Array[String]): Unit = {

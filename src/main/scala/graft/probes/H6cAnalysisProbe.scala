@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * execution: builds the same 8-blocks-of-4 round chain WITHOUT any
   * action (every Dataset op analyzes eagerly, so this times pure
   * plan analysis), then runs the real query for the total.
-  * Usage: `runMain graft.H6cAnalysisProbe <sfDir> [reps]`
+  * Usage: `runMain graft.probes.H6cAnalysisProbe <sfDir> [reps]`
   */
 object H6cAnalysisProbe {
   def main(args: Array[String]): Unit = {

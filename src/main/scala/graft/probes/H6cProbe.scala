@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Same-host A/B of pageRankConverged harness shapes (round-13):
   * per-round lazy localCheckpoint vs the round-12 block-chained
-  * shape. Usage: `runMain graft.H6cProbe <sfDir> [reps]`
+  * shape. Usage: `runMain graft.probes.H6cProbe <sfDir> [reps]`
   */
 object H6cProbe {
   def main(args: Array[String]): Unit = {

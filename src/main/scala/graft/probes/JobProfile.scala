@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
 /** Prints per-job wall times and inter-job gaps for one query — the
   * diagnostic for "is this query slow because of compute or because of
   * job-count × scheduling floor?".
-  * Usage: `runMain graft.JobProfile <sfDir> <q1[,q2,...]> [reps]`
+  * Usage: `runMain graft.probes.JobProfile <sfDir> <q1[,q2,...]> [reps]`
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {

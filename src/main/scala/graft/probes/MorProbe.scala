@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * `mode=mor` runs the same stream through [[Versioned.mergeUpsertMoR]]
   * (amp should read ~1.0 for BOTH shapes) and folds the log with
   * OPTIMIZE at the end, printing the fold's one-time cost.
-  * Usage: `runMain graft.MorProbe [sfDir] [nBatches] [hotKeys] [shape] [mode]`
+  * Usage: `runMain graft.probes.MorProbe [sfDir] [nBatches] [hotKeys] [shape] [mode]`
   */
 object MorProbe {
   def main(args: Array[String]): Unit = {

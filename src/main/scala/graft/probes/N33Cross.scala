@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * (expect parallel linear curves), and an UNCAPPED ×f run where the
   * df² regime is real (expect n3 >> n33, the crossing).
   *
-  * Usage: runMain graft.N33Cross <sfDir> <factorsCsv> [reps] [uncappedFactor]
+  * Usage: runMain graft.probes.N33Cross <sfDir> <factorsCsv> [reps] [uncappedFactor]
   */
 object N33Cross {
   def main(args: Array[String]): Unit = {

@@ -47,7 +47,7 @@ object N6zProbe {
 
     def dotArm(): DataFrame = {
       val quant = (c: Column) =>
-        transform(toDoubleArray(c), x => floor(x * scale))
+        transform(toDoubleArray(c), x => floor(x * scale).cast("double"))
       val v = embeddings.select(col("vec_id"),
           quant(col("embedding")).as("vq"))
         .withColumn("nn", dot(col("vq"), col("vq")))

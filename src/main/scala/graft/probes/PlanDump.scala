@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 /** Dumps `explain("formatted")` for selected queries to a file —
   * the committed plan-audit evidence (PLANS.md).
-  * Usage: `runMain graft.PlanDump <sfDir> <outFile> [query...]`
+  * Usage: `runMain graft.probes.PlanDump <sfDir> <outFile> [query...]`
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * near-dup pairs) would grow as N², measuring the corpus, not the
   * operator. With disjoint shingle spaces the probe is N independent
   * copies of the 1× dedup problem.
-  * Usage: `runMain graft.ScaleTrend <sfDir> <factor> [reps]`
+  * Usage: `runMain graft.probes.ScaleTrend <sfDir> <factor> [reps]`
   */
 object ScaleTrend {
   def main(args: Array[String]): Unit = {

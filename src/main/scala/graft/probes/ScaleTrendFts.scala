@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *    (docs containing the query terms) is constant by construction,
   *    and that is precisely the 100 TB serving claim — corpus size
   *    scales the index, not the per-query work.
-  * Usage: `runMain graft.ScaleTrendFts <sfDir> <factor> [reps]`
+  * Usage: `runMain graft.probes.ScaleTrendFts <sfDir> <factor> [reps]`
   */
 object ScaleTrendFts {
   def main(args: Array[String]): Unit = {

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * table has. Per rep, the mutable root is hardlink-copied from an
   * immutable template OUTSIDE the timed region (k19 convention): the
   * timed work is the operator, never fixture IO.
-  * Usage: `runMain graft.ScaleTrendK <sfDir> <factor> [reps]`
+  * Usage: `runMain graft.probes.ScaleTrendK <sfDir> <factor> [reps]`
   */
 object ScaleTrendK {
   def main(args: Array[String]): Unit = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Focused n34b scale probe (ScaleTrend's rotated-replica corpus,
   * n34b only) — re-measuring the ×4/×10 slope after the round-13
   * reverse-neighbor cap. Usage:
-  * `runMain graft.ScaleTrendN34b <sfDir> <factor> [reps]`
+  * `runMain graft.probes.ScaleTrendN34b <sfDir> <factor> [reps]`
   */
 object ScaleTrendN34b {
   def main(args: Array[String]): Unit = {

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * via stateWidth, the same knob production turns), and the sink
   * write. A super-linear trend here would mean state lookups degrade
   * with store size — the thing to catch before 100 TB/day.
-  * Usage: `runMain graft.ScaleTrendSt9 <sfDir> <factor> [reps]`
+  * Usage: `runMain graft.probes.ScaleTrendSt9 <sfDir> <factor> [reps]`
   */
 object ScaleTrendSt9 {
   def main(args: Array[String]): Unit = {

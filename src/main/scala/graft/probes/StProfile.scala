@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *     dropDuplicatesWithinWatermark shuffle + state-store commits +
   *     per-batch parquet writes);
   *   - `final read`: the batch read + aggregate over the sink output.
-  * Usage: `runMain graft.StProfile <sfDir> [reps]`
+  * Usage: `runMain graft.probes.StProfile <sfDir> [reps]`
   */
 object StProfile {
   def main(args: Array[String]): Unit = {

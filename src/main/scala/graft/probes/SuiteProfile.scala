@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
 /** Warm per-query job-count/gap profile for the WHOLE suite — finds
   * queries paying an outsized scheduling floor (njobs × gap) rather
   * than compute. One warm-up rep, then `reps` measured, best wall
-  * kept. Usage: `runMain graft.SuiteProfile <sfDir> [reps]`
+  * kept. Usage: `runMain graft.probes.SuiteProfile <sfDir> [reps]`
   */
 object SuiteProfile {
   def main(args: Array[String]): Unit = {

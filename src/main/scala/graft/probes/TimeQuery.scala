@@ -3,7 +3,7 @@ package probes
 
 /** Times individual queries (noop-write action, same as Bench) —
   * the per-query A/B harness for plan experiments.
-  * Usage: `runMain graft.TimeQuery <sfDir> <q1,q2,...> [reps]`
+  * Usage: `runMain graft.probes.TimeQuery <sfDir> <q1,q2,...> [reps]`
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {

@@ -15,7 +15,7 @@ package probes
   * handed to the closure IS the configuration measured; the extra
   * `ship` arm runs the wrapped registry entry (the shipped
   * ReportTier derivation) for comparison against the hand-built arms.
-  * Usage: `runMain graft.WidthSweepProbe <sfDir> <q1,q2,..> [reps]`
+  * Usage: `runMain graft.probes.WidthSweepProbe <sfDir> <q1,q2,..> [reps]`
   */
 object WidthSweepProbe {
   def main(args: Array[String]): Unit = {

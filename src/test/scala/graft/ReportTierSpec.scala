@@ -90,14 +90,30 @@ class ReportTierSpec extends SparkSpec {
   test("derivation is identity when the bound derives full width") {
     // lineitem's row count derives a width ≥ this session's default
     // parallelism at every sf — the wrap must hand back the SAME
-    // session object (no child, AQE untouched).
+    // session object (no child, AQE untouched). NOTE: on the 2-core
+    // test session stateWidth's floor of 4 makes this identity hold
+    // for every table — session MECHANICS only; the derivation
+    // itself is guarded by the pure-function test below (round-16
+    // review: the original assert was vacuous at parallelism 2).
     val child = RegistryFixtures.reportChild(spark, sfSmoke, "lineitem")
     assert(child eq spark)
-    // and directly: any bound whose derived width reaches the
-    // parent's parallelism is identity, below it is a narrow child
-    val w = graft.streaming.StreamingOps.stateWidth(
-      RegistryFixtures.tableRows(spark, sfSmoke, "lineitem"))
-    assert(w >= spark.sparkContext.defaultParallelism)
+  }
+
+  test("width derivation at the production bounds (pure function)") {
+    // The values ReportTier's scaladoc promises at sf0.1 on the
+    // 32-core bench session — a regression here would wrap the
+    // lineitem-joining star tier in a narrow AQE-off child at
+    // production width (the round-15 bug class the wrap was designed
+    // to never hit) without any session in the loop.
+    import graft.streaming.StreamingOps.stateWidth
+    assert(stateWidth(600000L) == 32) // lineitem sf0.1 → full width
+    assert(stateWidth(100000L) == 8) // events → w8
+    assert(stateWidth(5000L) == 4) // documents → w4
+    assert(stateWidth(1L) == 4) // floor
+    assert(stateWidth(10000000L) >= stateWidth(600000L)) // monotone
+    // and the real bound feeding the derivation: lineitem's footer
+    // count at the smoke sf is the table's actual row count
+    assert(RegistryFixtures.tableRows(spark, sfSmoke, "lineitem") > 0)
   }
 
   test("narrow child carries exactly the derived confs") {
