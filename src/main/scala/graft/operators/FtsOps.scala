@@ -640,14 +640,16 @@ object FtsOps {
       .orderBy(col("fb_tf").desc, col("token").asc)
       .limit(nExp)
       .select(col("token")).collect().map(_.getString(0)).toSeq
-    // UTF-8 byte order ≡ code-point order — matches the twin's
-    // ORDER BY token (and the old in-plan sort_array); Scala's
-    // default String ordering compares UTF-16 code units, which
-    // ranks supplementary-plane characters below U+E000..U+FFFF
-    // (round-16 review; latent on the ASCII fixtures, wrong in
-    // general)
+    // UNSIGNED UTF-8 byte order ≡ code-point order — matches the
+    // twin's ORDER BY token (and the old in-plan sort_array);
+    // Scala's default String ordering compares UTF-16 code units,
+    // which ranks supplementary-plane characters below
+    // U+E000..U+FFFF, and SIGNED byte comparison would invert
+    // ASCII vs multibyte (high-bit bytes read negative) — both
+    // caught by PropertySpec's sort_array equivalence law
+    // (round-16 review + property test)
     val expandedWith = expTerms.sortWith((a, b) =>
-      java.util.Arrays.compare(a.getBytes("UTF-8"),
+      java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"),
         b.getBytes("UTF-8")) < 0).mkString(" ")
     tfIdfRanked((norm ++ expTerms).distinct, k)
       .withColumn("expanded_with", lit(expandedWith))

@@ -376,4 +376,74 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // --- round-16 rewrites: the unicode claims the fixes rest on ---
+
+  /** Tokens are whatever space-splitting yields -- including unicode,
+    * surrogate pairs, and replacement chars; the round-16 bigram
+    * rewrite claims the struct-key zip_with stream counts exactly
+    * what the old concat_ws string stream counted.
+    */
+  private val uniTok = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty),
+    Gen.oneOf("\ud83d\ude00" /* U+1F600, supplementary */,
+      "\ue000" /* private use, BMP */,
+      "\ufffd", "\u4e2d\u6587", "\u00e9", "\u00df"))
+  private val uniText =
+    Gen.listOf(uniTok).map(_.mkString(" "))
+  private val uniDocs = Gen.listOf(Gen.zip(
+    Gen.oneOf("s1", "s2"), uniText))
+
+  test("property: ngramDiversity struct-key stream == concat-key stream (unicode incl. surrogates)") {
+    import org.apache.spark.sql.functions._
+    samples(uniDocs.suchThat(_.nonEmpty)).foreach { docs =>
+      val df = docs.toDF("source", "text")
+      val got = TextOps.ngramDiversity(df, "source", "text")
+        .collect().map(_.toString).toSeq
+      // reference: the pre-round-16 concat_ws form
+      val w = split(col("text"), " ")
+      val pairs = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val ref = df.select(col("source"), explode(pairs).as("bg"))
+        .groupBy(col("source"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("c")).cast("long").as("n_bigrams"))
+        .select(col("source"), col("n_types"), col("n_bigrams"),
+          round(col("n_types").cast("double") /
+            col("n_bigrams").cast("double"), 6).as("ttr"))
+        .orderBy(col("source").asc)
+        .collect().map(_.toString).toSeq
+      assert(got == ref)
+    }
+  }
+
+  test("property: UTF-8 byte sort == Spark sort_array (code-point order)") {
+    import org.apache.spark.sql.functions._
+    // the l13 fix sorts expansion terms driver-side by UTF-8 bytes,
+    // claiming equality with the old in-plan sort_array -- including
+    // the supplementary-plane case UTF-16 ordering inverts
+    val lists = samples(Gen.listOf(uniTok), n = 8) :+
+      List("\ue000", "\ud83d\ude00", "z", "\u4e2d\u6587")
+    def utf8Sort(toks: List[String]): List[String] =
+      toks.sortWith((x, y) =>
+        java.util.Arrays.compareUnsigned(x.getBytes("UTF-8"),
+          y.getBytes("UTF-8")) < 0)
+    lists.filter(_.nonEmpty).foreach { toks =>
+      val sparkOrder = Seq(toks).toDF("a")
+        .select(sort_array(col("a")).as("s"))
+        .collect()(0).getSeq[String](0).toList
+      assert(utf8Sort(toks) == sparkOrder,
+        s"utf8=${utf8Sort(toks)} spark=$sparkOrder")
+    }
+    // explicit witness of the divergence the fix closes: UTF-16
+    // code-unit order puts the surrogate pair (0xD83D...) BELOW
+    // U+E000; code-point order is the other way around
+    val t = List("\ue000", "\ud83d\ude00")
+    assert(t.sorted == List("\ud83d\ude00", "\ue000"))
+    assert(utf8Sort(t) == List("\ue000", "\ud83d\ude00"))
+  }
 }
