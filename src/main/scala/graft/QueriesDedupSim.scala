@@ -31,15 +31,22 @@ object QueriesDedupSim {
     // equality witness: 1.25 vs 1.59 s, −21%): the single-query walk
     // is ~37 driver-barriered jobs whose exchanges are all bounded by
     // beam·degree — AQE's per-exchange stage materialization is pure
-    // barrier cost here, with nothing left for it to re-plan. The
-    // batch walk (servingBatchChild/n36) KEEPS AQE: it already beats
-    // its oracle 2× and its larger per-round relations are where
-    // runtime re-planning could still matter.
+    // barrier cost here, with nothing left for it to re-plan.
     stChild(s, graft.streaming.StreamingOps.stateWidth(16L * 48),
       aqe = false)
 
+  /** AQE OFF here too since round 17 (N36AqeProbe, rep-interleaved
+    * min-of-5, equality witness true: 1.803 vs 2.059 s, −12%): the
+    * round-16 hypothesis that the batch walk's larger per-round
+    * relations leave AQE something to re-plan was measured and does
+    * not hold — the walk's exchanges are bounded by |Q|·beam·degree
+    * and pre-sized by the derived width, so AQE's per-exchange stage
+    * barrier is pure cost across the ~60-job walk, exactly as in the
+    * single-query tier.
+    */
   private[graft] def servingBatchChild(s: SparkSession): SparkSession =
-    stChild(s, graft.streaming.StreamingOps.stateWidth(11L * 16 * 48))
+    stChild(s, graft.streaming.StreamingOps.stateWidth(11L * 16 * 48),
+      aqe = false)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- north-star: similarity search over embeddings (L1) ----

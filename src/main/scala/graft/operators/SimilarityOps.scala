@@ -1240,8 +1240,11 @@ object SimilarityOps {
     // barrier per round, ~1/3 of the walk's 44 jobs (JobProfile
     // round-16); the cosine doubles are bit-identical either way
     // (same fold over the same operands).
-    val qvLit = typedLit(e.filter(col("vec_id") === queryId)
-      .select(col("v")).collect()(0).getSeq[Double](0))
+    val qvRow = e.filter(col("vec_id") === queryId)
+      .select(col("v")).collect().headOption
+    require(qvRow.isDefined,
+      s"graphBeamSearch: query vector $queryId not found in embeddings")
+    val qvLit = typedLit(qvRow.get.getSeq[Double](0))
     def scoreOf(ids: Seq[Long]): Map[Long, Double] =
       e.filter(col("vec_id").isInCollection(ids))
         .select(col("vec_id"), cosine(col("v"), qvLit).as("s"))

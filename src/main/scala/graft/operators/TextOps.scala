@@ -871,12 +871,22 @@ object TextOps {
     */
   def bpeMergeLoop(df: DataFrame, textCol: String, iters: Int = 3)
       : DataFrame = {
+    import df.sparkSession.implicits._
     // canonical form: single-spaced tokens wrapped in one sentinel
     // space each side, so every token is space-flanked for `replace`
     var cur = df.select(
       concat(lit(" "), col(textCol), lit(" ")).as("t"))
-    var merges: Seq[DataFrame] = Nil
-    for (i <- 1 to iters) {
+    // The chosen merge per iteration is COORDINATOR state (one
+    // (pa, pb, cnt) row — the n35 qv-literal pattern): collect it
+    // once and inline the rewrite pattern as string LITERALS. The
+    // pre-round-17 form localCheckpoint'ed the 1-row relation and
+    // crossJoin(broadcast(_))'ed it back into the rewrite — one
+    // checkpoint job + one broadcast-materialization barrier per
+    // iteration for a relation the driver already has to inspect.
+    // Same aggregate, same rewrite expression on the same strings.
+    var merges: Seq[(Int, String, Long)] = Nil
+    var done = false
+    for (i <- 1 to iters if !done) {
       val toks = tokens(trim(col("t")))
       val n = size(toks)
       val pairs = zip_with(
@@ -891,20 +901,29 @@ object TextOps {
           element_at(split(col("pair"), " "), 1).as("pa"),
           element_at(split(col("pair"), " "), 2).as("pb"),
           col("cnt"))
-        .localCheckpoint() // 1 row, eager: severs the iteration chain
-      merges = merges :+ top.select(lit(i).as("iter"),
-        concat(col("pa"), lit(" "), col("pb")).as("pair"), col("cnt"))
-      if (i < iters) {
-        val pat = concat(lit(" "), col("pa"), lit(" "), col("pb"),
-          lit(" "))
-        val rep = concat(lit(" "), col("pa"), lit("_"), col("pb"),
-          lit(" "))
-        cur = cur.crossJoin(broadcast(top))
-          .select(replace(replace(col("t"), pat, rep), pat, rep)
-            .as("t"))
+        .collect().headOption // 1 row: the iteration's merge decision
+      top match {
+        case None =>
+          // no pairs at all (empty corpus / single-token docs): the
+          // old crossJoin(broadcast(empty-top)) form contributed no
+          // merge row and emptied every later iteration — stop.
+          done = true
+        case Some(r) =>
+          val (pa, pb, cnt) =
+            (r.getString(0), r.getString(1), r.getLong(2))
+          merges = merges :+ ((i, s"$pa $pb", cnt))
+          if (i < iters) {
+            val pat = lit(s" $pa $pb ")
+            val rep = lit(s" ${pa}_$pb ")
+            cur = cur
+              .select(replace(replace(col("t"), pat, rep), pat, rep)
+                .as("t"))
+          }
       }
     }
-    merges.reduce(_.union(_)).resultSorted(col("iter").asc)
+    merges.toDF("iter", "pair", "cnt")
+      .select(col("iter"), col("pair"), col("cnt"))
+      .resultSorted(col("iter").asc)
   }
 
   /** Oracle twin of [[bpeMergeLoop]]: the same fixed iterations as
@@ -964,7 +983,13 @@ object TextOps {
       iters: Int = 3): DataFrame = {
     var cur = df.select(col(idCol),
       concat(lit(" "), col(textCol), lit(" ")).as("t"))
-    for (_ <- 1 to iters) {
+    // Each learned merge is one (pa, pb) row of COORDINATOR state —
+    // collected and inlined as string literals instead of the
+    // pre-round-17 localCheckpoint + crossJoin(broadcast(top))
+    // (one checkpoint job + one broadcast barrier per iteration);
+    // same aggregate, same rewrite expression (see bpeMergeLoop).
+    var done = false
+    for (_ <- 1 to iters if !done) {
       val toks = tokens(trim(col("t")))
       val n = size(toks)
       val pairs = zip_with(
@@ -978,14 +1003,21 @@ object TextOps {
         .select(
           element_at(split(col("pair"), " "), 1).as("pa"),
           element_at(split(col("pair"), " "), 2).as("pb"))
-        .localCheckpoint() // 1 row, eager: severs the iteration chain
-      val pat = concat(lit(" "), col("pa"), lit(" "), col("pb"),
-        lit(" "))
-      val rep = concat(lit(" "), col("pa"), lit("_"), col("pb"),
-        lit(" "))
-      cur = cur.crossJoin(broadcast(top))
-        .select(col(idCol),
-          replace(replace(col("t"), pat, rep), pat, rep).as("t"))
+        .collect().headOption
+      top match {
+        case None =>
+          // no pairs anywhere: the old crossJoin against the empty
+          // 1-row relation emptied the corpus — preserve that.
+          cur = cur.limit(0)
+          done = true
+        case Some(r) =>
+          val (pa, pb) = (r.getString(0), r.getString(1))
+          val pat = lit(s" $pa $pb ")
+          val rep = lit(s" ${pa}_$pb ")
+          cur = cur
+            .select(col(idCol),
+              replace(replace(col("t"), pat, rep), pat, rep).as("t"))
+      }
     }
     val outToks = tokens(trim(col("t")))
     cur.select(col(idCol),
