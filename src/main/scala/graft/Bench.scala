@@ -231,7 +231,8 @@ object Bench {
       exitCalib: Double,
       mrel: Option[Double],
       gate: Double,
-      mrelGate: Double) {
+      mrelGate: Double,
+      fixedGate: Double = Double.NaN) {
     def calibMin: Double =
       (Seq(entryCalib, exitCalib) ++ repProbes).min
     def repMax: Double =
@@ -244,6 +245,18 @@ object Bench {
       */
     def probeLoaded: Boolean =
       entryCalib > gate || exitCalib > gate || repMax > gate
+    /** The historic FIXED-gate probe verdict — kept as the retry /
+      * selection criterion so the quiet-close search behaves exactly
+      * as it did before the host-relative reporting gate existed
+      * (round-18: the relative gate must certify flags, not weaken
+      * the search for the quietest window the wall budget can buy).
+      */
+    def probeLoadedFixed: Boolean = {
+      val g = if (fixedGate.isNaN) gate else fixedGate
+      entryCalib > g || exitCalib > g || repMax > g
+    }
+    /** Retry/selection verdict (fixed-gate semantics, r14–r17). */
+    def loadedFixed: Boolean = probeLoadedFixed || timesLoaded
     /** The per-query evidence's verdict: median time/pin ratio vs the
       * pinned quiet vector over the gate — this component sees actual
       * inflation of the measured times, which the fixed-work probe
@@ -263,8 +276,30 @@ object Bench {
       times.collect { case (n, t) if !failed.contains(n) => t }.sum
   }
 
+  /** HOST-RELATIVE probe gate (round-16 verdict item 2, shipped in
+    * round 18): on the driver's VM class the fixed-work probe FLOOR
+    * sits at 0.035–0.07 — above the historic 0.055 gate even in
+    * certified-quiet windows (every r15–r17 32-core close read
+    * `probe_loaded: true` while `times_loaded: false`), so the fixed
+    * gate could never self-certify there. The effective gate is
+    * max(fixed gate, margin × the smallest probe this PROCESS has
+    * seen): on a quiet host (floor 0.030) the fixed gate still binds,
+    * and a load storm reads 3–8× the floor, far above margin 2.0 —
+    * storm detection is not loosened. The per-query median-rel
+    * component (times_loaded) remains the load-bearing certification
+    * either way; this only stops the artifact carrying a permanently
+    * red field on VMs whose quiet floor exceeds the fixed constant.
+    * Flag-only change: recorded times and their methodology are
+    * untouched.
+    */
+  def effectiveGate(gate: Double, margin: Double,
+      sessionProbes: Seq[Double]): Double =
+    if (sessionProbes.isEmpty) gate
+    else math.max(gate, margin * sessionProbes.min)
+
   private def measureOnce(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, reps: Int, gate: Double, mrelGate: Double)
+      sfDir: String, reps: Int, gate: Double, mrelGate: Double,
+      priorProbes: Seq[Double], floorMargin: Double)
       : Close = {
     val entry = math.min(calibProbe(spark), calibProbe(spark))
     val times = scala.collection.mutable.Map[String, Double]()
@@ -286,8 +321,10 @@ object Bench {
     // time for a query that failed in another rep must not feed the
     // primary selection key (round-16 review)
     val ok = times.filterNot { case (n, _) => failed.contains(n) }
+    val eff = effectiveGate(gate, floorMargin,
+      priorProbes ++ probes ++ Seq(entry, exit))
     Close(times.toMap, failed.toSeq, entry, probes.toSeq, exit,
-      medianRel(ok), gate, mrelGate)
+      medianRel(ok), eff, mrelGate, fixedGate = gate)
   }
 
   def main(args: Array[String]): Unit = {
@@ -345,24 +382,38 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
     val retrySleepSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SLEEP_SEC", "45").toInt
+    // host-relative probe-gate margin (see effectiveGate): the session
+    // probe floor × this bounds what a quiet close may read; 0 or
+    // negative disables the relative component (fixed gate only).
+    val floorMargin = sys.env
+      .getOrElse("SPARK_GRAFT_CALIB_FLOOR_MARGIN", "2.0").toDouble
     val closes = scala.collection.mutable.ArrayBuffer[Close]()
     var k = 0
     var quietFound = false
     while (k < maxCloses && !quietFound) {
       if (k > 0) Thread.sleep(retrySleepSec * 1000L)
-      val c = measureOnce(spark, sfDir, reps, gate, mrelGate)
+      val priorProbes = attempts.toSeq ++ closes.flatMap(c =>
+        c.repProbes ++ Seq(c.entryCalib, c.exitCalib))
+      val c = measureOnce(spark, sfDir, reps, gate, mrelGate,
+        priorProbes, floorMargin)
       closes += c
-      quietFound = !c.loaded
+      // retry on the FIXED-gate verdict (r14–r17 semantics): the
+      // host-relative gate certifies the recorded flags, it must not
+      // shorten the search for the quietest window (on this VM class
+      // the fixed probe gate is effectively always-loaded, which is
+      // what bought r17's third, quietest close)
+      quietFound = !c.loadedFixed
       k += 1
     }
-    // Selection order: quiet first, then FEWEST FAILURES — without
-    // this, a close whose 4 s query failed in both reps beats a
-    // fully-successful close on total whenever the pin is absent
+    // Selection order: quiet first (FIXED-gate verdict — same key the
+    // retry loop uses, r14–r17 semantics), then FEWEST FAILURES —
+    // without this, a close whose 4 s query failed in both reps beats
+    // a fully-successful close on total whenever the pin is absent
     // (round-16 review: Close.total excluding failures turned failed
     // queries into a selection advantage) — then median-rel, then
     // total.
     val chosen = closes.minBy(c =>
-      (c.loaded, c.failed.size, c.mrel.getOrElse(Double.MaxValue),
+      (c.loadedFixed, c.failed.size, c.mrel.getOrElse(Double.MaxValue),
         c.total))
     val names = SparkEntry.queries.keys.toSeq
     val times = chosen.times
@@ -428,7 +479,7 @@ object Bench {
     // per-query evidence proved the times quiet regardless of what
     // the CPU probe thought of the window.
     val gateJson =
-      f""","calib_gate":$gate,"calib_wait_sec":$waited,"calib_entry_sec":${chosen.entryCalib}%.4f,"calib_exit_sec":$exitCalib%.4f,"calib_rep_max":${chosen.repMax}%.4f$mrelJson,"probe_loaded":${chosen.probeLoaded},"times_loaded":${chosen.timesLoaded},"loaded":$loaded,"close_attempts":${closes.size}"""
+      f""","calib_gate":$gate,"calib_gate_eff":${chosen.gate}%.4f,"calib_floor_margin":$floorMargin,"calib_wait_sec":$waited,"calib_entry_sec":${chosen.entryCalib}%.4f,"calib_exit_sec":$exitCalib%.4f,"calib_rep_max":${chosen.repMax}%.4f$mrelJson,"probe_loaded":${chosen.probeLoaded},"probe_loaded_fixed":${chosen.probeLoadedFixed},"times_loaded":${chosen.timesLoaded},"loaded":$loaded,"close_attempts":${closes.size}"""
     // Full attempt trace + per-close summaries go in the LONG line
     // only; the short line keeps the headline so its always-survives-
     // a-tail size guarantee holds.

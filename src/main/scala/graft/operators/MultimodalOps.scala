@@ -116,14 +116,18 @@ object MultimodalOps {
     * empty (no 0×1 image exists).
     */
   /** One PNG writer per thread, configured once: speed-oriented
-    * deflate (compressionQuality 1.0 — the JDK PNG writer maps
-    * quality to the deflate level; measured 6× faster than the
-    * default level on this corpus, still a genuine deflate-
-    * compressed PNG that any reader decodes) and writer reuse
-    * across calls (the ImageIO registry lookup + writer setup cost
-    * ~30% of a small-frame encode). PNG stays LOSSLESS at every
-    * level — only the container size changes, and nothing here
-    * hashes the container: m2/m3 gate on DECODED content.
+    * deflate and writer reuse across calls (the ImageIO registry
+    * lookup + writer setup cost ~30% of a small-frame encode).
+    * compressionQuality maps in the JDK PNG writer to deflate level
+    * 9 − round(9·quality), so 1.0f selects level 0 — STORED zlib
+    * blocks, i.e. a valid deflate stream with no compression
+    * (measured 6× faster than the default level on this corpus, and
+    * payloads come out ≥ input size; use ~0.89f for deflate level 1
+    * if genuine compression is ever needed). PNG stays LOSSLESS at
+    * every level — only the container size changes, and nothing here
+    * hashes the container: m2/m3 gate on DECODED content
+    * (round-17 ADVICE: documented so a future gate or dedup over
+    * encoded container bytes knows the payloads are stored).
     */
   private val pngWriter =
     new ThreadLocal[(javax.imageio.ImageWriter,
@@ -150,7 +154,13 @@ object MultimodalOps {
     try {
       w.setOutput(ios)
       w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally ios.close()
+    } finally {
+      // release the stream reference between encodes: the thread-local
+      // writer otherwise keeps the closed stream (and its buffer)
+      // alive per pooled executor thread indefinitely (round-17 ADVICE)
+      w.setOutput(null)
+      ios.close()
+    }
     bos.toByteArray
   }
 

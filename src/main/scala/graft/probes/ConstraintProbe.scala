@@ -37,8 +37,13 @@ object ConstraintProbe {
       (1 to reps).foreach { _ =>
         arms.foreach { case (a, ss) => acc(a) ::= run(ss) }
       }
-      val r0 = fn(arms(0)._2, sfDir).collect().map(_.toString).toSeq
-      val r1 = fn(arms(1)._2, sfDir).collect().map(_.toString).toSeq
+      // SORTED multiset compare (round-17 ADVICE): the result-order
+      // guarantee is per-query, so an ordered compare could print a
+      // false equal=false for a query without a total output ordering
+      val r0 = fn(arms(0)._2, sfDir).collect().map(_.toString)
+        .sorted.toSeq
+      val r1 = fn(arms(1)._2, sfDir).collect().map(_.toString)
+        .sorted.toSeq
       println(s"[cp] $name equal=${r0 == r1}")
       arms.foreach { case (a, _) =>
         println(f"[cp] $name $a%-5s min=${acc(a).min}%.3f " +

@@ -78,4 +78,35 @@ class BenchCloseSpec extends AnyFunSuite {
     assert(Bench.suiteHash(a) !=
       Bench.suiteHash(a.updated("q2", "SELECT 3")))
   }
+
+  test("effectiveGate: host-relative floor never tightens, storms still flag") {
+    // quiet host (floor 0.030): fixed gate binds — unchanged semantics
+    assert(Bench.effectiveGate(0.055, 2.0, Seq(0.030, 0.032)) == 0.060)
+    // driver VM class (floor 0.0345, r17): quiet rep_max 0.0618 now
+    // certifies (< 0.069) while a storm probe 0.094 still flags
+    val eff = Bench.effectiveGate(0.055, 2.0, Seq(0.0345, 0.05))
+    assert(math.abs(eff - 0.069) < 1e-9)
+    assert(0.0618 < eff && 0.094 > eff)
+    // no probes yet / disabled margin: fixed gate
+    assert(Bench.effectiveGate(0.055, 2.0, Nil) == 0.055)
+    assert(Bench.effectiveGate(0.055, 0.0, Seq(0.03)) == 0.055)
+    // effective gate is max(fixed, margin*floor): never below fixed
+    assert(Bench.effectiveGate(0.055, 2.0, Seq(0.01)) == 0.055)
+  }
+
+  test("retry verdict stays FIXED-gate while reporting goes host-relative") {
+    // rep_max 0.0618 on a floor-0.0345 host: reported probe verdict
+    // certifies under the effective gate 0.069, but the retry /
+    // selection verdict (fixed 0.055) still reads loaded — the close
+    // search must not shorten (round-18 Bench change contract)
+    val c = Bench.Close(Map("q" -> 1.0), Nil, 0.0382, Seq(0.0618),
+      0.0576, mrel = Some(0.99), gate = 0.069, mrelGate = 1.15,
+      fixedGate = 0.055)
+    assert(!c.probeLoaded && !c.loaded)       // reported: self-certifies
+    assert(c.probeLoadedFixed && c.loadedFixed) // retry: keeps searching
+    // no fixedGate supplied (legacy construction): falls back to gate
+    val legacy = Bench.Close(Map("q" -> 1.0), Nil, 0.06, Seq(0.03),
+      0.03, None, gate = 0.055, mrelGate = 1.15)
+    assert(legacy.probeLoadedFixed == legacy.probeLoaded)
+  }
 }

@@ -633,6 +633,28 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode: all-single-token corpus empties the output " +
+      "(legacy crossJoin-against-empty contract, pinned)") {
+    // No doc has two adjacent tokens, so iteration 1 finds NO pair
+    // anywhere and bpeEncode's None branch empties the ENTIRE corpus
+    // — parity with the pre-round-17 crossJoin(broadcast(empty top))
+    // form, where every doc joined against an empty 1-row relation.
+    // Surprising (single-token docs vanish) but INTENTIONAL: this
+    // test pins the contract so a refactor can't change it silently
+    // (round-17 ADVICE).
+    val singles = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    assert(TextOps.bpeEncode(singles, "doc_id", "text", 3)
+      .collect().isEmpty)
+    // ...and the contract is iteration-1-global: one doc WITH a pair
+    // keeps the whole corpus alive (single-token docs included)
+    val mixed = Seq((1L, "alpha"), (2L, "x y x y"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bpeEncode(mixed, "doc_id", "text", 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0L), (2L, 2L, 2L)), s"$out")
+  }
+
   test("bpeApply: one-scan encode is document-exact vs bpeEncode " +
       "for learned vocabs of several sizes") {
     val corpus = Tables.documents(spark, sfSmoke)
