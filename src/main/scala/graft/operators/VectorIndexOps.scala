@@ -95,6 +95,55 @@ object VectorIndexOps {
         toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
 
+  /** The frozen index config (n_sub, sub_dim), read DRIVER-SIDE from
+    * the 1-row meta table: this is index-OPEN metadata, not data —
+    * reading it through `Versioned.current(...).head()` scheduled one
+    * full 1-task Spark job (plus its DAG-scheduler gap) per
+    * serve/append invocation (round-18 JobProfile: 6 single-task jobs
+    * in n21's 13; VERDICT #2's manifest-read term). The manifest is
+    * resolved exactly as [[graft.Versioned.snapshot]] resolves it and
+    * the row is read from the committed parquet file with the same
+    * footer-level machinery [[graft.Versioned]]'s merge planner
+    * already uses driver-side (fileKeyRanges) — still computed from
+    * the parquet inputs on every invocation, never cached. Falls back
+    * to the Spark read for anything unexpected (a merge-on-read log
+    * on meta, a reader gap), so behavior can only differ in job
+    * count.
+    */
+  private def indexMeta(spark: SparkSession, root: String): (Int, Int) = {
+    val table = s"$root/meta"
+    val viaSpark = () => {
+      val m = Versioned.current(spark, table).head()
+      (m.getAs[Int]("n_sub"), m.getAs[Int]("sub_dim"))
+    }
+    try {
+      val v = Versioned.currentVersion(spark, table).getOrElse(
+        throw new IllegalStateException(
+          s"uninitialized versioned table: $table"))
+      val entries = Versioned.snapshotFiles(spark, table, v)
+      if (entries.exists(_.startsWith("log:"))) viaSpark()
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        entries.iterator.flatMap { rel =>
+          val p = new org.apache.hadoop.fs.Path(
+            if (rel.startsWith("/")) rel else s"$table/$rel")
+          val reader = org.apache.parquet.hadoop.ParquetReader
+            .builder(
+              new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              p)
+            .withConf(conf).build()
+          try Option(reader.read()).map(g =>
+            (g.getInteger("n_sub", 0), g.getInteger("sub_dim", 0)))
+          finally reader.close()
+        }.nextOption().getOrElse(viaSpark())
+      }
+    } catch {
+      case _: IllegalStateException => throw new IllegalStateException(
+        s"uninitialized versioned table: $table")
+      case _: Exception => viaSpark()
+    }
+  }
+
   /** TRAIN + PERSIST: strided coarse centroids and PQ sub-codebooks
     * from the training corpus (the n8/n14 deterministic-codebook
     * convention), full assignment + encode, all committed as
@@ -137,8 +186,7 @@ object VectorIndexOps {
     */
   def appendVectors(newVecs: DataFrame, root: String): DataFrame = {
     val spark = newVecs.sparkSession
-    val meta = Versioned.current(spark, s"$root/meta").head()
-    val (nSub, sub) = (meta.getAs[Int]("n_sub"), meta.getAs[Int]("sub_dim"))
+    val (nSub, sub) = indexMeta(spark, root)
     val indexed = Versioned.current(spark, s"$root/assign")
       .select("vec_id")
     // novel-only, decided against the PRE-append snapshot and pinned
@@ -206,8 +254,7 @@ object VectorIndexOps {
     */
   def servedIvfPqBatch(spark: SparkSession, root: String,
       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val meta = Versioned.current(spark, s"$root/meta").head()
-    val (nSub, sub) = (meta.getAs[Int]("n_sub"), meta.getAs[Int]("sub_dim"))
+    val (nSub, sub) = indexMeta(spark, root)
     val cents = Versioned.current(spark, s"$root/cents")
       .withColumn("cnrm", l2Norm(col("cv")))
     val cb = Versioned.current(spark, s"$root/codebook")
